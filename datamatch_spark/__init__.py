@@ -1,0 +1,63 @@
+"""datamatch_spark — a PySpark-native record-linkage / deduplication
+engine with the query surface of pckhoi/datamatch, rebuilt from scratch
+on the DataFrame API (blocking = salted equi-joins, scoring = Column
+expressions + Arrow pandas UDFs, clustering = large-star/small-star CC
++ per-component clique split).
+
+Public API mirrors /root/reference/datamatch/__init__.py:1-18.
+"""
+
+from .filters import BaseFilter, ColumnFilter, DissimilarFilter, NonOverlappingFilter
+from .indices import BaseIndex, ColumnsIndex, MultiIndex, NoopIndex
+from .matchers import ThresholdMatcher
+from .pairing import PairingConfig
+from .scorers import (
+    AbsoluteScorer,
+    AlterScorer,
+    BaseScorer,
+    FuncScorer,
+    MaxScorer,
+    MinScorer,
+    RefuseToScoreException,
+    SimSumScorer,
+)
+from .session import get_spark
+from .similarities import (
+    AbsoluteNumericalSimilarity,
+    DateSimilarity,
+    JaroWinklerSimilarity,
+    RelativeNumericalSimilarity,
+    StringSimilarity,
+)
+from .variators import Swap, Variator
+
+__all__ = [
+    "NoopIndex",
+    "ColumnsIndex",
+    "MultiIndex",
+    "BaseIndex",
+    "JaroWinklerSimilarity",
+    "StringSimilarity",
+    "DateSimilarity",
+    "AbsoluteNumericalSimilarity",
+    "RelativeNumericalSimilarity",
+    "ThresholdMatcher",
+    "Variator",
+    "Swap",
+    "BaseFilter",
+    "DissimilarFilter",
+    "NonOverlappingFilter",
+    "ColumnFilter",
+    "BaseScorer",
+    "SimSumScorer",
+    "AbsoluteScorer",
+    "MinScorer",
+    "MaxScorer",
+    "AlterScorer",
+    "FuncScorer",
+    "RefuseToScoreException",
+    "PairingConfig",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,208 @@
+"""Distributed post-processing graph operators.
+
+* ``connected_components`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  2014): O(log²) rounds regardless of component diameter, each round
+  two shuffles, lineage truncated via ``localCheckpoint``. This is the
+  Spark-native replacement for the reference's driver-side
+  union-find walk (/root/reference/datamatch/matchers.py:192-218).
+* ``split_cliques`` — the reference's greedy clique refinement
+  (matchers.py:152-190) run per connected component via
+  ``applyInPandas``; blocking bounds component size, so each group is
+  small while the set of components is huge — the right distribution
+  axis. Node/neighbor iteration order is imposed (ascending row key),
+  a deterministic stand-in for the reference's hash-order set walk
+  (SURVEY.md §8.2).
+* ``greedy_one_to_one`` — match-mode pruning (matchers.py:103-117):
+  the sequential highest-score-first greedy is realized as the
+  locally-dominant-pair fixpoint, which yields the identical matching
+  under a strict total pair order (score DESC, idx_a ASC, idx_b ASC).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["connected_components", "split_cliques", "greedy_one_to_one"]
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Normalize to (lo, hi), drop self-loops and duplicates."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(lo.alias("u"), hi.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each center to the
+    minimum of its closed neighborhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    out = (
+        sym.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(m.alias("u"), F.col("v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    return out.dropDuplicates(["u", "v"])
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each center's smaller-or-equal neighborhood, connect all
+    nodes (center included) to the neighborhood minimum."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    small = sym.where(F.col("v") < F.col("u"))  # center u, smaller neighbors v
+    mins = small.groupBy("u").agg(F.min("v").alias("mn"))
+    withm = small.join(mins, on="u")
+    out = withm.select(F.col("mn").alias("u"), F.col("v").alias("v")).unionByName(
+        withm.select(F.col("mn").alias("u"), F.col("u").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def connected_components(
+    edges: DataFrame, src: str = "idx_a", dst: str = "idx_b", max_iter: int = 50
+) -> DataFrame:
+    """Return DataFrame[node, component] for every node incident to an
+    edge; ``component`` is the minimum node id of the component."""
+    e = _canon(edges, src, dst).localCheckpoint()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        changed = not e2.exceptAll(e).isEmpty() or not e.exceptAll(e2).isEmpty()
+        e = e2
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # fixpoint: every edge is (component_root, node)
+    labels = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return labels.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def _greedy_cliques(nodes, adjacency):
+    """Reference greedy clique growth (matchers.py:162-180) with the
+    imposed deterministic order: nodes ascending, stack-based walk,
+    neighbors ascending. Returns list of member-sets (size > 1)."""
+    clusters = []
+    clustered = set()
+    for node in sorted(nodes):
+        if node in clustered:
+            continue
+        cluster = {node}
+        clustered.add(node)
+        queue = [node]
+        while queue:
+            cur = queue.pop()
+            for neighbor in sorted(adjacency[cur]):
+                if neighbor in clustered:
+                    continue
+                if all(n in adjacency[neighbor] for n in cluster):
+                    clustered.add(neighbor)
+                    cluster.add(neighbor)
+                    queue.append(neighbor)
+        if len(cluster) > 1:
+            clusters.append(cluster)
+    return clusters
+
+
+def split_cliques(pairs_with_component: DataFrame) -> DataFrame:
+    """Split each connected component into greedy cliques.
+
+    Input: (component, sim_score, idx_a, idx_b). Output: the surviving
+    pairs relabeled (cluster_id string, sim_score, idx_a, idx_b) —
+    every 2-combination within a clique is emitted with its original
+    score (reference matchers.py:181-190); pairs whose endpoints land
+    in different cliques are dropped, singleton leftovers vanish.
+    """
+    idx_type = pairs_with_component.schema["idx_a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.StringType()),
+            T.StructField("sim_score", T.DoubleType()),
+            T.StructField("idx_a", idx_type),
+            T.StructField("idx_b", idx_type),
+        ]
+    )
+
+    def split_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = pdf["component"].iloc[0]
+        adjacency: dict = {}
+        scores: dict = {}
+        for sim, ia, ib in zip(pdf["sim_score"], pdf["idx_a"], pdf["idx_b"]):
+            adjacency.setdefault(ia, set()).add(ib)
+            adjacency.setdefault(ib, set()).add(ia)
+            scores[(ia, ib) if ia <= ib else (ib, ia)] = sim
+        rows = []
+        for k, members in enumerate(_greedy_cliques(adjacency.keys(), adjacency)):
+            cid = f"{comp}|{k}"
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1 :]:
+                    rows.append((cid, scores[(a, b)], a, b))
+        return pd.DataFrame(rows, columns=["cluster_id", "sim_score", "idx_a", "idx_b"])
+
+    return pairs_with_component.groupBy("component").applyInPandas(
+        split_one, schema=out_schema
+    )
+
+
+def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
+    """Keep a pair iff neither endpoint appears in a better-ranked kept
+    pair — the reference's highest-score-first greedy 1:1 pruning.
+
+    Fixpoint of locally-dominant selection: a pair whose rank tuple is
+    the minimum within BOTH its idx_a partition and its idx_b partition
+    is kept; its endpoints' other pairs are discarded; repeat. No
+    global sort — only per-key window minima (two shuffles per round).
+    """
+    from pyspark.sql import Window
+
+    remaining = pairs.withColumn(
+        "__r",
+        F.struct(
+            (-F.col("sim_score")).alias("ns"),
+            F.col("idx_a").alias("ia"),
+            F.col("idx_b").alias("ib"),
+        ),
+    ).localCheckpoint()
+    kept: DataFrame | None = None
+    for _ in range(max_iter):
+        if remaining.isEmpty():
+            break
+        wa = Window.partitionBy("idx_a")
+        wb = Window.partitionBy("idx_b")
+        sel = (
+            remaining.withColumn("__ma", F.min("__r").over(wa))
+            .withColumn("__mb", F.min("__r").over(wb))
+            .where((F.col("__r") == F.col("__ma")) & (F.col("__r") == F.col("__mb")))
+            .drop("__ma", "__mb")
+            .localCheckpoint()
+        )
+        if sel.isEmpty():
+            break
+        kept = sel if kept is None else kept.unionByName(sel)
+        remaining = (
+            remaining.join(sel.select("idx_a").distinct(), on="idx_a", how="left_anti")
+            .join(sel.select("idx_b").distinct(), on="idx_b", how="left_anti")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(f"greedy_one_to_one did not converge in {max_iter} rounds")
+    if kept is None:
+        return pairs.limit(0)
+    return kept.drop("__r")

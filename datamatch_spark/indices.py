@@ -1,0 +1,199 @@
+"""Blocking indices: map each row to zero or more blocking-key strings.
+
+A blocking index compiles to ``key_df(df, row_key) ->
+DataFrame[row_key, BLOCK_KEY]``; candidate pairs are then an inner
+equi-join on BLOCK_KEY (pairing.py) — the Spark-native equivalent of
+the reference's bucket dictionaries (/root/reference/datamatch/
+indices.py:28-77). Catalyst handles the join strategy; hot keys are
+salted in pairing.py.
+
+Key semantics preserved from the reference:
+
+* keys are value tuples — ``ColumnsIndex('c')`` key ``(2,)`` equals
+  ``ColumnsIndex('d')`` key ``(2,)`` and MultiIndex OR-mode merges such
+  buckets (indices.py:174-178, test_indices.py:157-159). We therefore
+  serialize keys to canonical type-tagged strings so equal values
+  collide regardless of the source column: numerics are canonicalized
+  through double (Python ``(2,) == (2.0,)``).
+* a null in any key component ⇒ the row never pairs (reference: NaN
+  dict keys form singleton buckets, indices.py:129-132) — here the key
+  becomes NULL and inner joins drop it.
+* ``index_elements`` blocks on the Cartesian product of array-cell
+  elements across key columns (indices.py:104-106,120-127) — chained
+  ``explode``.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["BaseIndex", "NoopIndex", "ColumnsIndex", "MultiIndex", "BLOCK_KEY"]
+
+BLOCK_KEY = "block_key"
+_FIELD_SEP = "\x1f"  # between components of one key tuple
+_TUPLE_SEP = "\x1e"  # between sub-index keys in AND-mode composite keys
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def typed_key_component(col: Column, dtype: T.DataType) -> Column:
+    """Serialize one key component so equal *values* serialize equally.
+
+    Ints and floats both go through double (``(2,) == (2.0,)`` in the
+    reference's tuple keys); safe below 2^53 which covers realistic row
+    keys. NULL propagates.
+    """
+    if isinstance(dtype, _NUMERIC_TYPES):
+        return F.concat(F.lit("n:"), col.cast("double").cast("string"))
+    if isinstance(dtype, T.BooleanType):
+        return F.concat(F.lit("b:"), col.cast("string"))
+    if isinstance(dtype, T.DateType):
+        return F.concat(F.lit("d:"), col.cast("string"))
+    if isinstance(dtype, T.TimestampType):
+        return F.concat(F.lit("t:"), col.cast("string"))
+    return F.concat(F.lit("s:"), col.cast("string"))
+
+
+def _serialize_key(components: list[Column]) -> Column:
+    """Join typed components; NULL if any component is NULL (concat semantics)."""
+    if len(components) == 1:
+        return components[0]
+    parts: list[Column] = []
+    for i, c in enumerate(components):
+        if i:
+            parts.append(F.lit(_FIELD_SEP))
+        parts.append(c)
+    return F.concat(*parts)
+
+
+class BaseIndex(ABC):
+    """Abstract blocking index.
+
+    ``multi_bucket`` is True when one row may land in more than one
+    bucket (then the pair join must dedupe (idx_a, idx_b)).
+    """
+
+    multi_bucket: bool = False
+
+    @abstractmethod
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        """Return DataFrame[row_key, BLOCK_KEY] with non-null keys."""
+        raise NotImplementedError
+
+    def required_columns(self) -> set[str]:
+        """Source columns this index reads (for column pruning)."""
+        return set()
+
+
+class NoopIndex(BaseIndex):
+    """Single bucket — the full cross product. Test/small data only; at
+    scale this is by definition quadratic (reference indices.py:80-88)."""
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        return df.select(F.col(row_key), F.lit("s:__all__").alias(BLOCK_KEY))
+
+
+class ColumnsIndex(BaseIndex):
+    """Block on the value tuple of one or more columns
+    (reference indices.py:91-138)."""
+
+    def __init__(
+        self,
+        cols: str | list[str],
+        ignore_key_error: bool = False,
+        index_elements: bool = False,
+    ) -> None:
+        self._cols = [cols] if isinstance(cols, str) else list(cols)
+        self._ignore_key_error = ignore_key_error
+        self._index_elements = index_elements
+        self.multi_bucket = index_elements
+
+    def required_columns(self) -> set[str]:
+        return set(self._cols)
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        missing = [c for c in self._cols if c not in df.columns]
+        if missing:
+            if self._ignore_key_error:
+                # zero buckets, mirroring ignore_key_error=True
+                # (reference indices.py:135-137)
+                return df.select(
+                    F.col(row_key), F.lit(None).cast("string").alias(BLOCK_KEY)
+                ).limit(0)
+            raise KeyError(missing[0])
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        if self._index_elements:
+            out = df.select(row_key, *self._cols)
+            el_cols = []
+            for c in self._cols:
+                if not isinstance(schema[c], T.ArrayType):
+                    raise ValueError(f"column {c} is not an array column")
+                el = f"__el_{c}"
+                # chained explodes = Cartesian product of list elements
+                out = out.withColumn(el, F.explode(F.col(c)))
+                el_cols.append((el, schema[c].elementType))
+            key = _serialize_key([typed_key_component(F.col(n), t) for n, t in el_cols])
+            return (
+                out.select(F.col(row_key), key.alias(BLOCK_KEY))
+                .where(F.col(BLOCK_KEY).isNotNull())
+                .dropDuplicates([row_key, BLOCK_KEY])
+            )
+        key = _serialize_key(
+            [typed_key_component(F.col(c), schema[c]) for c in self._cols]
+        )
+        return df.select(F.col(row_key), key.alias(BLOCK_KEY)).where(
+            F.col(BLOCK_KEY).isNotNull()
+        )
+
+
+class MultiIndex(BaseIndex):
+    """Combine sub-indices (reference indices.py:141-178).
+
+    OR mode (``combine_keys=False``): union of the children's
+    (row, key) sets; buckets with equal keys across children merge.
+    AND mode (``combine_keys=True``): composite keys — a pair must
+    share a bucket under *every* child.
+    """
+
+    def __init__(self, indices: list[BaseIndex], combine_keys: bool = False) -> None:
+        self._indices = list(indices)
+        self._combine = combine_keys
+        if combine_keys:
+            self.multi_bucket = any(i.multi_bucket for i in self._indices)
+        else:
+            self.multi_bucket = True
+
+    def required_columns(self) -> set[str]:
+        out: set[str] = set()
+        for i in self._indices:
+            out |= i.required_columns()
+        return out
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        kdfs = [ix.key_df(df, row_key) for ix in self._indices]
+        if not self._combine:
+            out = kdfs[0]
+            for k in kdfs[1:]:
+                out = out.unionByName(k)
+            return out.dropDuplicates([row_key, BLOCK_KEY])
+        out = kdfs[0]
+        for i, k in enumerate(kdfs[1:], start=1):
+            k = k.withColumnRenamed(BLOCK_KEY, f"__bk_{i}")
+            out = out.join(k, on=row_key)
+        parts: list[Column] = [F.col(BLOCK_KEY)]
+        for i in range(1, len(kdfs)):
+            parts.append(F.lit(_TUPLE_SEP))
+            parts.append(F.col(f"__bk_{i}"))
+        return out.select(F.col(row_key), F.concat(*parts).alias(BLOCK_KEY))

@@ -1,0 +1,217 @@
+"""Vectorized string/date similarity kernels (pure numpy, no Spark).
+
+These reimplement from scratch — with batch (numpy) and scalar entry
+points sharing one code path — the observable behavior of the
+reference's C dependencies:
+
+* ``lev_ratio``       ≡ python-Levenshtein ``ratio``: indel-normalized
+  similarity ``(len(a)+len(b) - D) / (len(a)+len(b))`` where ``D`` is
+  the edit distance with substitution cost 2, i.e. ``2*LCS/(la+lb)``
+  (reference usage: /root/reference/datamatch/similarities.py:30).
+* ``jaro_winkler``    ≡ python-Levenshtein ``jaro_winkler``: the
+  NONSTANDARD greedy variant (asymmetric half-length window, greedy
+  first-unmatched assignment, fractional transposition term, Winkler
+  boost with UNCAPPED common-prefix length) — algorithm per SURVEY.md
+  §8.1, discriminating witness ``jw("freddie","freedie",0.1)=0.875``
+  (reference usage: /root/reference/datamatch/similarities.py:59).
+* ``unidecode_ascii`` ≈ Unidecode for Latin-ish scripts: NFKD
+  normalize + strip combining marks (sufficient for the reference's
+  whole test corpus, e.g. ``"thăng" -> "thang"``;
+  /root/reference/datamatch/similarities.py:30).
+
+The batch functions are the hot path inside Arrow-batched pandas UDFs:
+they loop over *string positions*, never over batch rows, so cost is
+O(maxlen) (JW) / O(maxlen_a) (ratio) numpy passes over the whole batch.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+
+__all__ = [
+    "unidecode_ascii",
+    "lev_ratio",
+    "lev_ratio_batch",
+    "jaro_winkler",
+    "jaro_winkler_batch",
+    "date_similarity",
+]
+
+
+def unidecode_ascii(s: str) -> str:
+    """Transliterate to ASCII: NFKD-decompose then drop non-ASCII marks."""
+    if s is None:
+        return ""
+    if not isinstance(s, str):
+        s = str(s)
+    return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
+
+
+def _encode(strs, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a batch of strings into a uint32 codepoint matrix (n, width).
+
+    Pad value 0 never equals a real codepoint from non-empty positions
+    because comparisons are always masked by length.
+    """
+    n = len(strs)
+    codes = np.zeros((n, width), dtype=np.uint32)
+    lens = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(strs):
+        if not s:
+            continue
+        arr = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        lens[i] = arr.shape[0]
+        codes[i, : arr.shape[0]] = arr
+    return codes, lens
+
+
+def _clean_batch(strs, max_len: int | None):
+    out = []
+    for s in strs:
+        if s is None:
+            out.append("")
+            continue
+        if not isinstance(s, str):
+            s = str(s)
+        if max_len is not None and len(s) > max_len:
+            s = s[:max_len]
+        out.append(s)
+    return out
+
+
+def lev_ratio_batch(a, b, max_len: int | None = None) -> np.ndarray:
+    """Batch indel ratio = 2*LCS(a,b) / (len(a)+len(b)); 1.0 for two empties.
+
+    DP vectorized across the batch: per character of ``a`` one pass
+    computing ``dp[i][j] = max(dp[i-1][j-1]+eq, dp[i-1][j], dp[i][j-1])``;
+    the left-neighbor term is a running maximum (LCS rows are
+    non-decreasing), i.e. ``np.maximum.accumulate``.
+    """
+    a = _clean_batch(a, max_len)
+    b = _clean_batch(b, max_len)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    width = max(1, max(max((len(s) for s in a), default=0), max((len(s) for s in b), default=0)))
+    A, la = _encode(a, width)
+    B, lb = _encode(b, width)
+    J = np.arange(width)
+    prev = np.zeros((n, width + 1), dtype=np.int32)
+    max_la = int(la.max()) if n else 0
+    for i in range(1, max_la + 1):
+        eq = (B == A[:, i - 1][:, None]) & (J < lb[:, None])
+        cand = np.maximum(prev[:, :width] + eq, prev[:, 1:])
+        cur = np.maximum.accumulate(cand, axis=1)
+        active = i <= la
+        prev[:, 1:] = np.where(active[:, None], cur, prev[:, 1:])
+    lcs = prev[np.arange(n), lb]
+    lensum = la + lb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(lensum > 0, 2.0 * lcs / lensum, 1.0)
+    return ratio.astype(np.float64)
+
+
+def jaro_winkler_batch(a, b, prefix_weight: float = 0.1, max_len: int | None = None) -> np.ndarray:
+    """Batch python-Levenshtein-style Jaro-Winkler (SURVEY.md §8.1).
+
+    s1 = shorter string (swap if needed), L1=len(s1), L2=len(s2),
+    halflen = (L1+1)//2. For i over s2: window is
+    j ∈ [0, min(i+halflen, L1-1)] while i < halflen, else
+    j ∈ [i-halflen, L1); the first *unmatched* equal position is
+    greedily matched, recording the match order. t = number of matched
+    s1 positions whose recorded order differs from their ascending-j
+    rank. jaro = (m/L1 + m/L2 + 1 - t/(2m)) / 3; winkler boost
+    jw = min(1, jaro + p*w*(1-jaro)) with p = UNCAPPED common prefix.
+    """
+    a = _clean_batch(a, max_len)
+    b = _clean_batch(b, max_len)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    width = max(1, max(max((len(s) for s in a), default=0), max((len(s) for s in b), default=0))) + 1
+    A, la = _encode(a, width)
+    B, lb = _encode(b, width)
+    swap = la > lb
+    S1 = np.where(swap[:, None], B, A)
+    S2 = np.where(swap[:, None], A, B)
+    L1 = np.where(swap, lb, la)
+    L2 = np.where(swap, la, lb)
+    halflen = (L1 + 1) // 2
+    J = np.arange(width)
+    matched = np.zeros((n, width), dtype=bool)
+    order = np.zeros((n, width), dtype=np.int32)
+    m = np.zeros(n, dtype=np.int32)
+    max_i = int(L2.max()) if n else 0
+    rows_all = np.arange(n)
+    for i in range(max_i):
+        active = (i < L2) & (i < L1 + halflen)
+        if not active.any():
+            continue
+        phase1 = i < halflen
+        lo = np.where(phase1, 0, i - halflen)
+        hi = np.where(phase1, np.minimum(i + halflen, L1 - 1), L1 - 1)
+        c = S2[:, i]
+        elig = (
+            (S1 == c[:, None])
+            & ~matched
+            & (J >= lo[:, None])
+            & (J <= hi[:, None])
+            & active[:, None]
+        )
+        has = elig.any(axis=1)
+        if not has.any():
+            continue
+        fj = elig.argmax(axis=1)
+        rows = rows_all[has]
+        matched[rows, fj[rows]] = True
+        m[rows] += 1
+        order[rows, fj[rows]] = m[rows]
+    rank = np.cumsum(matched, axis=1, dtype=np.int32)
+    t = ((order != rank) & matched).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = np.where(
+            m > 0,
+            (m / np.maximum(L1, 1) + m / np.maximum(L2, 1) + 1.0 - t / (2.0 * np.maximum(m, 1))) / 3.0,
+            0.0,
+        )
+    # uncapped common prefix of the (original-order) pair
+    minlen = np.minimum(la, lb)
+    neq = ~((A == B) & (J < minlen[:, None]))
+    p = neq.argmax(axis=1)
+    jw = jaro + p * prefix_weight * (1.0 - jaro)
+    jw = np.minimum(1.0, jw)
+    both_empty = (la == 0) & (lb == 0)
+    jw = np.where(both_empty, 1.0, jw)
+    return jw.astype(np.float64)
+
+
+def lev_ratio(a: str, b: str) -> float:
+    """Scalar indel ratio (batch-of-1 of :func:`lev_ratio_batch`)."""
+    return float(lev_ratio_batch([a], [b])[0])
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    """Scalar Jaro-Winkler (batch-of-1 of :func:`jaro_winkler_batch`)."""
+    return float(jaro_winkler_batch([a], [b], prefix_weight)[0])
+
+
+def date_similarity(a, b, d_max: int = 30) -> float:
+    """Scalar 3-stage date similarity (reference similarities.py:166-187).
+
+    1. day-diff < d_max          -> 1 - days/d_max
+    2. same year, month/day swap -> 0.5
+    3. same year, same day       -> lev_ratio of '%Y%m%d' strings
+    else 0.
+    """
+    d = a - b
+    if b > a:
+        d = b - a
+    if d.days < d_max:
+        return 1.0 - d.days / d_max
+    if a.year == b.year and a.month == b.day and a.day == b.month:
+        return 0.5
+    if a.year == b.year and a.day == b.day:
+        return lev_ratio(a.strftime("%Y%m%d"), b.strftime("%Y%m%d"))
+    return 0.0

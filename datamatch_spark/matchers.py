@@ -1,0 +1,435 @@
+"""ThresholdMatcher: the engine's main entry point.
+
+Mirrors the reference API (/root/reference/datamatch/matchers.py:35-474)
+re-expressed as one lazy Catalyst plan:
+
+    derive blocking keys → (salted) inner equi-join → filter predicates
+    → variant explode → per-field sim columns (Column exprs + Arrow
+    pandas UDFs) → score expression → per-pair variant max
+    → [match mode] greedy 1:1 fixpoint
+    → threshold slice → CC (large-star/small-star) → clique split
+    → window-ranked report frames joined back to the source rows.
+
+Determinism: all order-dependent steps use the total pair order
+(sim_score DESC, idx_a ASC, idx_b ASC) — see SURVEY.md §8.2.
+
+Scoring is materialized once (``localCheckpoint`` or, when a
+``checkpoint_dir`` is given, a parquet stage checkpoint that a restarted
+job reuses — the sandbox stand-in for Iceberg snapshot resumability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .clustering import connected_components, greedy_one_to_one, split_cliques
+from .filters import BaseFilter
+from .indices import BaseIndex
+from .pairing import PairingConfig, candidate_pairs
+from .scorers import CompileCtx, coerce_scorer
+from .variators import Variator
+
+__all__ = ["ThresholdMatcher", "MODE_MATCH", "MODE_DEDUP"]
+
+MODE_MATCH = 1
+MODE_DEDUP = 2
+
+_ORDER_ASC = lambda: [F.col("sim_score").asc(), F.col("idx_a").asc(), F.col("idx_b").asc()]  # noqa: E731
+_ORDER_DESC = lambda: [F.col("sim_score").desc(), F.col("idx_a").asc(), F.col("idx_b").asc()]  # noqa: E731
+
+
+class ThresholdMatcher:
+    """Blocked pairwise scoring with threshold classification.
+
+    :param index: blocking index (``BaseIndex``).
+    :param scorer: ``BaseScorer`` | dict(col → similarity) | callable
+        (dict → SimSumScorer, callable → per-row FuncScorer, mirroring
+        reference matchers.py:89-94).
+    :param dfa: left Spark DataFrame. Must contain ``row_key``.
+    :param dfb: right frame → match mode; None → dedup mode.
+    :param variator: optional ``Variator``.
+    :param filters: list of ``BaseFilter``.
+    :param row_key: name of the unique row-key column.
+    :param validate: run the duplicate-row-key / equal-columns guards
+        (two tiny Spark jobs) before planning, as the reference does
+        (pairers.py:84-91). Disable for production-scale runs where the
+        key is known unique.
+    :param defer: don't materialize scores at construction time.
+    """
+
+    def __init__(
+        self,
+        index: BaseIndex,
+        scorer,
+        dfa: DataFrame,
+        dfb: DataFrame | None = None,
+        variator: Variator | None = None,
+        filters: list[BaseFilter] | None = None,
+        row_key: str = "row_key",
+        pairing_config: PairingConfig | None = None,
+        validate: bool = True,
+        defer: bool = False,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        self._mode = MODE_DEDUP if dfb is None else MODE_MATCH
+        self._index = index
+        self._scorer = coerce_scorer(scorer)
+        self._dfa = dfa
+        self._dfb = dfb
+        self._variator = variator if variator is not None else Variator()
+        self._filters = list(filters or [])
+        self._row_key = row_key
+        self._cfg = pairing_config or PairingConfig()
+        self._checkpoint_dir = checkpoint_dir
+        self._scored: DataFrame | None = None
+        self._n_candidate_pairs: int | None = None
+
+        if row_key not in dfa.columns:
+            raise KeyError(f"row_key column {row_key!r} not in dfa")
+        if validate:
+            self._validate()
+        if not defer:
+            self.scored_pairs  # noqa: B018 - eager materialization
+
+    # ------------------------------------------------------------------
+    # plan construction
+    # ------------------------------------------------------------------
+
+    def _validate(self) -> None:
+        dup = (
+            self._dfa.groupBy(self._row_key)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError("Dataframe row_key contains duplicates.")
+        if self._dfb is not None:
+            if set(self._dfa.columns) != set(self._dfb.columns):
+                raise ValueError("Dataframe columns are not equal.")
+            dupb = (
+                self._dfb.groupBy(self._row_key)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dupb:
+                raise ValueError("Dataframe row_key contains duplicates.")
+
+    def _needed_columns(self) -> list[str]:
+        req: set[str] = set()
+        req |= self._scorer.required_columns()
+        for f in self._filters:
+            req |= f.required_columns()
+        req |= self._variator.required_columns()
+        # per-row FuncScorer-style components see the whole record
+        if getattr(self._scorer, "_per_row", False) and not self._scorer.required_columns():
+            req |= set(self._dfa.columns)
+        cols = [c for c in self._dfa.columns if c != self._row_key and c in req]
+        if not cols:
+            # degenerate but legal (e.g. scorer only uses row keys)
+            cols = [c for c in self._dfa.columns if c != self._row_key][:1]
+        return cols
+
+    def _build_scored(self) -> DataFrame:
+        needed = self._needed_columns()
+        pairs = candidate_pairs(
+            self._dfa,
+            self._index,
+            self._row_key,
+            needed,
+            dfb=self._dfb,
+            cfg=self._cfg,
+        )
+        rec_schema = pairs.schema["a"].dataType
+        for flt in self._filters:
+            pairs = pairs.where(flt.predicate("a", "b", rec_schema))
+        if not self._variator.is_noop:
+            fields = rec_schema.fieldNames()
+            pairs = pairs.withColumn(
+                "a", F.explode(self._variator.variants(F.col("a"), fields))
+            ).withColumn("b", F.explode(self._variator.variants(F.col("b"), fields)))
+        ctx = CompileCtx(df=pairs)
+        score = self._scorer.compile(ctx)
+        scored = ctx.df.withColumn("sim_score", score.cast("double")).where(
+            F.col("sim_score").isNotNull()
+        )
+        if self._variator.is_noop:
+            scored = scored.select("idx_a", "idx_b", "sim_score")
+        else:
+            # max over the variant cross product (reference matchers.py:138-144)
+            scored = scored.groupBy("idx_a", "idx_b").agg(
+                F.max("sim_score").alias("sim_score")
+            )
+        if self._mode == MODE_MATCH:
+            scored = greedy_one_to_one(scored)
+        return scored
+
+    def _materialize(self, df: DataFrame) -> DataFrame:
+        if self._checkpoint_dir:
+            from .checkpointing import StageManifest
+
+            manifest = StageManifest(self._checkpoint_dir)
+            return manifest.materialize("scored_pairs", df, df.sparkSession)
+        return df.localCheckpoint()
+
+    @property
+    def scored_pairs(self) -> DataFrame:
+        """(idx_a, idx_b, sim_score) — materialized once."""
+        if self._scored is None:
+            self._scored = self._materialize(self._build_scored())
+        return self._scored
+
+    @property
+    def frame_a(self) -> DataFrame:
+        return self._dfa
+
+    @property
+    def frame_b(self) -> DataFrame:
+        return self._dfb if self._dfb is not None else self._dfa
+
+    # ------------------------------------------------------------------
+    # threshold slicing & pair getters
+    # ------------------------------------------------------------------
+
+    def _slice(self, lower_bound: float, upper_bound: float) -> DataFrame:
+        # both bounds inclusive: bisect_left(lower)..bisect(upper)
+        # (reference matchers.py:193-195)
+        return self.scored_pairs.where(
+            (F.col("sim_score") >= lower_bound) & (F.col("sim_score") <= upper_bound)
+        )
+
+    def get_index_pairs_within_thresholds(
+        self, lower_bound: float = 0.7, upper_bound: float = 1.0
+    ) -> DataFrame:
+        """Pairs in the score range, ascending by the total order."""
+        return self._slice(lower_bound, upper_bound).orderBy(*_ORDER_ASC())
+
+    def collect_index_pairs_within_thresholds(
+        self, lower_bound: float = 0.7, upper_bound: float = 1.0
+    ) -> list:
+        """Driver-side [(idx_a, idx_b), ...] — reference return shape."""
+        return [
+            (r["idx_a"], r["idx_b"])
+            for r in self.get_index_pairs_within_thresholds(
+                lower_bound, upper_bound
+            ).collect()
+        ]
+
+    # ------------------------------------------------------------------
+    # clustering
+    # ------------------------------------------------------------------
+
+    def _cluster_pairs(self, lower_bound: float, upper_bound: float) -> DataFrame:
+        """(cluster_id, sim_score, idx_a, idx_b) after CC + clique split."""
+        sliced = self._slice(lower_bound, upper_bound)
+        comp = connected_components(sliced.select("idx_a", "idx_b"))
+        tagged = sliced.join(
+            comp.withColumnRenamed("node", "idx_a"), on="idx_a"
+        ).select("component", "sim_score", "idx_a", "idx_b")
+        return split_cliques(tagged)
+
+    def get_cluster_assignments(
+        self, lower_bound: float = 0.7, upper_bound: float = 1.0
+    ) -> DataFrame:
+        """(cluster_id, row_key) membership table."""
+        cp = self._cluster_pairs(lower_bound, upper_bound)
+        return (
+            cp.select(F.col("cluster_id"), F.col("idx_a").alias("row_key"))
+            .unionByName(cp.select("cluster_id", F.col("idx_b").alias("row_key")))
+            .distinct()
+        )
+
+    def get_index_clusters_within_thresholds(
+        self, lower_bound: float = 0.7, upper_bound: float = 1.0
+    ) -> list:
+        """Driver-side list of frozensets — reference return shape
+        (matchers.py:220-235)."""
+        rows = self.get_cluster_assignments(lower_bound, upper_bound).collect()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["row_key"])
+        return [frozenset(v) for v in by_cluster.values()]
+
+    # ------------------------------------------------------------------
+    # report frames
+    # ------------------------------------------------------------------
+
+    def _two_rows_per_pair(self, pairs: DataFrame, head_cols: list[str]) -> DataFrame:
+        """Emit (…, row_key) twice per pair (a then b) and join the full
+        source rows back on row_key (reference matchers.py:262-271)."""
+        a_rows = pairs.select(
+            *head_cols,
+            F.col("idx_a").alias("row_key"),
+            F.lit(0).alias("__side"),
+        )
+        b_rows = pairs.select(
+            *head_cols,
+            F.col("idx_b").alias("row_key"),
+            F.lit(1).alias("__side"),
+        )
+        src_cols = [c for c in self.frame_a.columns if c != self._row_key]
+        fa = self.frame_a.withColumnRenamed(self._row_key, "row_key")
+        fb = self.frame_b.withColumnRenamed(self._row_key, "row_key")
+        out_a = a_rows.join(fa, on="row_key")
+        out_b = b_rows.join(fb, on="row_key")
+        return out_a.unionByName(out_b).select(
+            *head_cols, "row_key", *src_cols, "__side"
+        )
+
+    def get_clusters_within_threshold(
+        self,
+        lower_bound: float = 0.7,
+        upper_bound: float = 1.0,
+        include_exact_matches: bool = True,
+    ) -> DataFrame:
+        """Cluster report: (cluster_idx, pair_idx, sim_score, row_key,
+        *source columns), two rows per pair, clusters ordered by top
+        pair score desc (reference matchers.py:237-274)."""
+        cp = self._cluster_pairs(lower_bound, upper_bound)
+        stats = cp.groupBy("cluster_id").agg(
+            F.max("sim_score").alias("__max_sim"),
+            F.min("sim_score").alias("__min_sim"),
+            F.min("idx_a").alias("__rep"),
+        )
+        stats = stats.withColumn(
+            "cluster_idx",
+            F.row_number().over(
+                Window.orderBy(F.col("__max_sim").desc(), F.col("__rep").asc())
+            )
+            - 1,
+        )
+        if not include_exact_matches:
+            # drop clusters in which every pair is exact — after idx
+            # assignment, so cluster_idx keeps gaps like the reference
+            stats = stats.where(F.col("__min_sim") < 1.0)
+        ranked = cp.join(stats.select("cluster_id", "cluster_idx"), on="cluster_id")
+        ranked = ranked.withColumn(
+            "pair_idx",
+            F.row_number().over(Window.partitionBy("cluster_id").orderBy(*_ORDER_DESC()))
+            - 1,
+        )
+        out = self._two_rows_per_pair(
+            ranked, ["cluster_idx", "pair_idx", "sim_score"]
+        )
+        return out.orderBy("cluster_idx", "pair_idx", "__side").drop("__side")
+
+    def get_all_pairs(
+        self,
+        lower_bound: float = 0.7,
+        upper_bound: float = 1.0,
+        include_exact_matches: bool = True,
+    ) -> DataFrame:
+        """(pair_idx, sim_score, row_key, *source cols) descending
+        (reference matchers.py:340-371)."""
+        sliced = self._slice(lower_bound, upper_bound)
+        ranked = sliced.withColumn(
+            "pair_idx", F.row_number().over(Window.orderBy(*_ORDER_DESC())) - 1
+        )
+        if not include_exact_matches:
+            ranked = ranked.where(F.col("sim_score") != 1.0)
+        out = self._two_rows_per_pair(ranked, ["pair_idx", "sim_score"])
+        return out.orderBy("pair_idx", "__side").drop("__side")
+
+    def get_sample_pairs(
+        self,
+        sample_counts: int = 5,
+        lower_bound: float = 0.7,
+        upper_bound: float = 1.0,
+        step: float = 0.05,
+        include_exact_matches: bool = True,
+    ) -> DataFrame:
+        """Per score range (upper..lower in ``step`` decrements), the
+        ``sample_counts`` LOWEST-scored pairs, printed descending
+        (reference matchers.py:292-338)."""
+        bounds = list(np.arange(upper_bound, lower_bound, -step)) + [lower_bound]
+        sliced = self.scored_pairs
+        # ranges are walked upper→lower and a pair belongs to the first
+        # matching range; building the when-chain in reverse gives
+        # earlier ranges precedence
+        bucket_col, label_col = F.lit(None).cast("int"), F.lit(None).cast("string")
+        for i in reversed(range(len(bounds) - 1)):
+            hi, lo = float(bounds[i]), float(bounds[i + 1])
+            cond = (F.col("sim_score") > lo) & (F.col("sim_score") <= hi)
+            bucket_col = F.when(cond, F.lit(i)).otherwise(bucket_col)
+            label_col = F.when(cond, F.lit("%.2f-%.2f" % (hi, lo))).otherwise(label_col)
+        tagged = sliced.withColumn("__bucket", bucket_col).withColumn(
+            "score_range", label_col
+        ).where(F.col("__bucket").isNotNull())
+        wasc = Window.partitionBy("__bucket").orderBy(*_ORDER_ASC())
+        tagged = tagged.withColumn("__rn", F.row_number().over(wasc)).where(
+            F.col("__rn") <= sample_counts
+        )
+        wcnt = Window.partitionBy("__bucket")
+        tagged = tagged.withColumn("pair_idx", F.max("__rn").over(wcnt) - F.col("__rn"))
+        if not include_exact_matches:
+            tagged = tagged.where(F.col("sim_score") != 1.0)
+        out = self._two_rows_per_pair(
+            tagged, ["__bucket", "score_range", "pair_idx", "sim_score"]
+        )
+        return out.orderBy("__bucket", "pair_idx", "__side").drop("__bucket", "__side")
+
+    # ------------------------------------------------------------------
+    # decision / sinks
+    # ------------------------------------------------------------------
+
+    def decision_counts(self, match_threshold: float) -> DataFrame:
+        """(match_threshold, number_of_matched_pairs) — the reference's
+        decision sheet (matchers.py:418-424)."""
+        n = self.scored_pairs.where(F.col("sim_score") >= match_threshold).count()
+        spark = self.scored_pairs.sparkSession
+        return spark.createDataFrame(
+            [(float(match_threshold), n)],
+            schema="match_threshold double, number_of_matched_pairs long",
+        )
+
+    def print_decision(self, match_threshold: float) -> None:
+        n = self.scored_pairs.where(F.col("sim_score") >= match_threshold).count()
+        na = self.frame_a.count()
+        nb = self.frame_b.count()
+        print("for threshold %.3f:" % match_threshold)
+        print(
+            "  %d matched pairs (%d%% of A, %d%% of B)"
+            % (n, n / na * 100, n / nb * 100)
+        )
+
+    def save_pairs_to_parquet(
+        self,
+        path: str,
+        match_threshold: float,
+        sample_counts: int = 5,
+        lower_bound: float = 0.7,
+        step: float = 0.05,
+        include_exact_matches: bool = True,
+    ) -> None:
+        """Parquet analogue of the reference's 3-sheet Excel pair report
+        (matchers.py:373-416): sample_pairs/, all_pairs/, decision/."""
+        self.get_sample_pairs(
+            sample_counts, lower_bound, 1.0, step, include_exact_matches
+        ).write.mode("overwrite").parquet(f"{path}/sample_pairs")
+        self.get_all_pairs(lower_bound, 1.0, include_exact_matches).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/all_pairs")
+        self.decision_counts(match_threshold).write.mode("overwrite").parquet(
+            f"{path}/decision"
+        )
+
+    def save_clusters_to_parquet(
+        self,
+        path: str,
+        match_threshold: float,
+        lower_bound: float = 0.7,
+        include_exact_matches: bool = True,
+    ) -> None:
+        """Parquet analogue of the 2-sheet cluster report
+        (matchers.py:426-459)."""
+        self.get_clusters_within_threshold(
+            lower_bound, 1.0, include_exact_matches
+        ).write.mode("overwrite").parquet(f"{path}/all_clusters")
+        self.decision_counts(match_threshold).write.mode("overwrite").parquet(
+            f"{path}/decision"
+        )

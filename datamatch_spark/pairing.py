@@ -1,0 +1,236 @@
+"""Candidate-pair generation: blocked equi-joins with explicit skew
+salting.
+
+The reference's pairers (/root/reference/datamatch/pairers.py:114-128,
+171-181) are per-bucket cross products / 2-combinations; here:
+
+* match mode  ≡ inner equi-join of the two keyed sides on BLOCK_KEY;
+* dedup mode  ≡ self-equi-join with the upper-triangle predicate
+  ``idx_a < idx_b`` (2-combinations, orientation by natural row-key
+  order, matching the reference's sorted buckets).
+
+Skew handling — the part that decides whether this works at 10^12
+docs: a hot blocking key produces a quadratic pair blowup that AQE's
+skew-join (which splits *input* partitions) cannot fix alone, because
+the explosion is in the *output* of the join. Blocks whose row count
+exceeds ``salt_threshold`` are salted:
+
+* dedup: rows get shard ``pmod(xxhash64(idx), s)``; the left side is
+  replicated to shards ``[shard, s)`` and joined on the target shard —
+  a triangular shard-pair enumeration that yields every unordered pair
+  exactly once and caps per-task pair output at ~(rows_per_shard)².
+* match: the A side is sharded, the B side replicated to all shards.
+
+Per-block pair-count statistics (the north-rule metrics) come from the
+same block-size aggregation that detects hot keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .indices import BLOCK_KEY, BaseIndex
+
+__all__ = ["PairingConfig", "keyed_side", "candidate_pairs", "block_statistics"]
+
+
+@dataclass
+class PairingConfig:
+    # block row count above which the block is salted
+    salt_threshold: int = 50_000
+    # target rows per salt shard (per-task pair output ≈ this squared)
+    rows_per_shard: int = 20_000
+    # hard cap on distinct hot keys pulled to the driver
+    max_hot_keys: int = 100_000
+    salt_enabled: bool = True
+
+
+def keyed_side(
+    df: DataFrame,
+    index: BaseIndex,
+    row_key: str,
+    needed_cols: list[str],
+    idx_name: str,
+    rec_name: str,
+) -> DataFrame:
+    """(idx, BLOCK_KEY, rec struct) for one side. Only ``needed_cols``
+    are carried through the shuffle (column pruning by construction)."""
+    keys = index.key_df(df, row_key)
+    recs = df.select(
+        F.col(row_key).alias(idx_name),
+        F.struct(*[F.col(c).alias(c) for c in needed_cols]).alias(rec_name),
+    )
+    return keys.withColumnRenamed(row_key, idx_name).join(recs, on=idx_name)
+
+
+def block_statistics(side: DataFrame, dedup: bool) -> DataFrame:
+    """Per-block row and candidate-pair counts (metrics sink input)."""
+    counts = side.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("n_rows"))
+    pair_cnt = (
+        (F.col("n_rows") * (F.col("n_rows") - 1) / 2)
+        if dedup
+        else F.col("n_rows") * F.col("n_rows")
+    )
+    return counts.withColumn("n_pairs", pair_cnt.cast("long"))
+
+
+def _hot_blocks(side: DataFrame, cfg: PairingConfig):
+    """Returns [(block_key, n_shards)] for blocks above the salt threshold."""
+    rows = (
+        side.groupBy(BLOCK_KEY)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cfg.salt_threshold)
+        .limit(cfg.max_hot_keys)
+        .collect()
+    )
+    return [(r[BLOCK_KEY], max(2, -(-r["n"] // cfg.rows_per_shard))) for r in rows]
+
+
+def _dedup_pairs_plain(side: DataFrame) -> DataFrame:
+    left = side.select(
+        F.col(BLOCK_KEY),
+        F.col("idx").alias("idx_a"),
+        F.col("rec").alias("a"),
+    )
+    right = side.select(
+        F.col(BLOCK_KEY),
+        F.col("idx").alias("idx_b"),
+        F.col("rec").alias("b"),
+    )
+    return left.join(right, on=BLOCK_KEY).where(F.col("idx_a") < F.col("idx_b"))
+
+
+def _dedup_pairs_salted(side: DataFrame, hot: list, spark) -> DataFrame:
+    hot_df = F.broadcast(
+        spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __s int")
+    )
+    tagged = side.join(hot_df, on=BLOCK_KEY).withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int")
+    )
+    left = tagged.select(
+        F.col(BLOCK_KEY),
+        F.col("__shard").alias("__shard_l"),
+        F.explode(F.expr("sequence(__shard, __s - 1)")).alias("__tgt"),
+        F.col("idx").alias("idx_l"),
+        F.col("rec").alias("rec_l"),
+    )
+    right = tagged.select(
+        F.col(BLOCK_KEY),
+        F.col("__shard").alias("__tgt"),
+        F.col("idx").alias("idx_r"),
+        F.col("rec").alias("rec_r"),
+    )
+    joined = left.join(right, on=[BLOCK_KEY, "__tgt"]).where(
+        (F.col("__shard_l") != F.col("__tgt")) | (F.col("idx_l") < F.col("idx_r"))
+    )
+    fwd = F.col("idx_l") < F.col("idx_r")
+    return joined.select(
+        F.col(BLOCK_KEY),
+        F.when(fwd, F.col("idx_l")).otherwise(F.col("idx_r")).alias("idx_a"),
+        F.when(fwd, F.col("rec_l")).otherwise(F.col("rec_r")).alias("a"),
+        F.when(fwd, F.col("idx_r")).otherwise(F.col("idx_l")).alias("idx_b"),
+        F.when(fwd, F.col("rec_r")).otherwise(F.col("rec_l")).alias("b"),
+    )
+
+
+def _match_pairs_plain(side_a: DataFrame, side_b: DataFrame) -> DataFrame:
+    left = side_a.select(
+        F.col(BLOCK_KEY), F.col("idx").alias("idx_a"), F.col("rec").alias("a")
+    )
+    right = side_b.select(
+        F.col(BLOCK_KEY), F.col("idx").alias("idx_b"), F.col("rec").alias("b")
+    )
+    return left.join(right, on=BLOCK_KEY)
+
+
+def _match_pairs_salted(
+    side_a: DataFrame, side_b: DataFrame, hot: list, spark
+) -> DataFrame:
+    hot_df = F.broadcast(
+        spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __s int")
+    )
+    left = (
+        side_a.join(hot_df, on=BLOCK_KEY)
+        .withColumn("__shard", F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int"))
+        .select(
+            F.col(BLOCK_KEY),
+            F.col("__shard"),
+            F.col("idx").alias("idx_a"),
+            F.col("rec").alias("a"),
+        )
+    )
+    right = (
+        side_b.join(hot_df, on=BLOCK_KEY)
+        .withColumn("__shard", F.explode(F.expr("sequence(0, __s - 1)")).cast("int"))
+        .select(
+            F.col(BLOCK_KEY),
+            F.col("__shard"),
+            F.col("idx").alias("idx_b"),
+            F.col("rec").alias("b"),
+        )
+    )
+    return left.join(right, on=[BLOCK_KEY, "__shard"]).drop("__shard")
+
+
+def candidate_pairs(
+    dfa: DataFrame,
+    index: BaseIndex,
+    row_key: str,
+    needed_cols: list[str],
+    dfb: DataFrame | None = None,
+    cfg: PairingConfig | None = None,
+) -> DataFrame:
+    """Candidate-pair frame (idx_a, idx_b, a, b).
+
+    Dedup mode (``dfb is None``): self-join, ``idx_a < idx_b``.
+    Match mode: A×B within blocks. Pairs arising from multiple buckets
+    (``index.multi_bucket``) are deduplicated.
+    """
+    cfg = cfg or PairingConfig()
+    spark = dfa.sparkSession
+    dedup = dfb is None
+    side_a = keyed_side(dfa, index, row_key, needed_cols, "idx", "rec")
+
+    if dedup:
+        hot = _hot_blocks(side_a, cfg) if cfg.salt_enabled else []
+        if not hot:
+            pairs = _dedup_pairs_plain(side_a)
+        else:
+            hot_keys = [k for k, _ in hot]
+            cold = side_a.where(~F.col(BLOCK_KEY).isin(hot_keys))
+            pairs = _dedup_pairs_plain(cold).unionByName(
+                _dedup_pairs_salted(side_a, hot, spark)
+            )
+    else:
+        side_b = keyed_side(dfb, index, row_key, needed_cols, "idx", "rec")
+        if cfg.salt_enabled:
+            ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("na"))
+            cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("nb"))
+            rows = (
+                ca.join(cb, on=BLOCK_KEY)
+                .where((F.col("na") * F.col("nb")) > F.lit(cfg.salt_threshold) * F.lit(cfg.rows_per_shard))
+                .limit(cfg.max_hot_keys)
+                .collect()
+            )
+            hot = [
+                (r[BLOCK_KEY], max(2, -(-r["na"] // cfg.rows_per_shard))) for r in rows
+            ]
+        else:
+            hot = []
+        if not hot:
+            pairs = _match_pairs_plain(side_a, side_b)
+        else:
+            hot_keys = [k for k, _ in hot]
+            cold_a = side_a.where(~F.col(BLOCK_KEY).isin(hot_keys))
+            cold_b = side_b.where(~F.col(BLOCK_KEY).isin(hot_keys))
+            pairs = _match_pairs_plain(cold_a, cold_b).unionByName(
+                _match_pairs_salted(side_a, side_b, hot, spark)
+            )
+
+    pairs = pairs.drop(BLOCK_KEY)
+    if index.multi_bucket:
+        pairs = pairs.dropDuplicates(["idx_a", "idx_b"])
+    return pairs

@@ -1,0 +1,274 @@
+"""Record-pair scorers: compile a scorer tree into ONE Column expression
+over the candidate-pair frame.
+
+Refusal semantics: the reference raises ``RefuseToScoreException`` to
+delegate upward (/root/reference/datamatch/scorers.py:13-41); here a
+refusing scorer evaluates to NULL, and Max/Min use ``greatest``/
+``least`` (which ignore NULLs) so an all-children-refuse composite is
+NULL — pairs whose top-level score is NULL are dropped by the matcher.
+
+Scoring is a *horizontal* per-row expression — no aggregation, no
+shuffle. Everything except the string kernels and user batch functions
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .similarities import BaseSimilarity
+
+__all__ = [
+    "RefuseToScoreException",
+    "CompileCtx",
+    "BaseScorer",
+    "SimSumScorer",
+    "AbsoluteScorer",
+    "MaxScorer",
+    "MinScorer",
+    "AlterScorer",
+    "FuncScorer",
+]
+
+
+class RefuseToScoreException(Exception):
+    """API-parity export; the Spark engine models refusal as NULL."""
+
+
+@dataclass
+class CompileCtx:
+    """Mutable compile context threaded through the scorer tree.
+
+    ``df`` is the pair frame (scorers like AlterScorer may join side
+    tables onto it); ``a``/``b`` name the record struct columns,
+    ``idx_a``/``idx_b`` the row-key columns.
+    """
+
+    df: DataFrame
+    a: str = "a"
+    b: str = "b"
+    idx_a: str = "idx_a"
+    idx_b: str = "idx_b"
+    _uid: int = field(default=0)
+
+    def fresh(self, prefix: str) -> str:
+        self._uid += 1
+        return f"__{prefix}_{self._uid}"
+
+    @property
+    def record_schema(self) -> T.StructType:
+        return self.df.schema[self.a].dataType
+
+    def acol(self, name: str) -> Column:
+        return F.col(f"{self.a}.{name}")
+
+    def bcol(self, name: str) -> Column:
+        return F.col(f"{self.b}.{name}")
+
+
+class BaseScorer:
+    """Compiles to a DoubleType Column; NULL means refuse-to-score."""
+
+    def compile(self, ctx: CompileCtx) -> Column:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def required_columns(self) -> set[str]:
+        return set()
+
+
+class SimSumScorer(BaseScorer):
+    """Root-mean-square of the per-field similarities (despite the
+    name — reference scorers.py:44-69): ``sqrt(Σ sim_k² / n_fields)``;
+    a null on either side contributes 0 for that field."""
+
+    def __init__(self, fields: dict[str, BaseSimilarity]) -> None:
+        self._fields = dict(fields)
+
+    def required_columns(self) -> set[str]:
+        return set(self._fields)
+
+    def compile(self, ctx: CompileCtx) -> Column:
+        names = ctx.record_schema.fieldNames()
+        for k in self._fields:
+            if k not in names:
+                raise KeyError(k)
+        sq_terms = []
+        for k, simcls in self._fields.items():
+            va, vb = ctx.acol(k), ctx.bcol(k)
+            s = F.when(va.isNull() | vb.isNull(), F.lit(0.0)).otherwise(
+                simcls.expr(va, vb).cast("double")
+            )
+            sq_terms.append(s * s)
+        total = sq_terms[0]
+        for t_ in sq_terms[1:]:
+            total = total + t_
+        return F.sqrt(total / float(len(self._fields)))
+
+
+class AbsoluteScorer(BaseScorer):
+    """Fixed score when both records carry the same non-null value in
+    ``column_name``; refuses (NULL) otherwise (reference scorers.py:
+    72-113). Missing column ⇒ KeyError unless ``ignore_key_error``
+    (then always refuses)."""
+
+    def __init__(self, column_name: str, score: float, ignore_key_error: bool = False) -> None:
+        self._column = column_name
+        self._score = float(score)
+        self._ignore_key_error = ignore_key_error
+
+    def required_columns(self) -> set[str]:
+        return {self._column}
+
+    def compile(self, ctx: CompileCtx) -> Column:
+        if self._column not in ctx.record_schema.fieldNames():
+            if self._ignore_key_error:
+                return F.lit(None).cast("double")
+            raise KeyError(self._column)
+        va, vb = ctx.acol(self._column), ctx.bcol(self._column)
+        return F.when(
+            va.isNotNull() & vb.isNotNull() & (va == vb), F.lit(self._score)
+        ).otherwise(F.lit(None).cast("double"))
+
+
+class _Composite(BaseScorer):
+    def __init__(self, scorers: list[BaseScorer]) -> None:
+        self._scorers = list(scorers)
+
+    def required_columns(self) -> set[str]:
+        out: set[str] = set()
+        for s in self._scorers:
+            out |= s.required_columns()
+        return out
+
+    def _children(self, ctx: CompileCtx) -> list[Column]:
+        return [s.compile(ctx) for s in self._scorers]
+
+
+class MaxScorer(_Composite):
+    """Max over non-refusing children; all-refuse ⇒ NULL
+    (reference scorers.py:116-143). ``greatest`` ignores NULLs."""
+
+    def compile(self, ctx: CompileCtx) -> Column:
+        cols = self._children(ctx)
+        return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+
+class MinScorer(_Composite):
+    """Min over non-refusing children (reference scorers.py:146-173)."""
+
+    def compile(self, ctx: CompileCtx) -> Column:
+        cols = self._children(ctx)
+        return cols[0] if len(cols) == 1 else F.least(*cols)
+
+
+class AlterScorer(BaseScorer):
+    """Wraps a scorer; when a side table maps both row keys to equal
+    values, applies ``alter`` to the score (reference scorers.py:
+    176-207). The side table is broadcast-joined onto the pair frame —
+    at scale it must be dimension-sized.
+
+    ``values``: pandas Series (reference API), dict, or a 2-column
+    Spark DataFrame (key, value). ``alter``: Column -> Column callable
+    (plain arithmetic lambdas like ``lambda x: x / 2`` work).
+    """
+
+    def __init__(self, scorer: BaseScorer, values, alter) -> None:
+        self._scorer = scorer
+        self._values = values
+        self._alter = alter
+
+    def required_columns(self) -> set[str]:
+        return self._scorer.required_columns()
+
+    def _values_df(self, ctx: CompileCtx, key_name: str, val_name: str) -> DataFrame:
+        spark = ctx.df.sparkSession
+        v = self._values
+        if isinstance(v, DataFrame):
+            kc, vc = v.columns[:2]
+            return v.select(F.col(kc).alias(key_name), F.col(vc).alias(val_name))
+        if isinstance(v, dict):
+            items = list(v.items())
+        else:  # pandas Series
+            items = list(pd.Series(v).items())
+        pdf = pd.DataFrame(items, columns=[key_name, val_name])
+        return spark.createDataFrame(pdf)
+
+    def compile(self, ctx: CompileCtx) -> Column:
+        inner = self._scorer.compile(ctx)
+        ka, va = ctx.fresh("alterk_a"), ctx.fresh("alterv_a")
+        kb, vb = ctx.fresh("alterk_b"), ctx.fresh("alterv_b")
+        vdf = self._values_df(ctx, "k", "v")
+        ctx.df = ctx.df.join(
+            F.broadcast(vdf.select(F.col("k").alias(ka), F.col("v").alias(va))),
+            on=F.col(ctx.idx_a) == F.col(ka),
+            how="left",
+        ).join(
+            F.broadcast(vdf.select(F.col("k").alias(kb), F.col("v").alias(vb))),
+            on=F.col(ctx.idx_b) == F.col(kb),
+            how="left",
+        )
+        cond = F.col(va).isNotNull() & F.col(vb).isNotNull() & (F.col(va) == F.col(vb))
+        return F.when(cond, self._alter(inner).cast("double")).otherwise(inner)
+
+
+class FuncScorer(BaseScorer):
+    """User scoring function (reference scorers.py:210-227).
+
+    Fast path (default): ``cb(pdf_a: pd.DataFrame, pdf_b: pd.DataFrame)
+    -> array-like`` — one Arrow-batched pandas UDF call per batch.
+
+    ``per_row=True`` gives reference API parity (``cb(a: pd.Series,
+    b: pd.Series) -> float`` with ``.name`` = row key) at row-at-a-time
+    Python speed — tests/small data only.
+    """
+
+    def __init__(self, cb, per_row: bool = False, columns: set[str] | None = None) -> None:
+        self._cb = cb
+        self._per_row = per_row
+        self._columns = set(columns or ())
+
+    def required_columns(self) -> set[str]:
+        return self._columns
+
+    def compile(self, ctx: CompileCtx) -> Column:
+        cb = self._cb
+        if self._per_row:
+
+            @pandas_udf("double")
+            def score_udf(
+                a: pd.DataFrame, b: pd.DataFrame, ia: pd.Series, ib: pd.Series
+            ) -> pd.Series:
+                out = []
+                for i in range(len(a)):
+                    sa = a.iloc[i].rename(ia.iloc[i])
+                    sb = b.iloc[i].rename(ib.iloc[i])
+                    out.append(float(cb(sa, sb)))
+                return pd.Series(out, dtype="float64")
+
+            return score_udf(
+                F.col(ctx.a), F.col(ctx.b), F.col(ctx.idx_a), F.col(ctx.idx_b)
+            )
+
+        @pandas_udf("double")
+        def batch_udf(a: pd.DataFrame, b: pd.DataFrame) -> pd.Series:
+            return pd.Series(cb(a, b), dtype="float64")
+
+        return batch_udf(F.col(ctx.a), F.col(ctx.b))
+
+
+def coerce_scorer(scorer) -> BaseScorer:
+    """dict -> SimSumScorer; bare callable -> per-row FuncScorer
+    (reference matchers.py:89-94)."""
+    if isinstance(scorer, BaseScorer):
+        return scorer
+    if isinstance(scorer, dict):
+        return SimSumScorer(scorer)
+    if callable(scorer):
+        return FuncScorer(scorer, per_row=True)
+    raise TypeError(f"cannot use {scorer!r} as a scorer")

@@ -1,0 +1,60 @@
+"""SparkSession factory with the engine's recommended configs.
+
+Local mode is a stand-in for a multi-executor cluster: partitioning,
+AQE and skew-join settings are chosen so the same plans hold on a
+1000-executor deployment (submit via ``spark-submit --py-files``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    # AQE: runtime coalescing + skew-join splitting — essential for the
+    # blocked self-join whose block sizes are data-dependent.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas UDF traffic (the scoring kernels).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # pairs tables are narrow; bigger maxRecordsPerBatch amortizes
+    # Arrow transfer overhead in the scoring UDFs.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "datamatch-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count so that
+    local runs don't pay 200 empty-partition task launches.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cpus if inner == "*" else max(int(inner), 1)
+        else:
+            shuffle_partitions = 200
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

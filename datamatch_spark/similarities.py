@@ -1,0 +1,170 @@
+"""Field-level similarity operators.
+
+Each similarity exposes two faces:
+
+* ``sim(a, b) -> float`` — scalar semantics, used by unit tests and by
+  the test-only reference-oracle harness; matches the reference classes
+  in /root/reference/datamatch/similarities.py (String :14-30,
+  JaroWinkler :33-59, AbsoluteNumerical :62-95, RelativeNumerical
+  :98-137, Date :140-187).
+* ``expr(a, b) -> Column`` — the Spark plan face. Numeric and most
+  date branches are pure JVM Column expressions (whole-stage codegen);
+  only the Levenshtein/Jaro-Winkler kernels drop to Arrow-batched
+  pandas UDFs (never row-at-a-time Python).
+
+``expr`` may assume the caller handles nulls (SimSumScorer wraps every
+field in a null→0 guard, mirroring reference scorers.py:64-65), but the
+UDFs are still null-safe.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from . import kernels
+from .kernels import unidecode_ascii
+
+__all__ = [
+    "StringSimilarity",
+    "JaroWinklerSimilarity",
+    "AbsoluteNumericalSimilarity",
+    "RelativeNumericalSimilarity",
+    "DateSimilarity",
+]
+
+
+def _ratio_udf(max_len=None, translit=True):
+    @pandas_udf("double")
+    def ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if translit:
+            xs = [unidecode_ascii(x) if x is not None else None for x in a]
+            ys = [unidecode_ascii(y) if y is not None else None for y in b]
+        else:
+            xs, ys = list(a), list(b)
+        return pd.Series(kernels.lev_ratio_batch(xs, ys, max_len=max_len))
+
+    return ratio_udf
+
+
+def _jw_udf(prefix_weight: float, max_len=None):
+    @pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        xs = [unidecode_ascii(x) if x is not None else None for x in a]
+        ys = [unidecode_ascii(y) if y is not None else None for y in b]
+        return pd.Series(kernels.jaro_winkler_batch(xs, ys, prefix_weight, max_len=max_len))
+
+    return jw_udf
+
+
+class BaseSimilarity:
+    """A field similarity: scalar ``sim`` + Spark Column ``expr``."""
+
+    def sim(self, a, b) -> float:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def expr(self, a: Column, b: Column) -> Column:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class StringSimilarity(BaseSimilarity):
+    """Indel-Levenshtein ratio on transliterated strings.
+
+    ``max_len`` (engine extension, default None) truncates inputs before
+    the O(len_a*len_b/len) DP — set it when scoring long free-text
+    fields at scale.
+    """
+
+    def __init__(self, max_len: int | None = None) -> None:
+        self._max_len = max_len
+
+    def sim(self, a: str, b: str) -> float:
+        return kernels.lev_ratio(unidecode_ascii(a), unidecode_ascii(b))
+
+    def expr(self, a: Column, b: Column) -> Column:
+        return _ratio_udf(self._max_len)(a.cast("string"), b.cast("string"))
+
+
+class JaroWinklerSimilarity(BaseSimilarity):
+    """python-Levenshtein-variant Jaro-Winkler (kernels.py for details)."""
+
+    def __init__(self, prefix_weight: float = 0.1, max_len: int | None = None) -> None:
+        self._prefix_weight = prefix_weight
+        self._max_len = max_len
+
+    def sim(self, a: str, b: str) -> float:
+        return kernels.jaro_winkler(unidecode_ascii(a), unidecode_ascii(b), self._prefix_weight)
+
+    def expr(self, a: Column, b: Column) -> Column:
+        return _jw_udf(self._prefix_weight, self._max_len)(a.cast("string"), b.cast("string"))
+
+
+class AbsoluteNumericalSimilarity(BaseSimilarity):
+    """1 - |a-b|/d_max when |a-b| < d_max else 0. Pure Column expr."""
+
+    def __init__(self, d_max: float) -> None:
+        self._d_max = float(d_max)
+
+    def sim(self, a, b) -> float:
+        d = abs(a - b)
+        if d < self._d_max:
+            return 1 - d / self._d_max
+        return 0
+
+    def expr(self, a: Column, b: Column) -> Column:
+        d = F.abs(a.cast("double") - b.cast("double"))
+        return F.when(d < self._d_max, 1.0 - d / self._d_max).otherwise(F.lit(0.0))
+
+
+class RelativeNumericalSimilarity(BaseSimilarity):
+    """1 - pc/pc_max with pc = |a-b|/max(|a|,|b|)*100. Pure Column expr."""
+
+    def __init__(self, pc_max: float) -> None:
+        self._pc_max = float(pc_max)
+
+    def sim(self, a, b) -> float:
+        d = abs(a - b)
+        pc = d / max(abs(a), abs(b)) * 100
+        if pc < self._pc_max:
+            return 1 - pc / self._pc_max
+        return 0
+
+    def expr(self, a: Column, b: Column) -> Column:
+        ad, bd = a.cast("double"), b.cast("double")
+        pc = F.abs(ad - bd) / F.greatest(F.abs(ad), F.abs(bd)) * 100.0
+        return F.when(pc < self._pc_max, 1.0 - pc / self._pc_max).otherwise(F.lit(0.0))
+
+
+class DateSimilarity(BaseSimilarity):
+    """3-stage date similarity (reference similarities.py:166-187).
+
+    Stages 1-2 are pure Column expressions; only the rare stage-3
+    fallback (same year+day, far apart) touches the ratio pandas UDF.
+    """
+
+    def __init__(self, d_max: int = 30) -> None:
+        self._d_max = int(d_max)
+
+    def sim(self, a, b) -> float:
+        return kernels.date_similarity(a, b, self._d_max)
+
+    def expr(self, a: Column, b: Column) -> Column:
+        ad, bd = a.cast("date"), b.cast("date")
+        days = F.abs(F.datediff(ad, bd))
+        same_year = F.year(ad) == F.year(bd)
+        ratio = _ratio_udf(translit=False)(
+            F.date_format(ad, "yyyyMMdd"), F.date_format(bd, "yyyyMMdd")
+        )
+        return (
+            F.when(days < self._d_max, 1.0 - days.cast("double") / self._d_max)
+            .when(
+                same_year
+                & (F.month(ad) == F.dayofmonth(bd))
+                & (F.dayofmonth(ad) == F.month(bd)),
+                F.lit(0.5),
+            )
+            .when(same_year & (F.dayofmonth(ad) == F.dayofmonth(bd)), ratio)
+            .otherwise(F.lit(0.0))
+        )

@@ -1,0 +1,66 @@
+"""Variators: per-record variant expansion.
+
+A variator compiles to an ``array<struct>`` Column of record variants;
+the matcher explodes it on both sides of the pair join and takes the
+per-pair max score (reference max-over-variations, matchers.py:
+138-144). The default Variator yields a single-element array, which the
+matcher fast-paths (no explode, no pair-max shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["Variator", "Swap"]
+
+
+class Variator:
+    """Identity variator (reference variators.py:13-29)."""
+
+    def required_columns(self) -> set[str]:
+        return set()
+
+    @property
+    def is_noop(self) -> bool:
+        return type(self) is Variator
+
+    def variants(self, struct_col: Column, fields: list[str]) -> Column:
+        return F.array(struct_col)
+
+
+class Swap(Variator):
+    """Yields the record plus a copy with two columns exchanged, unless
+    the two values are null-safe-equal (reference variators.py:32-59:
+    skip when both-NaN or equal; one-null pairs DO produce a swap)."""
+
+    def __init__(self, column_a: str, column_b: str) -> None:
+        self._col_a = column_a
+        self._col_b = column_b
+
+    def required_columns(self) -> set[str]:
+        return {self._col_a, self._col_b}
+
+    def variants(self, struct_col: Column, fields: list[str]) -> Column:
+        if self._col_a not in fields or self._col_b not in fields:
+            raise KeyError(f"Swap columns {self._col_a}/{self._col_b} not in record")
+        swapped = F.struct(
+            *[
+                (
+                    struct_col.getField(self._col_b).alias(f)
+                    if f == self._col_a
+                    else (
+                        struct_col.getField(self._col_a).alias(f)
+                        if f == self._col_b
+                        else struct_col.getField(f).alias(f)
+                    )
+                )
+                for f in fields
+            ]
+        )
+        do_swap = ~struct_col.getField(self._col_a).eqNullSafe(
+            struct_col.getField(self._col_b)
+        )
+        return F.when(do_swap, F.array(struct_col, swapped)).otherwise(
+            F.array(struct_col)
+        )
