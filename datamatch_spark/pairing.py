@@ -164,7 +164,7 @@ def _match_pairs_salted(
     )
     right = (
         side_b.join(hot_df, on=BLOCK_KEY)
-        .withColumn("__shard", F.explode(F.expr("sequence(0, __s - 1)")).cast("int"))
+        .withColumn("__shard", F.explode(F.expr("sequence(0, __s - 1)")))
         .select(
             F.col(BLOCK_KEY),
             F.col("__shard"),

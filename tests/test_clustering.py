@@ -1,0 +1,103 @@
+"""Property tests for the distributed graph operators against exact
+driver-side implementations."""
+
+import random
+
+import pytest
+
+from datamatch_spark.clustering import (
+    connected_components,
+    greedy_one_to_one,
+    split_cliques,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 20, 15), (1, 40, 60), (2, 60, 30), (3, 10, 45)])
+def test_connected_components_matches_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = list({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
+    df = spark.createDataFrame(edges, "idx_a long, idx_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    want = _uf_components(edges)
+    # same partition: map both to canonical min-representative
+    assert got == want
+
+
+def test_connected_components_string_keys(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "idx_a string, idx_b string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_split_cliques_path_graph(spark):
+    # path 0-1-2: greedy clique growth keeps only {0,1}; edge (1,2) is
+    # dropped entirely (verified reference behavior, SURVEY.md §2.8)
+    df = spark.createDataFrame(
+        [(0, 0.9, 0, 1), (0, 0.85, 1, 2)],
+        "component long, sim_score double, idx_a long, idx_b long",
+    )
+    got = [(r["sim_score"], r["idx_a"], r["idx_b"]) for r in split_cliques(df).collect()]
+    assert got == [(0.9, 0, 1)]
+
+
+def test_split_cliques_triangle_plus_tail(spark):
+    # triangle {0,1,2} + tail 2-3: clique {0,1,2} survives with its 3
+    # pairs, tail dropped
+    df = spark.createDataFrame(
+        [(0, 0.9, 0, 1), (0, 0.8, 1, 2), (0, 0.85, 0, 2), (0, 0.95, 2, 3)],
+        "component long, sim_score double, idx_a long, idx_b long",
+    )
+    rows = split_cliques(df).collect()
+    members = set()
+    for r in rows:
+        members |= {r["idx_a"], r["idx_b"]}
+    # greedy starts at node 0 -> grows {0,1,2}; 3 is not adjacent to all
+    assert members == {0, 1, 2}
+    assert len(rows) == 3
+
+
+def _sequential_greedy(pairs):
+    """Reference greedy 1:1 (matchers.py:103-117) under the imposed
+    total order (sim DESC, idx_a ASC, idx_b ASC)."""
+    seen_a, seen_b, keep = set(), set(), []
+    for sim, a, b in sorted(pairs, key=lambda t: (-t[0], t[1], t[2])):
+        if a in seen_a or b in seen_b:
+            continue
+        seen_a.add(a)
+        seen_b.add(b)
+        keep.append((sim, a, b))
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_greedy_one_to_one_matches_sequential(spark, seed):
+    rng = random.Random(seed)
+    pairs = list(
+        {
+            (round(rng.choice([0.7, 0.8, 0.9, 0.95]), 2), rng.randint(0, 10), rng.randint(100, 110))
+            for _ in range(40)
+        }
+    )
+    df = spark.createDataFrame(pairs, "sim_score double, idx_a long, idx_b long")
+    got = sorted(
+        (r["sim_score"], r["idx_a"], r["idx_b"]) for r in greedy_one_to_one(df).collect()
+    )
+    assert got == _sequential_greedy(pairs)

@@ -1,0 +1,130 @@
+"""Ports of /root/reference/datamatch/test_indices.py to the Spark
+surface: an index compiles to key_df(df) = (row_key, block_key); the
+reference's bucket contents correspond to the row groups per key.
+"""
+
+import pytest
+
+from datamatch_spark import ColumnsIndex, MultiIndex, NoopIndex
+
+
+def groups(kdf):
+    """block_key -> frozenset(row keys)."""
+    out = {}
+    for r in kdf.collect():
+        out.setdefault(r["block_key"], set()).add(r["row_key"])
+    return {k: frozenset(v) for k, v in out.items()}
+
+
+@pytest.fixture
+def simple_cd(spark):
+    return spark.createDataFrame(
+        [("x", 1, 2), ("y", 2, 4), ("z", 3, 4)], "row_key string, c long, d long"
+    )
+
+
+def test_noop_index(spark, simple_cd):
+    g = groups(NoopIndex().key_df(simple_cd, "row_key"))
+    assert list(g.values()) == [frozenset({"x", "y", "z"})]
+
+
+def test_columns_index_single(spark, simple_cd):
+    g = groups(ColumnsIndex("c").key_df(simple_cd, "row_key"))
+    assert sorted(g.values(), key=len) == [
+        frozenset({"x"}),
+        frozenset({"y"}),
+        frozenset({"z"}),
+    ]
+    assert len(g) == 3
+
+
+def test_columns_index_multi(spark, simple_cd):
+    g = groups(ColumnsIndex(["c", "d"]).key_df(simple_cd, "row_key"))
+    assert len(g) == 3
+    assert all(len(v) == 1 for v in g.values())
+
+
+def test_ignore_key_error(spark, simple_cd):
+    with pytest.raises(KeyError):
+        ColumnsIndex("nope").key_df(simple_cd, "row_key")
+    kdf = ColumnsIndex("nope", ignore_key_error=True).key_df(simple_cd, "row_key")
+    assert kdf.count() == 0
+
+
+def test_null_keys_never_pair(spark):
+    df = spark.createDataFrame(
+        [("x", None), ("y", None), ("z", "k")], "row_key string, c string"
+    )
+    g = groups(ColumnsIndex("c").key_df(df, "row_key"))
+    # NaN blocking keys put rows in singleton buckets in the reference
+    # (indices.py:129-132 + NaN identity) — here the key is NULL and is
+    # dropped, so such rows never pair: same observable behavior.
+    assert g == {"s:k": frozenset({"z"})}
+
+
+def test_index_elements(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "b"], "q"), (1, ["c"], "w"), (2, ["b"], "e")],
+        "row_key long, col1 array<string>, col2 string",
+    )
+    g = groups(ColumnsIndex("col1", index_elements=True).key_df(df, "row_key"))
+    assert g == {
+        "s:a": frozenset({0}),
+        "s:b": frozenset({0, 2}),
+        "s:c": frozenset({1}),
+    }
+
+
+def test_index_elements_multi_columns(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "b"], [1]), (1, ["c"], [2, 3]), (2, ["b"], [1])],
+        "row_key long, col1 array<string>, col3 array<long>",
+    )
+    g = groups(
+        ColumnsIndex(["col1", "col3"], index_elements=True).key_df(df, "row_key")
+    )
+    # element-product keys: ('a',1) ('b',1) ('c',2) ('c',3)
+    assert g == {
+        "s:a\x1fn:1.0": frozenset({0}),
+        "s:b\x1fn:1.0": frozenset({0, 2}),
+        "s:c\x1fn:2.0": frozenset({1}),
+        "s:c\x1fn:3.0": frozenset({1}),
+    }
+
+
+def test_index_elements_requires_array(spark, simple_cd):
+    with pytest.raises(ValueError):
+        ColumnsIndex("c", index_elements=True).key_df(simple_cd, "row_key")
+
+
+def test_multi_index_or_merges_equal_keys(spark, simple_cd):
+    idx = MultiIndex([ColumnsIndex("c"), ColumnsIndex("d")])
+    g = groups(idx.key_df(simple_cd, "row_key"))
+    # the critical reference behavior (test_indices.py:157-159): bucket
+    # (2,) holds x (via d=2) AND y (via c=2) — merged across sub-indices
+    assert g == {
+        "n:1.0": frozenset({"x"}),
+        "n:2.0": frozenset({"x", "y"}),
+        "n:3.0": frozenset({"z"}),
+        "n:4.0": frozenset({"y", "z"}),
+    }
+
+
+def test_multi_index_and_composite_keys(spark, simple_cd):
+    idx = MultiIndex([ColumnsIndex("c"), ColumnsIndex("d")], combine_keys=True)
+    g = groups(idx.key_df(simple_cd, "row_key"))
+    assert g == {
+        "n:1.0\x1en:2.0": frozenset({"x"}),
+        "n:2.0\x1en:4.0": frozenset({"y"}),
+        "n:3.0\x1en:4.0": frozenset({"z"}),
+    }
+
+
+def test_numeric_key_canonicalization(spark):
+    # int 2 and double 2.0 must land in the same bucket ((2,) == (2.0,)
+    # as reference dict keys)
+    df1 = spark.createDataFrame([("x", 2)], "row_key string, c long")
+    df2 = spark.createDataFrame([("y", 2.0)], "row_key string, c double")
+    k1 = ColumnsIndex("c").key_df(df1, "row_key").collect()[0]["block_key"]
+    k2 = ColumnsIndex("c").key_df(df2, "row_key").collect()[0]["block_key"]
+    assert k1 == k2

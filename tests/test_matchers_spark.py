@@ -1,0 +1,265 @@
+"""End-to-end ports of /root/reference/datamatch/test_matchers.py —
+the primary equivalence oracles (golden cluster tables, pair lists,
+report-frame shapes)."""
+
+import pytest
+
+from datamatch_spark import (
+    AbsoluteScorer,
+    ColumnsIndex,
+    DissimilarFilter,
+    JaroWinklerSimilarity,
+    MaxScorer,
+    NonOverlappingFilter,
+    NoopIndex,
+    SimSumScorer,
+    StringSimilarity,
+    Swap,
+    ThresholdMatcher,
+)
+
+
+def rows6(df, cols):
+    out = []
+    for r in df.collect():
+        out.append(
+            tuple(
+                round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols
+            )
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def match_matcher(spark):
+    dfa = spark.createDataFrame(
+        [(0, "ab", "cd"), (1, "rtx", "qw")], "row_key long, a string, b string"
+    )
+    dfb = spark.createDataFrame(
+        [(0, "ab", "cd"), (1, "ae", "vb"), (2, "rt", "qw")],
+        "row_key long, a string, b string",
+    )
+    return ThresholdMatcher(NoopIndex(), {"a": StringSimilarity()}, dfa, dfb)
+
+
+def test_match_pairs(match_matcher):
+    got = [
+        (round(r["sim_score"], 6), r["idx_a"], r["idx_b"])
+        for r in match_matcher.get_index_pairs_within_thresholds(0.0, 1.0).collect()
+    ]
+    assert got == [(0.8, 1, 2), (1.0, 0, 0)]
+    assert match_matcher.collect_index_pairs_within_thresholds() == [(1, 2), (0, 0)]
+
+
+def test_match_sample_pairs(match_matcher):
+    cols = ["score_range", "pair_idx", "sim_score", "row_key", "a", "b"]
+    got = rows6(match_matcher.get_sample_pairs(), cols)
+    assert got == [
+        ("1.00-0.95", 0, 1.0, 0, "ab", "cd"),
+        ("1.00-0.95", 0, 1.0, 0, "ab", "cd"),
+        ("0.85-0.80", 0, 0.8, 1, "rtx", "qw"),
+        ("0.85-0.80", 0, 0.8, 2, "rt", "qw"),
+    ]
+    got = rows6(match_matcher.get_sample_pairs(include_exact_matches=False), cols)
+    assert got == [
+        ("0.85-0.80", 0, 0.8, 1, "rtx", "qw"),
+        ("0.85-0.80", 0, 0.8, 2, "rt", "qw"),
+    ]
+
+
+def test_match_all_pairs(match_matcher):
+    cols = ["pair_idx", "sim_score", "row_key", "a", "b"]
+    got = rows6(match_matcher.get_all_pairs(), cols)
+    assert got == [
+        (0, 1.0, 0, "ab", "cd"),
+        (0, 1.0, 0, "ab", "cd"),
+        (1, 0.8, 1, "rtx", "qw"),
+        (1, 0.8, 2, "rt", "qw"),
+    ]
+    got = rows6(match_matcher.get_all_pairs(include_exact_matches=False), cols)
+    assert got == [(1, 0.8, 1, "rtx", "qw"), (1, 0.8, 2, "rt", "qw")]
+
+
+def test_ensure_unique_index(spark):
+    dfa = spark.createDataFrame([("a", 1), ("a", 2)], "row_key string, x long")
+    dfb = spark.createDataFrame([("a", 1), ("b", 2)], "row_key string, x long")
+    with pytest.raises(ValueError, match="duplicates"):
+        ThresholdMatcher(NoopIndex(), {"x": StringSimilarity()}, dfa, dfb)
+
+
+def test_ensure_same_columns(spark):
+    dfa = spark.createDataFrame([("a", 1)], "row_key string, a long")
+    dfb = spark.createDataFrame([("a", 1)], "row_key string, b long")
+    with pytest.raises(ValueError, match="columns are not equal"):
+        ThresholdMatcher(NoopIndex(), {"a": StringSimilarity()}, dfa, dfb)
+
+
+@pytest.fixture(scope="module")
+def dedup_matcher(spark):
+    rows = [
+        ("beech", "freddie"),
+        ("beech", "freedie"),
+        ("dupas", "demia"),
+        ("dupas", "demeia"),
+        ("brown", "latoya"),
+        ("bowen", "latoya"),
+        ("rhea", "cherri"),
+        ("rhea", "cherrie"),
+        ("be", "freedie"),
+        ("du", "demeia"),
+        ("teneisha", "green"),
+        ("tyler", "green"),
+        ("te neisha", "green"),
+        ("t", "green"),
+    ]
+    df = spark.createDataFrame(
+        [(i, l, f) for i, (l, f) in enumerate(rows)],
+        "row_key long, last string, first string",
+    )
+    return ThresholdMatcher(
+        NoopIndex(),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        df,
+    )
+
+
+def test_deduplicate_clusters(dedup_matcher):
+    got = sorted(
+        tuple(sorted(c))
+        for c in dedup_matcher.get_index_clusters_within_thresholds(0.83)
+    )
+    assert got == [(0, 1, 8), (2, 3, 9), (4, 5), (6, 7), (10, 12, 13)]
+
+
+def test_deduplicate_golden_table(dedup_matcher):
+    # exact port of the reference golden table
+    # (test_matchers.py:150-176), scores to 6dp
+    cols = ["cluster_idx", "pair_idx", "sim_score", "row_key", "last", "first"]
+    got = rows6(dedup_matcher.get_clusters_within_threshold(0.83), cols)
+    assert got == [
+        (0, 0, 0.990522, 6, "rhea", "cherri"),
+        (0, 0, 0.990522, 7, "rhea", "cherrie"),
+        (1, 0, 0.985297, 10, "teneisha", "green"),
+        (1, 0, 0.985297, 12, "te neisha", "green"),
+        (1, 1, 0.878609, 10, "teneisha", "green"),
+        (1, 1, 0.878609, 13, "t", "green"),
+        (1, 2, 0.876863, 12, "te neisha", "green"),
+        (1, 2, 0.876863, 13, "t", "green"),
+        (2, 0, 0.980748, 2, "dupas", "demia"),
+        (2, 0, 0.980748, 3, "dupas", "demeia"),
+        (2, 1, 0.923472, 3, "dupas", "demeia"),
+        (2, 1, 0.923472, 9, "du", "demeia"),
+        (2, 2, 0.902589, 2, "dupas", "demia"),
+        (2, 2, 0.902589, 9, "du", "demeia"),
+        (3, 0, 0.941913, 4, "brown", "latoya"),
+        (3, 0, 0.941913, 5, "bowen", "latoya"),
+        (4, 0, 0.939581, 0, "beech", "freddie"),
+        (4, 0, 0.939581, 1, "beech", "freedie"),
+        (4, 1, 0.923472, 1, "beech", "freedie"),
+        (4, 1, 0.923472, 8, "be", "freedie"),
+        (4, 2, 0.857679, 0, "beech", "freddie"),
+        (4, 2, 0.857679, 8, "be", "freedie"),
+    ]
+
+
+def test_swap_variator_e2e(spark):
+    rows = [
+        ("blake", "lauri"),
+        ("lauri", "blake"),
+        ("robinson", "alexis"),
+        ("robertson", "alexis"),
+        ("haynes", "terry"),
+        ("terry", "hayes"),
+    ]
+    df = spark.createDataFrame(
+        [(i, l, f) for i, (l, f) in enumerate(rows)],
+        "row_key long, last string, first string",
+    )
+    m = ThresholdMatcher(
+        NoopIndex(),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        df,
+        variator=Swap("first", "last"),
+    )
+    assert m.collect_index_pairs_within_thresholds() == [(2, 3), (4, 5), (0, 1)]
+
+
+def test_filters_e2e(spark):
+    rows = [
+        ("1", "john", "slidell pd", 0, 10),
+        ("2", "john", "slidell pd", 10, 20),
+        ("3", "john", "slidell pd", 20, 30),
+        ("4", "john", "gretna pd", 11, 21),
+        ("5", "john", "gretna pd", 0, 7),
+        ("6", "john", "gretna pd", 10, 18),
+    ]
+    df = spark.createDataFrame(
+        [(i,) + r for i, r in enumerate(rows)],
+        "row_key long, uid string, first string, agency string, start long, end long",
+    )
+    m = ThresholdMatcher(
+        NoopIndex(),
+        {"first": JaroWinklerSimilarity()},
+        df,
+        filters=[DissimilarFilter("agency"), NonOverlappingFilter("start", "end")],
+    )
+    assert m.collect_index_pairs_within_thresholds() == [(0, 3), (1, 4), (2, 4), (2, 5)]
+
+
+def test_scorer_e2e_golden(spark):
+    df = spark.createDataFrame(
+        [(0, "john", 5), (1, "jim", 5), (2, "ted", 3), (3, "tedd", 2)],
+        "row_key long, first_name string, attract_id long",
+    )
+    m = ThresholdMatcher(
+        NoopIndex(),
+        MaxScorer(
+            [
+                AbsoluteScorer("attract_id", 1),
+                SimSumScorer({"first_name": JaroWinklerSimilarity()}),
+            ]
+        ),
+        df,
+    )
+    cols = ["cluster_idx", "pair_idx", "sim_score", "row_key", "first_name", "attract_id"]
+    got = rows6(m.get_clusters_within_threshold(), cols)
+    assert got == [
+        (0, 0, 1.0, 0, "john", 5),
+        (0, 0, 1.0, 1, "jim", 5),
+        (1, 0, 0.941667, 2, "ted", 3),
+        (1, 0, 0.941667, 3, "tedd", 2),
+    ]
+    # all-exact cluster excluded but cluster_idx keeps the gap
+    got = rows6(m.get_clusters_within_threshold(include_exact_matches=False), cols)
+    assert got == [
+        (1, 0, 0.941667, 2, "ted", 3),
+        (1, 0, 0.941667, 3, "tedd", 2),
+    ]
+
+
+def test_func_scorer_e2e(spark):
+    df = spark.createDataFrame(
+        [(0, "j", "john", 20), (1, "j", "jim", 20), (2, "b", "bill", 19), (3, "b", "bob", 21)],
+        "row_key long, fc string, name string, age long",
+    )
+    m = ThresholdMatcher(
+        ColumnsIndex("fc"),
+        lambda a, b: 1.0 if a.age == b.age else 0.8,
+        df,
+    )
+    cols = ["cluster_idx", "pair_idx", "sim_score", "row_key", "fc", "name", "age"]
+    got = rows6(m.get_clusters_within_threshold(), cols)
+    assert got == [
+        (0, 0, 1.0, 0, "j", "john", 20),
+        (0, 0, 1.0, 1, "j", "jim", 20),
+        (1, 0, 0.8, 2, "b", "bill", 19),
+        (1, 0, 0.8, 3, "b", "bob", 21),
+    ]
+
+
+def test_decision_counts(dedup_matcher):
+    row = dedup_matcher.decision_counts(0.83).collect()[0]
+    assert row["match_threshold"] == 0.83
+    n_pairs = len(dedup_matcher.collect_index_pairs_within_thresholds(0.83, 1.0))
+    assert row["number_of_matched_pairs"] == n_pairs
+    assert n_pairs >= 11

@@ -1,0 +1,189 @@
+"""Ports of /root/reference/datamatch/test_scorers.py (golden floats)
+and test_similarities.py through the Spark Column/UDF path.
+
+A scorer is exercised by compiling it over a tiny pair frame; a NULL
+result is the Spark face of RefuseToScoreException.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatch_spark import (
+    AbsoluteNumericalSimilarity,
+    AbsoluteScorer,
+    AlterScorer,
+    DateSimilarity,
+    FuncScorer,
+    JaroWinklerSimilarity,
+    MaxScorer,
+    MinScorer,
+    RelativeNumericalSimilarity,
+    SimSumScorer,
+    StringSimilarity,
+)
+from datamatch_spark.scorers import CompileCtx
+
+TOL = 1e-9
+
+
+def run_scorer(spark, scorer, schema: str, rec_a: tuple, rec_b: tuple, ia=1, ib=2):
+    df = spark.createDataFrame(
+        [(ia, ib, rec_a, rec_b)],
+        f"idx_a long, idx_b long, a struct<{schema}>, b struct<{schema}>",
+    )
+    ctx = CompileCtx(df=df)
+    col = scorer.compile(ctx)
+    return ctx.df.select(col.cast("double").alias("s")).collect()[0]["s"]
+
+
+def run_sim(spark, sim, schema: str, va, vb):
+    df = spark.createDataFrame([(va, vb)], f"a {schema}, b {schema}")
+    return df.select(sim.expr(F.col("a"), F.col("b")).alias("s")).collect()[0]["s"]
+
+
+# ---------------------------------------------------------------- sims
+
+
+def test_string_similarity_expr(spark):
+    assert run_sim(spark, StringSimilarity(), "string", "abce", "abcd") == 0.75
+    assert run_sim(spark, StringSimilarity(), "string", "thang", "thăng") == 1.0
+
+
+def test_jaro_winkler_expr(spark):
+    got = run_sim(spark, JaroWinklerSimilarity(0.2), "string", "abce", "abcd")
+    assert abs(got - 0.9333333333333333) < TOL
+
+
+def test_numeric_exprs(spark):
+    assert run_sim(spark, AbsoluteNumericalSimilarity(10), "double", 10.0, 5.0) == 0.5
+    assert (
+        abs(run_sim(spark, AbsoluteNumericalSimilarity(10), "double", 8.2, 3.1) - 0.49)
+        < TOL
+    )
+    assert run_sim(spark, AbsoluteNumericalSimilarity(10), "double", 40.0, 10.0) == 0.0
+    assert (
+        run_sim(spark, RelativeNumericalSimilarity(30), "double", 10000.0, 8500.0)
+        == 0.5
+    )
+    assert run_sim(spark, RelativeNumericalSimilarity(30), "double", 8.2, 3.1) == 0.0
+    assert (
+        run_sim(spark, RelativeNumericalSimilarity(30), "double", 10000.0, 7000.0)
+        == 0.0
+    )
+
+
+def test_date_expr_all_branches(spark):
+    import datetime
+
+    d = datetime.date
+    cases = [
+        (d(2000, 10, 11), d(2000, 10, 11), 1.0),
+        (d(2000, 10, 11), d(2000, 10, 5), 0.8),
+        (d(2000, 10, 11), d(2000, 11, 5), 0.16666666666666663),
+        (d(2000, 10, 11), d(2001, 3, 15), 0.0),
+        (d(2000, 9, 11), d(2000, 11, 9), 0.5),
+        (d(2000, 3, 20), d(2000, 8, 20), 0.875),
+    ]
+    for a, b, want in cases:
+        got = run_sim(spark, DateSimilarity(30), "date", a, b)
+        assert abs(got - want) < TOL, (a, b, got, want)
+
+
+# ------------------------------------------------------------- scorers
+
+
+def test_simsum_golden(spark):
+    scorer = SimSumScorer(
+        {"first_name": JaroWinklerSimilarity(), "age": AbsoluteNumericalSimilarity(10)}
+    )
+    schema = "first_name string, age long"
+    assert run_scorer(spark, scorer, schema, ("john", 41), ("john", 41)) == 1.0
+    got = run_scorer(spark, scorer, schema, ("jim", 41), ("jimm", 43))
+    assert abs(got - 0.8737093656105305) < TOL
+
+
+def test_simsum_null_contributes_zero(spark):
+    scorer = SimSumScorer({"age": AbsoluteNumericalSimilarity(10)})
+    assert run_scorer(spark, scorer, "age long", (None,), (41,)) == 0.0
+
+
+def test_absolute_scorer(spark):
+    schema = "attract_id long"
+    s = AbsoluteScorer("attract_id", 1)
+    assert run_scorer(spark, s, schema, (1234,), (1234,)) == 1.0
+    assert run_scorer(spark, s, schema, (1234,), (2345,)) is None  # refuse
+    assert run_scorer(spark, s, schema, (1234,), (None,)) is None
+    assert run_scorer(spark, s, schema, (None,), (1234,)) is None
+
+
+def test_absolute_scorer_key_error(spark):
+    with pytest.raises(KeyError):
+        run_scorer(spark, AbsoluteScorer("b", 1), "a long", (1,), (2,))
+    got = run_scorer(
+        spark, AbsoluteScorer("b", 1, ignore_key_error=True), "a long", (1,), (2,)
+    )
+    assert got is None  # refuses instead
+
+
+def test_max_scorer_golden(spark):
+    scorer = MaxScorer(
+        [
+            AbsoluteScorer("attract_id", 1),
+            SimSumScorer({"first_name": JaroWinklerSimilarity()}),
+        ]
+    )
+    schema = "first_name string, attract_id long"
+    assert run_scorer(spark, scorer, schema, ("john", 5), ("jim", 5)) == 1.0
+    got = run_scorer(spark, scorer, schema, ("john", 5), ("jim", 4))
+    assert abs(got - 0.575) < TOL
+
+
+def test_min_scorer_golden(spark):
+    scorer = MinScorer(
+        [
+            AbsoluteScorer("repell_id", 0),
+            SimSumScorer({"first_name": JaroWinklerSimilarity()}),
+        ]
+    )
+    schema = "first_name string, repell_id long"
+    assert run_scorer(spark, scorer, schema, ("john", 5), ("jim", 5)) == 0.0
+    got = run_scorer(spark, scorer, schema, ("john", 5), ("jim", 4))
+    assert abs(got - 0.575) < TOL
+
+
+def test_all_refuse_is_null(spark):
+    scorer = MaxScorer([AbsoluteScorer("a", 1)])
+    assert run_scorer(spark, scorer, "a long", (1,), (2,)) is None
+
+
+def test_alter_scorer_golden(spark):
+    import pandas as pd
+
+    base = SimSumScorer(
+        {"name": JaroWinklerSimilarity(), "age": RelativeNumericalSimilarity(100)}
+    )
+    values = pd.Series([1, 2, 1, 3], index=[1, 2, 3, 4])
+    scorer = AlterScorer(base, values, lambda x: x / 2)
+    schema = "name string, age long"
+    got = run_scorer(spark, scorer, schema, ("john", 20), ("jim", 21), ia=2, ib=4)
+    assert abs(got - 0.7866557310723826) < TOL  # values differ -> unaltered
+    got = run_scorer(spark, scorer, schema, ("john", 20), ("jim", 21), ia=1, ib=3)
+    assert abs(got - 0.3933278655361913) < TOL  # equal values -> halved
+    got = run_scorer(spark, scorer, schema, ("john", 20), ("jim", 21), ia=5, ib=6)
+    assert abs(got - 0.7866557310723826) < TOL  # keys absent -> unaltered
+
+
+def test_func_scorer_per_row(spark):
+    scorer = FuncScorer(lambda a, b: 1.0 if a.age == b.age else 0.5, per_row=True)
+    schema = "name string, age long"
+    assert run_scorer(spark, scorer, schema, ("john", 20), ("jim", 21)) == 0.5
+    assert run_scorer(spark, scorer, schema, ("john", 20), ("jim", 20)) == 1.0
+
+
+def test_func_scorer_batch(spark):
+    def batch(a, b):
+        return (a["age"] == b["age"]).map({True: 1.0, False: 0.5})
+
+    scorer = FuncScorer(batch, columns={"age"})
+    schema = "name string, age long"
+    assert run_scorer(spark, scorer, schema, ("john", 20), ("jim", 21)) == 0.5
