@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data extras); each callable takes
+(spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for every
+SQL-expressible query (same column names, floats rounded identically).
+Ops whose semantics are not SQL-expressible (Jaro-Winkler scoring,
+greedy 1:1 pruning, LSH internals, Swap variators) have no oracle
+entry and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +15,674 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+US = "\x1f"  # key component separator used by datamatch_spark.indices
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# matcher-family queries (SURVEY.md §2.2-2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking + per-block pair-count metrics (§2.2 ColumnsIndex +
+    §4 metrics)."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import block_statistics, keyed_side
+
+    docs = _docs(spark, sf_dir)
+    side = keyed_side(docs, ColumnsIndex(["lang", "source"]), "doc_id", ["n_chars"], "idx", "rec")
+    return block_statistics(side, dedup=True).select("block_key", "n_rows", "n_pairs")
+
+
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup candidate-pair generation (§2.3 DeduplicatePairer)."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = candidate_pairs(docs, ColumnsIndex(["lang", "source"]), "doc_id", ["n_chars"])
+    return pairs.select("idx_a", "idx_b")
+
+
+def q_absnum_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full matcher spine with a numeric similarity (§2.5/§2.8):
+    block on lang, score AbsoluteNumericalSimilarity(50) on n_chars,
+    slice [0.5, 1.0]."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    docs = _docs(spark, sf_dir)
+    m = ThresholdMatcher(
+        ColumnsIndex("lang"),
+        {"n_chars": AbsoluteNumericalSimilarity(50)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    return m.get_index_pairs_within_thresholds(0.5, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
+def q_relnum_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RelativeNumericalSimilarity over orders blocked by
+    (o_orderpriority, o_orderdate) (§2.5)."""
+    from datamatch_spark import ColumnsIndex, RelativeNumericalSimilarity, ThresholdMatcher
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = ThresholdMatcher(
+        ColumnsIndex(["o_orderpriority", "o_orderdate"]),
+        {"o_totalprice": RelativeNumericalSimilarity(30)},
+        orders,
+        row_key="o_orderkey",
+        validate=False,
+    )
+    return m.get_index_pairs_within_thresholds(0.9, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
+def q_dissimilar_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DissimilarFilter pair predicate (§2.4)."""
+    from datamatch_spark import DissimilarFilter
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = candidate_pairs(docs, ColumnsIndex("lang"), "doc_id", ["source"])
+    flt = DissimilarFilter("source")
+    kept = pairs.where(flt.predicate("a", "b", pairs.schema["a"].dataType))
+    return kept.groupBy(F.col("a.source").alias("source_a")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def q_nonoverlap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NonOverlappingFilter range predicate over event sessions
+    [ts, ts+value seconds] per user (§2.4)."""
+    from datamatch_spark import NonOverlappingFilter
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("start"),
+            F.timestamp_add("SECOND", F.col("value").cast("int"), F.col("ts")).alias("end"),
+        )
+    )
+    pairs = candidate_pairs(ev, ColumnsIndex("user_id"), "event_id", ["start", "end"])
+    flt = NonOverlappingFilter("start", "end")
+    kept = pairs.where(flt.predicate("a", "b", pairs.schema["a"].dataType))
+    return kept.select("idx_a", "idx_b")
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (large-star/small-star §2.8) over the
+    0.9-sliced absnum pair graph."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+    from datamatch_spark.clustering import connected_components
+
+    docs = _docs(spark, sf_dir)
+    m = ThresholdMatcher(
+        ColumnsIndex("lang"),
+        {"n_chars": AbsoluteNumericalSimilarity(50)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    sliced = m.get_index_pairs_within_thresholds(0.9, 1.0)
+    return connected_components(sliced.select("idx_a", "idx_b")).select(
+        "node", "component"
+    )
+
+
+def q_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end clustering (CC + clique split §2.8) on an
+    exact-equality pair graph — blocks are cliques, so clusters must
+    equal the (lang, n_chars) groups of size > 1."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    m = ThresholdMatcher(
+        ColumnsIndex(["lang", "n_chars"]),
+        {"n_chars": AbsoluteNumericalSimilarity(10)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    asg = m.get_cluster_assignments(1.0, 1.0)
+    w = Window.partitionBy("cluster_id")
+    return asg.select(
+        F.min("row_key").over(w).alias("cluster_rep"),
+        F.col("row_key").alias("doc_id"),
+    )
+
+
+def q_all_pairs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-pairs report frame (§2.8 result projection): two rows
+    per pair, joined back to source columns, pair_idx by rank."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    docs = _docs(spark, sf_dir).where(F.col("lang") == "en")
+    m = ThresholdMatcher(
+        ColumnsIndex("source"),
+        {"n_chars": AbsoluteNumericalSimilarity(20)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    rep = m.get_all_pairs(0.9, 1.0)
+    return rep.select(
+        "pair_idx",
+        F.round("sim_score", 6).alias("sim_score"),
+        F.col("row_key").alias("doc_id"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def q_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision summary (§2.1)."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    docs = _docs(spark, sf_dir)
+    m = ThresholdMatcher(
+        ColumnsIndex("lang"),
+        {"n_chars": AbsoluteNumericalSimilarity(50)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    return m.decision_counts(0.8)
+
+
+def q_greedy_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-mode greedy 1:1 pruning (§2.8) — sequential semantics,
+    not SQL-expressible (rows-only check)."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    docs = _docs(spark, sf_dir)
+    dfa = docs.where(F.col("doc_id") % 2 == 0)
+    dfb = docs.where(F.col("doc_id") % 2 == 1)
+    m = ThresholdMatcher(
+        ColumnsIndex("lang"),
+        {"n_chars": AbsoluteNumericalSimilarity(50)},
+        dfa,
+        dfb,
+        row_key="doc_id",
+        validate=False,
+    )
+    return m.get_index_pairs_within_thresholds(0.5, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
+def q_jw_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler-scored dedup (§2.5 string kernels; rows-only —
+    the JW variant is not expressible in DuckDB SQL)."""
+    from datamatch_spark import ColumnsIndex, JaroWinklerSimilarity, ThresholdMatcher
+
+    docs = _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 40))
+    m = ThresholdMatcher(
+        ColumnsIndex(["lang", "source"]),
+        {"prefix": JaroWinklerSimilarity()},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    return m.get_index_pairs_within_thresholds(0.75, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
+def q_spans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: interleaved (doc_id, spans) corpus -> field projection
+    -> JW+date matcher -> cluster assignments (rows-only; exercises the
+    BASELINE.json input shape end-to-end)."""
+    from datamatch_spark import (
+        ColumnsIndex,
+        DateSimilarity,
+        JaroWinklerSimilarity,
+        ThresholdMatcher,
+    )
+    from datamatch_spark.corpus import CorpusConfig, generate_documents, project_fields
+
+    cfg = CorpusConfig(n_docs=900, seed=11, profile="clean")
+    docs = generate_documents(spark, cfg)
+    fields = project_fields(docs).drop("spans")
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"),
+        {
+            "last": JaroWinklerSimilarity(),
+            "first": JaroWinklerSimilarity(),
+            "dob": DateSimilarity(),
+        },
+        fields,
+        row_key="doc_id",
+        validate=False,
+    )
+    from pyspark.sql import Window
+
+    asg = m.get_cluster_assignments(0.8, 1.0)
+    w = Window.partitionBy("cluster_id")
+    return asg.select(
+        F.min("row_key").over(w).alias("cluster_rep"),
+        F.col("row_key").alias("doc_id"),
+    )
+
+
+def q_swap_variator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swap variator on the interleaved corpus (§2.7; rows-only)."""
+    from datamatch_spark import ColumnsIndex, JaroWinklerSimilarity, Swap, ThresholdMatcher
+    from datamatch_spark.corpus import CorpusConfig, generate_documents, project_fields
+
+    cfg = CorpusConfig(n_docs=600, seed=13, profile="clean")
+    docs = generate_documents(spark, cfg)
+    fields = project_fields(docs).drop("spans")
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        fields,
+        row_key="doc_id",
+        variator=Swap("first", "last"),
+        validate=False,
+    )
+    return m.get_index_pairs_within_thresholds(0.85, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data extras
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.text import with_token_count
+
+    return with_token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_distinct_tokens"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.text import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.text import with_quality
+
+    return with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "distinct_ratio", "avg_token_len", "quality_score"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.text import with_lang_id
+
+    return with_lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "hits_en", "hits_es", "hits_de", "hits_fr", "lang_pred"
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.dedup import exact_duplicates
+
+    docs = _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 25))
+    return exact_duplicates(docs, "doc_id", "prefix")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", n=2, threshold=0.5, max_df=None
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (rows-only: xxhash64 is Spark-side; the
+    verification stage makes the output precision-exact)."""
+    from datamatch_spark.extras.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", n=2, n_perm=64, bands=16, threshold=0.5
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from datamatch_spark.extras.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), "doc_id", n=2, max_hamming=8)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.simsearch import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 25), k=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.simsearch import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.9, block_col="label"
+    )
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only; recall vs brute force is asserted
+    in tests)."""
+    from datamatch_spark.extras.simsearch import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 25), k=3, n_planes=6)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over interleaved docs (rows-only)."""
+    from datamatch_spark.corpus import CorpusConfig, generate_documents
+    from datamatch_spark.extras.multimodal import media_features
+
+    docs = generate_documents(spark, CorpusConfig(n_docs=300, seed=17))
+    return media_features(docs, dim=8).select(
+        "doc_id", "media_ref", "width", "height", "n_frames"
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: JW dedup of documents -> cluster report."""
+    from datamatch_spark import ColumnsIndex, JaroWinklerSimilarity, ThresholdMatcher
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 40))
+    m = ThresholdMatcher(
+        ColumnsIndex(["lang", "source"]),
+        {"prefix": JaroWinklerSimilarity()},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    return m.get_clusters_within_threshold(0.7, 1.0).select(
+        "cluster_idx",
+        "pair_idx",
+        F.round("sim_score", 6).alias("sim_score"),
+        "row_key",
+        "lang",
+        "source",
+        "n_chars",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "block_stats": q_block_stats,
+        "candidate_pairs": q_candidate_pairs,
+        "absnum_scored_pairs": q_absnum_scored_pairs,
+        "relnum_scored_pairs": q_relnum_scored_pairs,
+        "dissimilar_filter": q_dissimilar_filter,
+        "nonoverlap_filter": q_nonoverlap_filter,
+        "cc_components": q_cc_components,
+        "cluster_exact": q_cluster_exact,
+        "all_pairs_report": q_all_pairs_report,
+        "decision": q_decision,
+        "greedy_one_to_one": q_greedy_one_to_one,
+        "jw_dedup_pairs": q_jw_dedup_pairs,
+        "spans_corpus_clusters": q_spans_corpus_clusters,
+        "swap_variator": q_swap_variator,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_ann": q_lsh_ann,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "block_stats": f"""
+            SELECT 's:' || lang || chr(31) || 's:' || source AS block_key,
+                   count(*) AS n_rows,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            FROM documents GROUP BY 1
+        """,
+        "candidate_pairs": """
+            SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        """,
+        "absnum_scored_pairs": """
+            SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                   round(1.0 - abs(a.n_chars - b.n_chars) / 50.0, 6) AS sim_score
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE abs(a.n_chars - b.n_chars) < 50
+              AND (1.0 - abs(a.n_chars - b.n_chars) / 50.0) >= 0.5
+        """,
+        "relnum_scored_pairs": """
+            WITH p AS (
+              SELECT a.o_orderkey AS idx_a, b.o_orderkey AS idx_b,
+                     abs(a.o_totalprice - b.o_totalprice)
+                       / greatest(abs(a.o_totalprice), abs(b.o_totalprice)) * 100 AS pc
+              FROM orders a JOIN orders b
+                ON a.o_orderpriority = b.o_orderpriority
+               AND a.o_orderdate = b.o_orderdate
+               AND a.o_orderkey < b.o_orderkey
+            )
+            SELECT idx_a, idx_b, round(1.0 - pc / 30.0, 6) AS sim_score
+            FROM p WHERE pc < 30 AND (1.0 - pc / 30.0) >= 0.9
+        """,
+        "dissimilar_filter": """
+            SELECT a.source AS source_a, count(*) AS n_pairs
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE a.source IS NULL OR b.source IS NULL OR a.source <> b.source
+            GROUP BY 1
+        """,
+        "nonoverlap_filter": """
+            WITH ev AS (
+              SELECT event_id, user_id, ts AS start_ts,
+                     ts + CAST(value AS INT) * INTERVAL '1 second' AS end_ts
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT a.event_id AS idx_a, b.event_id AS idx_b
+            FROM ev a JOIN ev b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+            WHERE a.end_ts < b.start_ts OR a.start_ts > b.end_ts
+        """,
+        "cc_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE abs(a.n_chars - b.n_chars) < 50
+                AND (1.0 - abs(a.n_chars - b.n_chars) / 50.0) >= 0.9
+            ), edges AS (
+              SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+            ), reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+            )
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        """,
+        "cluster_exact": """
+            WITH g AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY lang, n_chars) AS c,
+                     min(doc_id) OVER (PARTITION BY lang, n_chars) AS rep
+              FROM documents
+            )
+            SELECT rep AS cluster_rep, doc_id FROM g WHERE c > 1
+        """,
+        "all_pairs_report": """
+            WITH docs AS (SELECT * FROM documents WHERE lang = 'en'),
+            p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     round(1.0 - abs(a.n_chars - b.n_chars) / 20.0, 6) AS s
+              FROM docs a JOIN docs b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE abs(a.n_chars - b.n_chars) < 20
+                AND (1.0 - abs(a.n_chars - b.n_chars) / 20.0) >= 0.9
+            ), ranked AS (
+              SELECT ia, ib, s,
+                     row_number() OVER (ORDER BY s DESC, ia, ib) - 1 AS pair_idx
+              FROM p
+            ), two AS (
+              SELECT pair_idx, s AS sim_score, ia AS doc_id FROM ranked
+              UNION ALL
+              SELECT pair_idx, s AS sim_score, ib AS doc_id FROM ranked
+            )
+            SELECT t.pair_idx, t.sim_score, t.doc_id, d.lang, d.source, d.n_chars
+            FROM two t JOIN docs d ON t.doc_id = d.doc_id
+        """,
+        "decision": """
+            SELECT CAST(0.8 AS DOUBLE) AS match_threshold,
+                   CAST(count(*) AS BIGINT) AS number_of_matched_pairs
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE abs(a.n_chars - b.n_chars) < 50
+              AND (1.0 - abs(a.n_chars - b.n_chars) / 50.0) >= 0.8
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                     AS n_distinct_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_dis,
+                     length(text) AS n_chars
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(CAST(n_dis AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+                   round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+                     AS avg_token_len,
+                   round((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                          + CAST(n_dis AS DOUBLE) / n_tokens
+                          + least(1.0, (CAST(n_chars - n_tokens + 1 AS DOUBLE)
+                                        / n_tokens) / 8.0)) / 3.0, 6)
+                     AS quality_score
+            FROM t
+        """,
+        "lang_id": """
+            WITH t AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+            ), h AS (
+              SELECT doc_id,
+                CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS INT) AS hits_en,
+                CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS INT) AS hits_es,
+                CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+                CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS INT) AS hits_fr,
+                CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS INT) AS hits_zh
+              FROM t
+            )
+            SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+                   CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) = 0
+                        THEN 'und'
+                        WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'de'
+                        WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'en'
+                        WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'es'
+                        WHEN hits_fr = greatest(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM h
+        """,
+        "exact_dedup": """
+            WITH h AS (
+              SELECT doc_id, md5(lower(substring(text, 1, 25))) AS hh FROM documents
+            ), g AS (
+              SELECT hh, min(doc_id) AS canonical_id, count(*) AS n FROM h GROUP BY hh
+            )
+            SELECT g.canonical_id, h.doc_id
+            FROM h JOIN g ON h.hh = g.hh
+            WHERE g.n > 1 AND h.doc_id <> g.canonical_id
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS s
+              FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT idx_a, idx_b,
+                   round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = idx_a
+            JOIN sizes sb ON sb.doc_id = idx_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 25
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ), scored AS (
+              SELECT q.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(q.qv, c.cv), 6) AS cos
+              FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                     ) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS idx_a, b.vec_id AS idx_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+    }

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline workloads:
+
+* er_dedup       — the flagship entity-resolution pipeline on a
+  generated interleaved corpus scaled by sf (block -> salted self-join
+  -> JW×2 + date scoring -> threshold): the BASELINE throughput metric
+  is candidate-pairs-scored/sec from this query.
+* cc_cluster     — large-star/small-star connected components + clique
+  split over the er_dedup pair graph.
+* minhash_dedup  — MinHash-LSH near-dup over a tiled text corpus.
+* cosine_topk    — brute-force cosine top-k over tiled embeddings.
+* text_pipeline  — token/quality/fingerprint/lang-id over tiled docs.
+
+Run scripts/scaling_bench.py for the N-vs-4N-parallelism scaling
+report (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return 0.1
+
+
+def build_session(cpus: int):
+    from datamatch_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{cpus}]",
+        app_name="datamatch-bench",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+        },
+    )
+
+
+def bench_er_dedup(spark, sf: float):
+    """Returns (seconds, n_pairs_scored, n_clusters_pairs...)."""
+    from datamatch_spark import (
+        ColumnsIndex,
+        DateSimilarity,
+        JaroWinklerSimilarity,
+        PairingConfig,
+        ThresholdMatcher,
+    )
+    from datamatch_spark.corpus import CorpusConfig, generate_documents, project_fields
+
+    n_docs = max(3000, int(500_000 * sf))
+    cfg = CorpusConfig(
+        n_docs=n_docs,
+        seed=42,
+        profile="clean",
+        blk_buckets=max(50, n_docs // 25),
+        hot_pct=4,
+    )
+    docs = generate_documents(spark, cfg)
+    fields = project_fields(docs).drop("spans").localCheckpoint()  # exclude gen time
+    t0 = time.time()
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"),
+        {
+            "last": JaroWinklerSimilarity(),
+            "first": JaroWinklerSimilarity(),
+            "dob": DateSimilarity(),
+        },
+        fields,
+        row_key="doc_id",
+        validate=False,
+        pairing_config=PairingConfig(salt_threshold=2000, rows_per_shard=1000),
+    )
+    n_scored = m.scored_pairs.count()
+    elapsed = time.time() - t0
+    return elapsed, n_scored, m
+
+
+def bench_cc_cluster(spark, matcher):
+    t0 = time.time()
+    n = matcher.get_cluster_assignments(0.8, 1.0).count()
+    return time.time() - t0, n
+
+
+def bench_minhash(spark, sf_dir: str, sf: float):
+    from datamatch_spark.extras.dedup import minhash_lsh_pairs
+
+    tile = max(4, int(400 * sf))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("doc_id") * tile + F.col("copy")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" v"), (F.col("copy") % 7).cast("string")
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    n = minhash_lsh_pairs(big, "doc_id", n=3, n_perm=64, bands=16, threshold=0.9).count()
+    return time.time() - t0, n
+
+
+def bench_cosine(spark, sf_dir: str, sf: float):
+    from datamatch_spark.extras.simsearch import cosine_topk
+
+    tile = max(10, int(1000 * sf))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    big = (
+        emb.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") * tile + F.col("copy")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x + (F.col("copy") % 13).cast("float") * F.lit(0.0001),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    queries = big.where(F.col("vec_id") % tile == 0).limit(100).localCheckpoint()
+    t0 = time.time()
+    n = cosine_topk(big, queries, k=5).count()
+    return time.time() - t0, n
+
+
+def bench_text(spark, sf_dir: str, sf: float):
+    from datamatch_spark.extras.text import (
+        with_fingerprint,
+        with_lang_id,
+        with_quality,
+        with_token_count,
+    )
+
+    tile = max(4, int(400 * sf))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("doc_id") * tile + F.col("copy")).alias("doc_id"), "text"
+        )
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    out = with_lang_id(with_quality(with_fingerprint(with_token_count(big))))
+    n = out.where(F.col("quality_score") > 0).count()
+    return time.time() - t0, n
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    spark = build_session(cpus)
+
+    queries = {}
+    t_er, n_pairs, matcher = bench_er_dedup(spark, sf)
+    queries["er_dedup"] = round(t_er, 3)
+    t_cc, n_members = bench_cc_cluster(spark, matcher)
+    queries["cc_cluster"] = round(t_cc, 3)
+    t_mh, n_mh = bench_minhash(spark, sf_dir, sf)
+    queries["minhash_dedup"] = round(t_mh, 3)
+    t_cos, n_cos = bench_cosine(spark, sf_dir, sf)
+    queries["cosine_topk"] = round(t_cos, 3)
+    t_txt, n_txt = bench_text(spark, sf_dir, sf)
+    queries["text_pipeline"] = round(t_txt, 3)
+
+    total = sum(queries.values())
+    result = {
+        "metric": "total_bench_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "pairs_scored": n_pairs,
+        "pairs_scored_per_sec": round(n_pairs / t_er, 1) if t_er > 0 else None,
+        "cluster_members": n_members,
+        "minhash_pairs": n_mh,
+        "cosine_rows": n_cos,
+        "text_rows": n_txt,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,6 +86,10 @@ class CorpusConfig:
     # "clean": entities are cliques at threshold 0.8 with unique base
     #   names -> order-insensitive, used for the strict F1>=0.99 gate.
     profile: str = "ambiguous"
+    # number of hash-derived blocking buckets in the clean profile;
+    # controls block size (and hence candidate-pair volume) at bench
+    # scale: expected block rows ~ n_docs / blk_buckets
+    blk_buckets: int = 40
 
 
 def _h(seed: int, *parts) -> int:
@@ -141,7 +145,7 @@ def _flat_doc_clean(i: int, cfg: CorpusConfig) -> dict:
         dob = date(1950 + (nh >> 16) % 50, 1 + (nh >> 24) % 12, 1 + (nh >> 32) % 28)
         agency = _AGENCY[(nh >> 40) % len(_AGENCY)]
         ent_label = -i - 1
-        blk = f"b{(nh >> 48) % 40}"
+        blk = f"b{(nh >> 48) % cfg.blk_buckets}"
     else:
         last = _LAST[entity % len(_LAST)]
         first = _FIRST[(entity // len(_LAST)) % len(_FIRST)]
@@ -156,7 +160,7 @@ def _flat_doc_clean(i: int, cfg: CorpusConfig) -> dict:
                 first = _typo_inner(first, mh >> 8)
         elif rank >= 2:
             dob = dob + timedelta(days=1 + (mh >> 24) % 12)
-        blk = "hot" if (eh >> 48) % 100 < cfg.hot_pct else f"b{eh % 40}"
+        blk = "hot" if (eh >> 48) % 100 < cfg.hot_pct else f"b{eh % cfg.blk_buckets}"
     return {
         "doc_id": f"d{i:09d}",
         "last": last,

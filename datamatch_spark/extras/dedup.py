@@ -1,0 +1,270 @@
+"""Deduplication operators for large text corpora.
+
+All stages are JVM-side DataFrame ops (explode/groupBy/join) — no
+Python in the hot path. Scale notes per operator:
+
+* exact:      one shuffle (groupBy hash). O(N).
+* n-gram Jaccard: shingle-inverted-index self-join; the ``max_df``
+  stop-shingle cap bounds the quadratic blowup of common shingles
+  (standard posting-list pruning). Skew beyond the cap is handled by
+  AQE; truly hot shingles are dropped and logged via
+  ``shingle_stats``.
+* MinHash-LSH: signatures via n_perm min-aggregates of
+  ``xxhash64(shingle, seed)`` (map-side partial agg), banding via hash
+  of signature slices, candidates from band-bucket self-join, then
+  EXACT Jaccard verification — output is LSH-recall-bounded but
+  precision-exact.
+* SimHash: 64-bit sign-sum fingerprint; near-dup candidates via
+  16-bit chunk pigeonhole banding, verified with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "shingles_expr",
+    "exact_duplicates",
+    "shingle_stats",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]
+
+
+def shingles_expr(text_col: str, n: int) -> Column:
+    """Distinct word n-grams of column ``text_col`` (space tokens)."""
+    return _shingles_expr(text_col, n)
+
+
+def _shingles_expr(text_col: str, n: int) -> Column:
+    toks = f"split({text_col}, ' ')"
+    if n == 1:
+        return F.expr(f"array_distinct({toks})")
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(canonical_id, doc_id) for every doc whose lowercased text hash
+    collides with another; canonical = min id in the group."""
+    h = df.select(F.col(id_col), F.md5(F.lower(F.col(text_col))).alias("__h"))
+    grp = h.groupBy("__h").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        h.join(grp.where(F.col("n") > 1), on="__h")
+        .select("canonical_id", F.col(id_col).alias("doc_id"))
+        .where(F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+def shingle_stats(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles_expr(text_col, n)).alias("shingle")
+    )
+    return sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """(idx_a, idx_b, jaccard) for doc pairs whose distinct word-n-gram
+    Jaccard similarity >= threshold. Inverted-index self-join;
+    shingles occurring in more than ``max_df`` docs are dropped as
+    stop-shingles (bounds the join blowup; affected pairs can only
+    LOSE intersection mass, so precision is kept by the final exact
+    filter on the pruned universe)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.explode(_shingles_expr(text_col, n)).alias("shingle")
+    )
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > max_df
+        )
+        sh = sh.join(hot, on="shingle", how="left_anti")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("__id").alias("idx_a"), "shingle")
+    b = sh.select(F.col("__id").alias("idx_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("idx_a") < F.col("idx_b"))
+        .groupBy("idx_a", "idx_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("__id").alias("idx_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("__id").alias("idx_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        common.join(sa, on="idx_a")
+        .join(sb, on="idx_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("idx_a", "idx_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, n_perm: int = 64
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures: n_perm independent
+    hash families via xxhash64(shingle, seed_i); min per family is a
+    map-side-combinable aggregate."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.explode(_shingles_expr(text_col, n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    sig = sh.groupBy("__id").agg(*aggs)
+    return sig.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(idx_a, idx_b, jaccard) near-duplicate pairs: LSH banding for
+    candidates, exact shingle-set Jaccard for verification."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, n_perm)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                ",", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+            ),
+            F.lit(b),
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *band_cols)
+    stacked = banded.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    l = stacked.select(F.col("__id").alias("idx_a"), "band", "bh")
+    r = stacked.select(F.col("__id").alias("idx_b"), "band", "bh")
+    cand = (
+        l.join(r, on=["band", "bh"])
+        .where(F.col("idx_a") < F.col("idx_b"))
+        .select("idx_a", "idx_b")
+        .dropDuplicates(["idx_a", "idx_b"])
+    )
+    # exact verification on the candidate set only
+    shing = df.select(
+        F.col(id_col).alias("__id"), _shingles_expr(text_col, n).alias("sh")
+    )
+    verified = (
+        cand.join(shing.select(F.col("__id").alias("idx_a"), F.col("sh").alias("sh_a")), on="idx_a")
+        .join(shing.select(F.col("__id").alias("idx_b"), F.col("sh").alias("sh_b")), on="idx_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "idx_a", "idx_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 2) -> DataFrame:
+    """(id, simhash long): 64-bit sign-sum fingerprint over shingle
+    hashes — 64 conditional-sum aggregates, all map-side combinable."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.explode(_shingles_expr(text_col, n)).alias("shingle")
+    ).withColumn("h", F.xxhash64("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = sh.groupBy("__id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(F.col("__id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2, max_hamming: int = 3
+) -> DataFrame:
+    """(idx_a, idx_b, hamming) pairs with simhash Hamming distance <=
+    max_hamming. Candidates by 16-bit chunk equality (pigeonhole: any
+    pair within distance 3 shares at least one of 4 chunks), verified
+    with bit_count(xor)."""
+    sh = simhash(df, id_col, text_col, n)
+    chunks = sh.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("__id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    l = chunks.select(
+        F.col("__id").alias("idx_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+    )
+    r = chunks.select(
+        F.col("__id").alias("idx_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+    )
+    cand = (
+        l.join(r, on=["chunk", "cv"])
+        .where(F.col("idx_a") < F.col("idx_b"))
+        .select("idx_a", "idx_b", "sh_a", "sh_b")
+        .dropDuplicates(["idx_a", "idx_b"])
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    )
+    return ham.where(F.col("hamming") <= max_hamming).select(
+        "idx_a", "idx_b", "hamming"
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus; the dot product is a JVM
+  ``aggregate(zip_with(...))`` fold — no Python, no shuffle except the
+  final per-query top-k window.
+* ``lsh_topk`` — random-hyperplane LSH bucketing (sign-bit codes from
+  seeded deterministic hyperplanes): candidates share the bucket code;
+  at scale this turns the N×Q scan into a bucket equi-join. Recall is
+  measured against brute force in tests.
+* ``embedding_near_dup_pairs`` — cosine near-duplicate pairs within a
+  partitioning column (e.g. label or a coarse LSH bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "cosine_topk", "lsh_topk", "embedding_near_dup_pairs"]
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cos, rank). Excludes
+    self-matches. Queries are broadcast — corpus is scanned once."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def _code_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-bit LSH code as a long, all in JVM expressions."""
+    code = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket(s).
+    The bucket equi-join replaces the full N×Q scan — the scale path.
+    ``multiprobe`` also probes every 1-bit-flip bucket of the query's
+    code (n_planes+1 probes), the standard recall lever: the query
+    side (small) is exploded, the corpus is still touched via an
+    equi-join."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _code_expr(vec_col, planes).alias("__code"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _code_expr(vec_col, planes).alias("__code"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("__code"),
+            *[
+                F.col("__code").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "__qv", F.explode(probes).alias("__code")
+        )
+    scored = (
+        c.join(q, on="__code")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """(idx_a, idx_b, cos) pairs with cosine >= threshold. With
+    ``block_col`` the self-join is per-block (e.g. label or an LSH
+    bucket); without, it is a full O(N²) scan — small corpora only."""
+    a = df.select(
+        F.col(id_col).alias("idx_a"),
+        F.col(vec_col).alias("__va"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("idx_b"),
+        F.col(vec_col).alias("__vb"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    out = (
+        joined.where(F.col("idx_a") < F.col("idx_b"))
+        .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cos") >= threshold)
+    )
+    return out.select("idx_a", "idx_b", "cos")

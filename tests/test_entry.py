@@ -1,0 +1,111 @@
+"""Local mirror of the driver's correctness gate: run every
+``queries()`` entry at sf0.01 and compare row-count + column names +
+order-insensitive values against ``oracle_sql()`` via DuckDB."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+def _compare(name, sdf, con, sql):
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = con.sql(sql)
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _norm(spark_rows, spark_cols)
+    b = _norm(duck_rows, duck_cols)
+    mismatches = [(x, y) for x, y in zip(a, b) if not _row_eq(x, y)]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def _row_eq(x, y):
+    if len(x) != len(y):
+        return False
+    for u, v in zip(x, y):
+        if isinstance(u, float) and isinstance(v, float):
+            if math.isnan(u) and math.isnan(v):
+                continue
+            if abs(u - v) > 1e-9:
+                return False
+        elif u != v:
+            return False
+    return True
+
+
+ORACLE = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_vs_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    _compare(name, sdf, duck, ORACLE[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert sdf.columns
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns[0] == "cluster_idx"

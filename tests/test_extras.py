@@ -1,0 +1,173 @@
+"""Training-data pipeline extras: dedup, simsearch, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatch_spark.corpus import CorpusConfig, generate_documents
+from datamatch_spark.extras import dedup as D
+from datamatch_spark.extras import multimodal as M
+from datamatch_spark.extras import simsearch as S
+from datamatch_spark.extras import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "el rapido zorro marron salta sobre el perro"),
+        (5, "completely different words entirely here now okay"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    got = [(r["canonical_id"], r["doc_id"]) for r in D.exact_duplicates(docs, "doc_id").collect()]
+    assert got == [(1, 3)]
+
+
+def test_ngram_jaccard_pairs(docs):
+    got = {
+        (r["idx_a"], r["idx_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", n=2, threshold=0.5).collect()
+    }
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (1, 2) in got  # one word differs -> high bigram overlap
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cfg = CorpusConfig(n_docs=0)  # unused; build text corpus manually
+    base = "w%d " * 30
+    rows = []
+    for i in range(40):
+        words = " ".join(f"w{(i // 2) * 50 + j}" for j in range(30))
+        if i % 2 == 1:
+            words = words.replace(f"w{(i // 2) * 50 + 3}", "zz", 1)  # near-dup of i-1
+        rows.append((i, words))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["idx_a"], r["idx_b"])
+        for r in D.minhash_lsh_pairs(
+            df, "doc_id", n=2, n_perm=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    want = {(2 * k, 2 * k + 1) for k in range(20)}
+    # banding with 16 bands at jaccard ~0.8 -> recall ~1
+    assert len(got & want) >= 18
+    assert not (got - want)  # precision exact (verified stage)
+
+
+def test_minhash_verification_matches_bruteforce(docs):
+    lsh = {
+        (r["idx_a"], r["idx_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(docs, "doc_id", n=2, threshold=0.5).collect()
+    }
+    brute = {
+        (r["idx_a"], r["idx_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", n=2, threshold=0.5).collect()
+    }
+    assert lsh <= brute
+
+
+def test_simhash_near_pairs(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "doc_id", n=2).collect()}
+    assert sh[1] == sh[3]  # identical text -> identical simhash
+    pairs = {
+        (r["idx_a"], r["idx_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, "doc_id", n=2, max_hamming=16).collect()
+    }
+    assert pairs[(1, 3)] == 0
+    assert (1, 5) not in pairs
+
+
+def test_text_ops(docs):
+    out = T.with_quality(T.with_fingerprint(T.with_token_count(docs))).collect()
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert r1["n_tokens"] == 9
+    assert r1["n_distinct_tokens"] == 8  # 'the' twice
+    assert len(r1["fingerprint"]) == 32
+    assert 0.0 <= r1["quality_score"] <= 1.0
+    langs = {r["doc_id"]: r["lang_pred"] for r in T.with_lang_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[4] == "es"
+    assert langs[5] == "und"
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.cosine_topk(df, df.where("vec_id = 0"), k=2).collect()
+    }
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] in (2, 3)
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    # clustered embeddings (realistic structure): 20 centers + noise
+    centers = rng.standard_normal((20, 16))
+    vecs = (centers[rng.randint(0, 20, 200)] + 0.25 * rng.standard_normal((200, 16))).astype(
+        "float32"
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where("vec_id < 10")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(df, queries, k=3, n_planes=6).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, recall  # 6-bit multiprobe on clustered data
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.999, 0.04], "a"),
+        (2, [0.0, 1.0], "a"),
+        (3, [1.0, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = {
+        (r["idx_a"], r["idx_b"])
+        for r in S.embedding_near_dup_pairs(df, 0.99, block_col="label").collect()
+    }
+    assert got == {(0, 1)}
+
+
+def test_multimodal_plumbing(spark):
+    docs = generate_documents(spark, CorpusConfig(n_docs=60, seed=5))
+    media = M.media_table_from_docs(docs)
+    m = media.collect()
+    assert all(len(bytes(r["data"])) == 256 for r in m)
+    assert {r["kind"] for r in m} <= {"image", "audio", "video"}
+    feats = M.media_features(docs, dim=8)
+    rows = feats.collect()
+    assert rows and all(len(r["features"]) == 8 for r in rows)
+    # determinism
+    again = {(r["media_ref"], tuple(r["features"])) for r in M.media_features(docs, dim=8).collect()}
+    assert {(r["media_ref"], tuple(r["features"])) for r in rows} == again
+
+
+def test_decode_real_is_stubbed(spark):
+    docs = generate_documents(spark, CorpusConfig(n_docs=10, seed=5))
+    media = M.media_table_from_docs(docs)
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media, codec="real")
