@@ -73,19 +73,84 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "idx_a", dst: str = "idx_b", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "idx_a",
+    dst: str = "idx_b",
+    max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return DataFrame[node, component] for every node incident to an
-    edge; ``component`` is the minimum node id of the component."""
+    edge; ``component`` is the minimum node id of the component.
+
+    Hybrid execution (same spirit as broadcast joins): a graph whose
+    edge count is below ``driver_threshold`` is solved with driver-side
+    union-find — one collect instead of O(log n) shuffle rounds, a big
+    win because post-threshold match graphs are usually tiny relative
+    to the pair set. Larger graphs run the distributed alternating
+    large-star/small-star loop."""
     e = _canon(edges, src, dst).localCheckpoint()
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        changed = not e2.exceptAll(e).isEmpty() or not e.exceptAll(e2).isEmpty()
-        e = e2
-        if not changed:
-            break
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    def _signature(df: DataFrame):
+        # one tiny job per round instead of two exceptAll shuffles:
+        # (edge count, order-insensitive hash sum) identifies the set
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _signature(e)
+    spark = edges.sparkSession
+    if sig[0] <= driver_threshold:
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in pairs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        rows = [(n, find(n)) for n in parent]
+        node_type = e.schema["u"].dataType
+        out_schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("component", node_type)]
+        )
+        return spark.createDataFrame(rows, schema=out_schema)
+
+    # size the per-round shuffles to the edge count — after blocking
+    # the graph is usually tiny relative to the pair set, and running
+    # each star round at full session parallelism is pure scheduling
+    # overhead (every round is 2 shuffles × many near-empty tasks)
+    default_par = spark.sparkContext.defaultParallelism
+    n_parts = max(2, min(default_par, (sig[0] or 1) // 50_000 + 1))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        if sig[0] and n_parts < default_par:
+            e = e.repartition(n_parts).localCheckpoint()
+        for _ in range(max_iter):
+            e2 = _small_star(_large_star(e)).localCheckpoint()
+            sig2 = _signature(e2)
+            e = e2
+            if sig2 == sig:
+                break
+            sig = sig2
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # fixpoint: every edge is (component_root, node)
     labels = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
@@ -139,11 +204,10 @@ def split_cliques(pairs_with_component: DataFrame) -> DataFrame:
         ]
     )
 
-    def split_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        comp = pdf["component"].iloc[0]
+    def _split_component(comp, edges):
         adjacency: dict = {}
         scores: dict = {}
-        for sim, ia, ib in zip(pdf["sim_score"], pdf["idx_a"], pdf["idx_b"]):
+        for sim, ia, ib in edges:
             adjacency.setdefault(ia, set()).add(ib)
             adjacency.setdefault(ib, set()).add(ia)
             scores[(ia, ib) if ia <= ib else (ib, ia)] = sim
@@ -154,11 +218,30 @@ def split_cliques(pairs_with_component: DataFrame) -> DataFrame:
             for i, a in enumerate(ms):
                 for b in ms[i + 1 :]:
                     rows.append((cid, scores[(a, b)], a, b))
-        return pd.DataFrame(rows, columns=["cluster_id", "sim_score", "idx_a", "idx_b"])
+        return rows
 
-    return pairs_with_component.groupBy("component").applyInPandas(
-        split_one, schema=out_schema
+    # one JVM aggregation packs each component's edge list into a row;
+    # Python then sees thousands of components per Arrow batch instead
+    # of paying per-group applyInPandas overhead on millions of tiny
+    # components
+    packed = pairs_with_component.groupBy("component").agg(
+        F.collect_list(F.struct("sim_score", "idx_a", "idx_b")).alias("edges")
     )
+
+    def split_batches(batches):
+        for pdf in batches:
+            rows = []
+            for comp, edges in zip(pdf["component"], pdf["edges"]):
+                rows.extend(
+                    _split_component(
+                        comp, [(e["sim_score"], e["idx_a"], e["idx_b"]) for e in edges]
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["cluster_id", "sim_score", "idx_a", "idx_b"]
+            )
+
+    return packed.mapInPandas(split_batches, schema=out_schema)
 
 
 def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:

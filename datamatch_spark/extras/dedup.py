@@ -44,10 +44,38 @@ def _shingles_expr(text_col: str, n: int) -> Column:
     toks = f"split({text_col}, ' ')"
     if n == 1:
         return F.expr(f"array_distinct({toks})")
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] and feed
+    # slice() a zero start — short docs get an empty shingle set instead
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f"case when size({toks}) < {n} then array() "
+        f"else array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) end"
     )
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, n: int, out_col: str
+) -> DataFrame:
+    """Adds ``out_col``: distinct word-n-gram hashes (array<long>)
+    WITHOUT materializing shingle strings — tokens are hashed once,
+    each n-gram hash mixes its n token hashes (multi-arg xxhash64).
+    ~n× less string work than building shingle strings; this is the
+    hot path for MinHash/SimHash at corpus scale. Two projections so
+    the token-hash array is computed once (Catalyst does not collapse
+    non-cheap aliases referenced repeatedly)."""
+    tmp = f"__tokh_{out_col}"
+    out = df.withColumn(
+        tmp, F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))")
+    )
+    if n == 1:
+        return out.withColumn(out_col, F.array_distinct(F.col(tmp))).drop(tmp)
+    args = ", ".join(f"{tmp}[i + {j}]" for j in range(n))
+    gram = (
+        f"case when size({tmp}) < {n} then cast(array() as array<bigint>) "
+        f"else array_distinct(transform(sequence(0, size({tmp}) - {n}), "
+        f"i -> xxhash64({args}))) end"
+    )
+    return out.withColumn(out_col, F.expr(gram)).drop(tmp)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -122,14 +150,16 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, n_perm: int = 64
 ) -> DataFrame:
-    """(id, sig array<long>) MinHash signatures: n_perm independent
-    hash families via xxhash64(shingle, seed_i); min per family is a
-    map-side-combinable aggregate."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(_shingles_expr(text_col, n)).alias("shingle")
-    )
+    """(id, sig array<long>) MinHash signatures.
+
+    Shingles are hashed token-rolling longs (with_shingle_hashes, no
+    shingle strings); the n_perm hash families rehash that 8-byte long
+    with per-family seeds. Mins are map-side-combinable aggregates."""
+    sh = with_shingle_hashes(
+        df.select(F.col(id_col).alias("__id"), text_col), text_col, n, "__sh"
+    ).select("__id", F.explode("__sh").alias("__h0"))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("__h0"), F.lit(i))).alias(f"h{i}")
         for i in range(n_perm)
     ]
     sig = sh.groupBy("__id").agg(*aggs)
@@ -145,13 +175,34 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     n_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.7,
+    est_margin: float = 0.12,
 ) -> DataFrame:
     """(idx_a, idx_b, jaccard) near-duplicate pairs: LSH banding for
-    candidates, exact shingle-set Jaccard for verification."""
+    candidates, signature-estimate prefilter, exact hashed-shingle
+    Jaccard for verification (precision-exact up to 64-bit hash
+    collisions).
+
+    ``bands`` defaults to the largest power-of-two band count whose
+    S-curve midpoint (1/b)^(r/n_perm-ish) sits at/under ``threshold`` —
+    mismatched banding floods verification with sub-threshold
+    candidates (the classic LSH cost cliff). The estimate prefilter
+    (fraction of equal signature components >= threshold-est_margin)
+    kills most false candidates with 64 long comparisons before the
+    set-intersection pass; at 64 perms the estimate's σ ≈ 0.04, so the
+    default margin costs <1% recall at the threshold."""
+    if bands is None:
+        bands = 2
+        while True:
+            nb = bands * 2
+            r = n_perm // nb
+            if r < 2 or (1.0 / nb) ** (1.0 / r) > threshold:
+                break
+            bands = nb
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n, n_perm)
+    sigs = sigs.localCheckpoint()
     band_cols = [
         F.xxhash64(
             F.concat_ws(
@@ -181,10 +232,32 @@ def minhash_lsh_pairs(
         .select("idx_a", "idx_b")
         .dropDuplicates(["idx_a", "idx_b"])
     )
-    # exact verification on the candidate set only
-    shing = df.select(
-        F.col(id_col).alias("__id"), _shingles_expr(text_col, n).alias("sh")
+    # cheap signature-estimate prefilter (64 long comparisons/pair)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / float(n_perm)
     )
+    cand = (
+        cand.join(
+            sigs.select(F.col(id_col).alias("idx_a"), F.col("sig").alias("sig_a")),
+            on="idx_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("idx_b"), F.col("sig").alias("sig_b")),
+            on="idx_b",
+        )
+        .where(est >= threshold - est_margin)
+        .select("idx_a", "idx_b")
+    )
+    # exact verification on hashed (long) shingle sets
+    shing = with_shingle_hashes(
+        df.select(F.col(id_col).alias("__id"), text_col), text_col, n, "sh"
+    ).select("__id", "sh")
     verified = (
         cand.join(shing.select(F.col("__id").alias("idx_a"), F.col("sh").alias("sh_a")), on="idx_a")
         .join(shing.select(F.col("__id").alias("idx_b"), F.col("sh").alias("sh_b")), on="idx_b")
@@ -205,9 +278,9 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 2) -> DataFrame:
     """(id, simhash long): 64-bit sign-sum fingerprint over shingle
     hashes — 64 conditional-sum aggregates, all map-side combinable."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(_shingles_expr(text_col, n)).alias("shingle")
-    ).withColumn("h", F.xxhash64("shingle"))
+    sh = with_shingle_hashes(
+        df.select(F.col(id_col).alias("__id"), text_col), text_col, n, "__sh"
+    ).select("__id", F.explode("__sh").alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -43,25 +43,73 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    margin: int = 8,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cos, rank). Excludes
-    self-matches. Queries are broadcast — corpus is scanned once."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    self-matches.
+
+    Scale shape: the (small, broadcast) query matrix hits each corpus
+    partition as one BLAS matmul inside ``mapInPandas``; each partition
+    emits only its local top-(k+margin) per query (combiner pattern),
+    so the shuffle is O(partitions × queries × k), never the full
+    score matrix. The final window ranks the union exactly (rounded
+    cos DESC, neighbor_id ASC); ``margin`` absorbs round-induced ties
+    at the local cut."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, neighbor_id long, cos double, rank int"
+        )
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((qids, Qn))
+    take = k + margin
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def part(batches):
+        bqids, bQn = bc.value
+        nq = len(bqids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cn = C / np.maximum(
+                    np.linalg.norm(C, axis=1, keepdims=True), 1e-300
+                )
+                S = Cn @ bQn.T  # batch × nq
+            out_q, out_n, out_c = [], [], []
+            m = min(take, S.shape[0])
+            for j in range(nq):
+                s = S[:, j]
+                if m < S.shape[0]:
+                    cut = np.argpartition(-s, m - 1)[:m]
+                else:
+                    cut = np.arange(S.shape[0])
+                for i in cut:
+                    if ids[i] == bqids[j]:
+                        continue
+                    out_q.append(bqids[j])
+                    out_n.append(ids[i])
+                    out_c.append(s[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    cand = corpus.mapInPandas(
+        part, schema=f"query_id {id_type}, neighbor_id {id_type}, cos double"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
-    )
+    cand = cand.withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -57,6 +57,12 @@ class ThresholdMatcher:
         (pairers.py:84-91). Disable for production-scale runs where the
         key is known unique.
     :param defer: don't materialize scores at construction time.
+    :param score_partitions: optional extra round-robin repartition of
+        the pair frame before scoring. Default None: pair generation
+        already repartitions the cheap keyed side pre-blowup
+        (PairingConfig.target_partitions), so pairs and scoring run
+        wide with no post-join shuffle; set a number only when a custom
+        pairing path leaves the pair frame under-partitioned.
     """
 
     def __init__(
@@ -72,6 +78,8 @@ class ThresholdMatcher:
         validate: bool = True,
         defer: bool = False,
         checkpoint_dir: str | None = None,
+        score_partitions: int | str | None = None,
+        metrics_sink=None,
     ) -> None:
         self._mode = MODE_DEDUP if dfb is None else MODE_MATCH
         self._index = index
@@ -83,6 +91,8 @@ class ThresholdMatcher:
         self._row_key = row_key
         self._cfg = pairing_config or PairingConfig()
         self._checkpoint_dir = checkpoint_dir
+        self._score_partitions = score_partitions
+        self._metrics_sink = metrics_sink
         self._scored: DataFrame | None = None
         self._n_candidate_pairs: int | None = None
 
@@ -148,6 +158,11 @@ class ThresholdMatcher:
         rec_schema = pairs.schema["a"].dataType
         for flt in self._filters:
             pairs = pairs.where(flt.predicate("a", "b", rec_schema))
+        if self._score_partitions is not None:
+            n_parts = self._score_partitions
+            if n_parts == "auto":
+                n_parts = 2 * self._dfa.sparkSession.sparkContext.defaultParallelism
+            pairs = pairs.repartition(n_parts)
         if not self._variator.is_noop:
             fields = rec_schema.fieldNames()
             pairs = pairs.withColumn(
@@ -155,9 +170,7 @@ class ThresholdMatcher:
             ).withColumn("b", F.explode(self._variator.variants(F.col("b"), fields)))
         ctx = CompileCtx(df=pairs)
         score = self._scorer.compile(ctx)
-        scored = ctx.df.withColumn("sim_score", score.cast("double")).where(
-            F.col("sim_score").isNotNull()
-        )
+        scored = ctx.df.withColumn("sim_score", score.cast("double"))
         if self._variator.is_noop:
             scored = scored.select("idx_a", "idx_b", "sim_score")
         else:
@@ -165,23 +178,57 @@ class ThresholdMatcher:
             scored = scored.groupBy("idx_a", "idx_b").agg(
                 F.max("sim_score").alias("sim_score")
             )
-        if self._mode == MODE_MATCH:
-            scored = greedy_one_to_one(scored)
+        # NOTE: the NULL-score (refusal) drop and match-mode greedy
+        # pruning are applied AFTER materialization (scored_pairs):
+        # a filter over the UDF-derived sim_score in the same plan gets
+        # pushed below the scoring repartition and doubles every UDF
+        # evaluation.
         return scored
 
-    def _materialize(self, df: DataFrame) -> DataFrame:
+    def _materialize(self, df: DataFrame, stage: str) -> DataFrame:
         if self._checkpoint_dir:
             from .checkpointing import StageManifest
 
             manifest = StageManifest(self._checkpoint_dir)
-            return manifest.materialize("scored_pairs", df, df.sparkSession)
+            return manifest.materialize(stage, df, df.sparkSession)
         return df.localCheckpoint()
 
     @property
     def scored_pairs(self) -> DataFrame:
-        """(idx_a, idx_b, sim_score) — materialized once."""
+        """(idx_a, idx_b, sim_score) — materialized once; refused
+        (NULL) scores dropped; match mode greedily 1:1-pruned."""
         if self._scored is None:
-            self._scored = self._materialize(self._build_scored())
+            import time as _time
+
+            t0 = _time.time()
+            scored = self._materialize(self._build_scored(), "scored_raw")
+            wall_ms = (_time.time() - t0) * 1000.0
+            if self._scorer.can_refuse:
+                scored = scored.where(F.col("sim_score").isNotNull())
+            if self._mode == MODE_MATCH:
+                scored = greedy_one_to_one(scored)
+                if self._checkpoint_dir:
+                    scored = self._materialize(scored, "scored_pruned")
+            self._scored = scored
+            if self._metrics_sink is not None:
+                # north rule: per-partition lineage + per-block
+                # candidate-pair counts written alongside results
+                from .pairing import block_statistics, keyed_side
+
+                self._metrics_sink.record_partitions(
+                    "scored_pairs", self._scored, wall_ms=wall_ms
+                )
+                side = keyed_side(
+                    self._dfa,
+                    self._index,
+                    self._row_key,
+                    self._needed_columns(),
+                    "idx",
+                    "rec",
+                )
+                self._metrics_sink.record_blocks(
+                    "blocking", block_statistics(side, dedup=self._dfb is None)
+                )
         return self._scored
 
     @property

@@ -39,13 +39,27 @@ __all__ = ["PairingConfig", "keyed_side", "candidate_pairs", "block_statistics"]
 
 @dataclass
 class PairingConfig:
-    # block row count above which the block is salted
-    salt_threshold: int = 50_000
-    # target rows per salt shard (per-task pair output ≈ this squared)
-    rows_per_shard: int = 20_000
+    # block row count above which the block is salted; also the default
+    # per-task row budget for unsalted blocks
+    salt_threshold: int = 5_000
+    # target rows per salt shard. The real budget is PAIR OUTPUT per
+    # task ~= rows_per_shard²/2 (~2M pairs at the default) — a shard
+    # too large serializes pair generation for the hot block into a
+    # handful of tasks and caps cluster scaling.
+    rows_per_shard: int = 2_000
     # hard cap on distinct hot keys pulled to the driver
     max_hot_keys: int = 100_000
     salt_enabled: bool = True
+    # partition count for the LEFT keyed side of the pair join.
+    # None = 2×defaultParallelism. This is the knob that keeps pair
+    # generation parallel: the keyed sides are small (ids + keys), so
+    # Catalyst broadcasts the join and AQE sizes partitions by the
+    # pre-join input bytes — the 10-100× pair blowup then lands in a
+    # handful of partitions. Explicitly hash-repartitioning the cheap
+    # input side (REPARTITION_BY_NUM is never coalesced by AQE) makes
+    # the blowup AND the downstream scoring UDFs run wide, with no
+    # post-join shuffle of the fat pair rows at all.
+    target_partitions: int | None = None
 
 
 def keyed_side(
@@ -89,12 +103,18 @@ def _hot_blocks(side: DataFrame, cfg: PairingConfig):
     return [(r[BLOCK_KEY], max(2, -(-r["n"] // cfg.rows_per_shard))) for r in rows]
 
 
-def _dedup_pairs_plain(side: DataFrame) -> DataFrame:
+def _n_parts(side: DataFrame, cfg: PairingConfig) -> int:
+    if cfg.target_partitions is not None:
+        return cfg.target_partitions
+    return 2 * side.sparkSession.sparkContext.defaultParallelism
+
+
+def _dedup_pairs_plain(side: DataFrame, cfg: PairingConfig) -> DataFrame:
     left = side.select(
         F.col(BLOCK_KEY),
         F.col("idx").alias("idx_a"),
         F.col("rec").alias("a"),
-    )
+    ).repartition(_n_parts(side, cfg), F.col(BLOCK_KEY))
     right = side.select(
         F.col(BLOCK_KEY),
         F.col("idx").alias("idx_b"),
@@ -103,7 +123,7 @@ def _dedup_pairs_plain(side: DataFrame) -> DataFrame:
     return left.join(right, on=BLOCK_KEY).where(F.col("idx_a") < F.col("idx_b"))
 
 
-def _dedup_pairs_salted(side: DataFrame, hot: list, spark) -> DataFrame:
+def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -> DataFrame:
     hot_df = F.broadcast(
         spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __s int")
     )
@@ -116,7 +136,7 @@ def _dedup_pairs_salted(side: DataFrame, hot: list, spark) -> DataFrame:
         F.explode(F.expr("sequence(__shard, __s - 1)")).alias("__tgt"),
         F.col("idx").alias("idx_l"),
         F.col("rec").alias("rec_l"),
-    )
+    ).repartition(_n_parts(side, cfg), F.col(BLOCK_KEY), F.col("__tgt"))
     right = tagged.select(
         F.col(BLOCK_KEY),
         F.col("__shard").alias("__tgt"),
@@ -136,10 +156,10 @@ def _dedup_pairs_salted(side: DataFrame, hot: list, spark) -> DataFrame:
     )
 
 
-def _match_pairs_plain(side_a: DataFrame, side_b: DataFrame) -> DataFrame:
+def _match_pairs_plain(side_a: DataFrame, side_b: DataFrame, cfg: PairingConfig) -> DataFrame:
     left = side_a.select(
         F.col(BLOCK_KEY), F.col("idx").alias("idx_a"), F.col("rec").alias("a")
-    )
+    ).repartition(_n_parts(side_a, cfg), F.col(BLOCK_KEY))
     right = side_b.select(
         F.col(BLOCK_KEY), F.col("idx").alias("idx_b"), F.col("rec").alias("b")
     )
@@ -147,7 +167,7 @@ def _match_pairs_plain(side_a: DataFrame, side_b: DataFrame) -> DataFrame:
 
 
 def _match_pairs_salted(
-    side_a: DataFrame, side_b: DataFrame, hot: list, spark
+    side_a: DataFrame, side_b: DataFrame, hot: list, spark, cfg: PairingConfig
 ) -> DataFrame:
     hot_df = F.broadcast(
         spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __s int")
@@ -161,6 +181,7 @@ def _match_pairs_salted(
             F.col("idx").alias("idx_a"),
             F.col("rec").alias("a"),
         )
+        .repartition(_n_parts(side_a, cfg), F.col(BLOCK_KEY), F.col("__shard"))
     )
     right = (
         side_b.join(hot_df, on=BLOCK_KEY)
@@ -197,12 +218,12 @@ def candidate_pairs(
     if dedup:
         hot = _hot_blocks(side_a, cfg) if cfg.salt_enabled else []
         if not hot:
-            pairs = _dedup_pairs_plain(side_a)
+            pairs = _dedup_pairs_plain(side_a, cfg)
         else:
             hot_keys = [k for k, _ in hot]
             cold = side_a.where(~F.col(BLOCK_KEY).isin(hot_keys))
-            pairs = _dedup_pairs_plain(cold).unionByName(
-                _dedup_pairs_salted(side_a, hot, spark)
+            pairs = _dedup_pairs_plain(cold, cfg).unionByName(
+                _dedup_pairs_salted(side_a, hot, spark, cfg)
             )
     else:
         side_b = keyed_side(dfb, index, row_key, needed_cols, "idx", "rec")
@@ -221,13 +242,13 @@ def candidate_pairs(
         else:
             hot = []
         if not hot:
-            pairs = _match_pairs_plain(side_a, side_b)
+            pairs = _match_pairs_plain(side_a, side_b, cfg)
         else:
             hot_keys = [k for k, _ in hot]
             cold_a = side_a.where(~F.col(BLOCK_KEY).isin(hot_keys))
             cold_b = side_b.where(~F.col(BLOCK_KEY).isin(hot_keys))
-            pairs = _match_pairs_plain(cold_a, cold_b).unionByName(
-                _match_pairs_salted(side_a, side_b, hot, spark)
+            pairs = _match_pairs_plain(cold_a, cold_b, cfg).unionByName(
+                _match_pairs_salted(side_a, side_b, hot, spark, cfg)
             )
 
     pairs = pairs.drop(BLOCK_KEY)

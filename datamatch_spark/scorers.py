@@ -75,6 +75,13 @@ class CompileCtx:
 class BaseScorer:
     """Compiles to a DoubleType Column; NULL means refuse-to-score."""
 
+    #: True when this scorer can evaluate to NULL (refuse). When False
+    #: the matcher skips the NULL-score filter entirely — important
+    #: because a filter over a UDF column would be pushed below the
+    #: scoring repartition and make Catalyst evaluate every scoring
+    #: UDF twice.
+    can_refuse: bool = True
+
     def compile(self, ctx: CompileCtx) -> Column:  # pragma: no cover - abstract
         raise NotImplementedError
 
@@ -87,6 +94,8 @@ class SimSumScorer(BaseScorer):
     name — reference scorers.py:44-69): ``sqrt(Σ sim_k² / n_fields)``;
     a null on either side contributes 0 for that field."""
 
+    can_refuse = False
+
     def __init__(self, fields: dict[str, BaseSimilarity]) -> None:
         self._fields = dict(fields)
 
@@ -98,6 +107,8 @@ class SimSumScorer(BaseScorer):
         for k in self._fields:
             if k not in names:
                 raise KeyError(k)
+        if all(callable(getattr(s, "batch", None)) for s in self._fields.values()):
+            return self._compile_fused(ctx)
         sq_terms = []
         for k, simcls in self._fields.items():
             va, vb = ctx.acol(k), ctx.bcol(k)
@@ -109,6 +120,37 @@ class SimSumScorer(BaseScorer):
         for t_ in sq_terms[1:]:
             total = total + t_
         return F.sqrt(total / float(len(self._fields)))
+
+    def _compile_fused(self, ctx: CompileCtx) -> Column:
+        """One Arrow pandas UDF for the whole record score: a single
+        JVM↔Python exchange instead of one per field — the per-field
+        UDF plan ships every scored column through Arrow separately and
+        pays a pipe round-trip each, which dominates multi-field
+        scoring cost. Null fields contribute 0 (reference
+        scorers.py:64-65)."""
+        import numpy as np
+
+        items = list(self._fields.items())
+        sims = [s for _, s in items]
+        n_fields = float(len(items))
+
+        @pandas_udf("double")
+        def fused(*cols: pd.Series) -> pd.Series:
+            n = len(cols[0])
+            acc = np.zeros(n, dtype=np.float64)
+            for i, sim in enumerate(sims):
+                a, b = cols[2 * i], cols[2 * i + 1]
+                mask = (a.isna() | b.isna()).to_numpy()
+                vals = np.asarray(sim.batch(a, b), dtype=np.float64)
+                vals = np.where(mask, 0.0, vals)
+                acc += vals * vals
+            return pd.Series(np.sqrt(acc / n_fields))
+
+        args = []
+        for k, _ in items:
+            args.append(ctx.acol(k))
+            args.append(ctx.bcol(k))
+        return fused(*args)
 
 
 class AbsoluteScorer(BaseScorer):
@@ -139,6 +181,9 @@ class AbsoluteScorer(BaseScorer):
 class _Composite(BaseScorer):
     def __init__(self, scorers: list[BaseScorer]) -> None:
         self._scorers = list(scorers)
+        # greatest/least ignore NULLs: the composite refuses only when
+        # every child refuses
+        self.can_refuse = all(s.can_refuse for s in self._scorers)
 
     def required_columns(self) -> set[str]:
         out: set[str] = set()
@@ -180,6 +225,7 @@ class AlterScorer(BaseScorer):
 
     def __init__(self, scorer: BaseScorer, values, alter) -> None:
         self._scorer = scorer
+        self.can_refuse = scorer.can_refuse
         self._values = values
         self._alter = alter
 
@@ -227,6 +273,8 @@ class FuncScorer(BaseScorer):
     b: pd.Series) -> float`` with ``.name`` = row key) at row-at-a-time
     Python speed — tests/small data only.
     """
+
+    can_refuse = False  # contract: the callback returns floats
 
     def __init__(self, cb, per_row: bool = False, columns: set[str] | None = None) -> None:
         self._cb = cb

@@ -19,6 +19,7 @@ UDFs are still null-safe.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -60,7 +61,16 @@ def _jw_udf(prefix_weight: float, max_len=None):
 
 
 class BaseSimilarity:
-    """A field similarity: scalar ``sim`` + Spark Column ``expr``."""
+    """A field similarity: scalar ``sim`` + Spark Column ``expr``.
+
+    Similarities that also implement ``batch(a, b) -> np.ndarray``
+    (null positions may hold any value — the caller masks them) can be
+    FUSED by SimSumScorer into a single Arrow pandas UDF: one
+    JVM↔Python exchange for the whole record score instead of one per
+    field, which is the dominant cost of multi-field scoring.
+    """
+
+    batch = None  # type: ignore[assignment]
 
     def sim(self, a, b) -> float:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -83,6 +93,11 @@ class StringSimilarity(BaseSimilarity):
     def sim(self, a: str, b: str) -> float:
         return kernels.lev_ratio(unidecode_ascii(a), unidecode_ascii(b))
 
+    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        xs = [unidecode_ascii(x) if x is not None else "" for x in a]
+        ys = [unidecode_ascii(y) if y is not None else "" for y in b]
+        return kernels.lev_ratio_batch(xs, ys, max_len=self._max_len)
+
     def expr(self, a: Column, b: Column) -> Column:
         return _ratio_udf(self._max_len)(a.cast("string"), b.cast("string"))
 
@@ -96,6 +111,11 @@ class JaroWinklerSimilarity(BaseSimilarity):
 
     def sim(self, a: str, b: str) -> float:
         return kernels.jaro_winkler(unidecode_ascii(a), unidecode_ascii(b), self._prefix_weight)
+
+    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        xs = [unidecode_ascii(x) if x is not None else "" for x in a]
+        ys = [unidecode_ascii(y) if y is not None else "" for y in b]
+        return kernels.jaro_winkler_batch(xs, ys, self._prefix_weight, max_len=self._max_len)
 
     def expr(self, a: Column, b: Column) -> Column:
         return _jw_udf(self._prefix_weight, self._max_len)(a.cast("string"), b.cast("string"))
@@ -112,6 +132,14 @@ class AbsoluteNumericalSimilarity(BaseSimilarity):
         if d < self._d_max:
             return 1 - d / self._d_max
         return 0
+
+    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        av = pd.to_numeric(a, errors="coerce").to_numpy(dtype=np.float64)
+        bv = pd.to_numeric(b, errors="coerce").to_numpy(dtype=np.float64)
+        d = np.abs(av - bv)
+        with np.errstate(invalid="ignore"):
+            out = np.where(d < self._d_max, 1.0 - d / self._d_max, 0.0)
+        return np.nan_to_num(out, nan=0.0)
 
     def expr(self, a: Column, b: Column) -> Column:
         d = F.abs(a.cast("double") - b.cast("double"))
@@ -131,6 +159,14 @@ class RelativeNumericalSimilarity(BaseSimilarity):
             return 1 - pc / self._pc_max
         return 0
 
+    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        av = pd.to_numeric(a, errors="coerce").to_numpy(dtype=np.float64)
+        bv = pd.to_numeric(b, errors="coerce").to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pc = np.abs(av - bv) / np.maximum(np.abs(av), np.abs(bv)) * 100.0
+            out = np.where(pc < self._pc_max, 1.0 - pc / self._pc_max, 0.0)
+        return np.nan_to_num(out, nan=0.0)
+
     def expr(self, a: Column, b: Column) -> Column:
         ad, bd = a.cast("double"), b.cast("double")
         pc = F.abs(ad - bd) / F.greatest(F.abs(ad), F.abs(bd)) * 100.0
@@ -149,6 +185,28 @@ class DateSimilarity(BaseSimilarity):
 
     def sim(self, a, b) -> float:
         return kernels.date_similarity(a, b, self._d_max)
+
+    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        ad = pd.to_datetime(a, errors="coerce")
+        bd = pd.to_datetime(b, errors="coerce")
+        days = np.abs((ad - bd) / np.timedelta64(1, "D")).to_numpy(dtype=np.float64)
+        days = np.floor(days)  # timestamp-safe: whole-day difference
+        ya, yb = ad.dt.year.to_numpy(float), bd.dt.year.to_numpy(float)
+        ma, mb = ad.dt.month.to_numpy(float), bd.dt.month.to_numpy(float)
+        da, db = ad.dt.day.to_numpy(float), bd.dt.day.to_numpy(float)
+        out = np.zeros(len(a), dtype=np.float64)
+        stage1 = days < self._d_max
+        out = np.where(stage1, 1.0 - days / self._d_max, out)
+        same_year = ya == yb
+        stage2 = ~stage1 & same_year & (ma == db) & (da == mb)
+        out = np.where(stage2, 0.5, out)
+        stage3 = ~stage1 & ~stage2 & same_year & (da == db)
+        idx = np.nonzero(stage3)[0]
+        if idx.size:
+            fa = ad.iloc[idx].dt.strftime("%Y%m%d").tolist()
+            fb = bd.iloc[idx].dt.strftime("%Y%m%d").tolist()
+            out[idx] = kernels.lev_ratio_batch(fa, fb)
+        return np.nan_to_num(out, nan=0.0)
 
     def expr(self, a: Column, b: Column) -> Column:
         ad, bd = a.cast("date"), b.cast("date")

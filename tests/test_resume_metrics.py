@@ -1,0 +1,88 @@
+"""Resumability (stage manifest kill/resume) and the metrics sink."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatch_spark import (
+    AbsoluteNumericalSimilarity,
+    ColumnsIndex,
+    JaroWinklerSimilarity,
+    ThresholdMatcher,
+)
+from datamatch_spark.checkpointing import StageManifest
+from datamatch_spark.corpus import CorpusConfig, generate_documents, project_fields
+from datamatch_spark.metrics import MetricsSink
+
+
+@pytest.fixture()
+def fields(spark):
+    cfg = CorpusConfig(n_docs=240, seed=21, profile="clean")
+    return project_fields(generate_documents(spark, cfg)).drop("spans")
+
+
+def _matcher(fields, **kw):
+    return ThresholdMatcher(
+        ColumnsIndex("blk"),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        fields,
+        row_key="doc_id",
+        validate=False,
+        **kw,
+    )
+
+
+def test_checkpoint_resume(spark, fields, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    m1 = _matcher(fields, checkpoint_dir=ckpt)
+    first = sorted(
+        (r["idx_a"], r["idx_b"], round(r["sim_score"], 9))
+        for r in m1.scored_pairs.collect()
+    )
+    manifest = json.loads(open(os.path.join(ckpt, "manifest.json")).read())
+    assert "scored_pairs" not in manifest["stages"]  # staged as scored_raw
+    assert "scored_raw" in manifest["stages"]
+
+    # simulate a restarted driver: a NEW matcher over a CORRUPTED input
+    # frame must NOT recompute — it resumes from the committed stage
+    poisoned = fields.limit(0)
+    m2 = _matcher(poisoned, checkpoint_dir=ckpt, defer=True)
+    second = sorted(
+        (r["idx_a"], r["idx_b"], round(r["sim_score"], 9))
+        for r in m2.scored_pairs.collect()
+    )
+    assert second == first
+
+    # resetting the stage forces recompute (now from the empty frame)
+    StageManifest(ckpt).reset("scored_raw")
+    m3 = _matcher(poisoned, checkpoint_dir=ckpt, defer=True)
+    assert m3.scored_pairs.count() == 0
+
+
+def test_metrics_sink(spark, fields, tmp_path):
+    sink = MetricsSink(spark, str(tmp_path / "metrics"))
+    m = _matcher(fields, metrics_sink=sink)
+    n = m.scored_pairs.count()
+    parts = sink.partitions().where(F.col("stage") == "scored_pairs")
+    assert parts.agg(F.sum("n_rows")).collect()[0][0] == n
+    assert parts.count() >= 1
+    blocks = sink.blocks().where(F.col("stage") == "blocking")
+    total_rows = blocks.agg(F.sum("n_rows")).collect()[0][0]
+    assert total_rows == fields.count()
+    # every block's pair count is n*(n-1)/2
+    bad = blocks.where(
+        F.col("n_pairs") != (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long")
+    ).count()
+    assert bad == 0
+
+
+def test_metrics_sink_second_run_appends(spark, fields, tmp_path):
+    sink = MetricsSink(spark, str(tmp_path / "metrics2"))
+    _matcher(fields, metrics_sink=sink).scored_pairs.count()
+    n1 = sink.partitions().count()
+    sink2 = MetricsSink(spark, str(tmp_path / "metrics2"))
+    _matcher(fields, metrics_sink=sink2).scored_pairs.count()
+    assert sink.partitions().count() > n1  # append-only across runs
+    assert sink.partitions().select("run_id").distinct().count() == 2
