@@ -196,6 +196,75 @@ def q_all_pairs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multiindex_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiIndex OR mode (§2.2): union of sub-index key sets with
+    merge-by-equal-key; pairs deduped across buckets."""
+    from datamatch_spark import ColumnsIndex, MultiIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    idx = MultiIndex([ColumnsIndex("lang"), ColumnsIndex("source")])
+    pairs = candidate_pairs(docs, idx, "doc_id", ["n_chars"])
+    return pairs.select("idx_a", "idx_b")
+
+
+def q_multiindex_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiIndex AND mode (§2.2): composite keys — pairs must share a
+    bucket under every child index."""
+    from datamatch_spark import ColumnsIndex, MultiIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    idx = MultiIndex(
+        [ColumnsIndex("lang"), ColumnsIndex("source")], combine_keys=True
+    )
+    pairs = candidate_pairs(docs, idx, "doc_id", ["n_chars"])
+    return pairs.select("idx_a", "idx_b")
+
+
+def q_sample_pairs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_sample_pairs report (§2.8): per score range, the
+    sample_counts LOWEST-scored pairs, printed descending."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    docs = _docs(spark, sf_dir).where(F.col("lang") == "de")
+    m = ThresholdMatcher(
+        ColumnsIndex("source"),
+        {"n_chars": AbsoluteNumericalSimilarity(40)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    rep = m.get_sample_pairs(sample_counts=3, lower_bound=0.7, upper_bound=1.0, step=0.1)
+    return rep.select(
+        "score_range",
+        "pair_idx",
+        F.round("sim_score", 6).alias("sim_score"),
+        F.col("row_key").alias("doc_id"),
+        "n_chars",
+    )
+
+
+def q_date_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateSimilarity over orders (§2.5; rows-only — stage 3 uses the
+    indel-ratio kernel, which DuckDB SQL cannot reproduce)."""
+    from datamatch_spark import ColumnsIndex, DateSimilarity, ThresholdMatcher
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "odate", F.col("o_orderdate").cast("date")
+    )
+    m = ThresholdMatcher(
+        ColumnsIndex(["o_orderpriority", "o_custkey"]),
+        {"odate": DateSimilarity(30)},
+        orders,
+        row_key="o_orderkey",
+        validate=False,
+    )
+    return m.get_index_pairs_within_thresholds(0.4, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
 def q_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decision summary (§2.1)."""
     from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
@@ -449,6 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "cluster_exact": q_cluster_exact,
         "all_pairs_report": q_all_pairs_report,
+        "sample_pairs_report": q_sample_pairs_report,
+        "multiindex_or": q_multiindex_or,
+        "multiindex_and": q_multiindex_and,
+        "date_scored_pairs": q_date_scored_pairs,
         "decision": q_decision,
         "greedy_one_to_one": q_greedy_one_to_one,
         "jw_dedup_pairs": q_jw_dedup_pairs,
@@ -565,6 +638,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT pair_idx, s AS sim_score, ib AS doc_id FROM ranked
             )
             SELECT t.pair_idx, t.sim_score, t.doc_id, d.lang, d.source, d.n_chars
+            FROM two t JOIN docs d ON t.doc_id = d.doc_id
+        """,
+        "multiindex_or": """
+            WITH keys AS (
+              SELECT doc_id, 's:' || lang AS k FROM documents
+              UNION
+              SELECT doc_id, 's:' || source AS k FROM documents
+            )
+            SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+        """,
+        "multiindex_and": """
+            SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        """,
+        "sample_pairs_report": """
+            WITH docs AS (SELECT * FROM documents WHERE lang = 'de'),
+            p AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     round(1.0 - abs(a.n_chars - b.n_chars) / 40.0, 6) AS s
+              FROM docs a JOIN docs b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE abs(a.n_chars - b.n_chars) < 40
+            ), bucketed AS (
+              -- np.arange(1.0, 0.7, -0.1) + [0.7] ranges, first match wins
+              SELECT ia, ib, s,
+                     CASE WHEN s > 0.9 AND s <= 1.0 THEN 0
+                          WHEN s > 0.8 AND s <= 0.9 THEN 1
+                          WHEN s > 0.7 AND s <= 0.8 THEN 2
+                     END AS bkt,
+                     CASE WHEN s > 0.9 AND s <= 1.0 THEN '1.00-0.90'
+                          WHEN s > 0.8 AND s <= 0.9 THEN '0.90-0.80'
+                          WHEN s > 0.7 AND s <= 0.8 THEN '0.80-0.70'
+                     END AS score_range
+              FROM p
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY bkt ORDER BY s ASC, ia ASC, ib ASC
+                     ) AS rn
+              FROM bucketed WHERE bkt IS NOT NULL
+            ), kept AS (
+              SELECT *, max(rn) OVER (PARTITION BY bkt) - rn AS pair_idx
+              FROM ranked WHERE rn <= 3
+            ), two AS (
+              SELECT score_range, pair_idx, s AS sim_score, ia AS doc_id FROM kept
+              UNION ALL
+              SELECT score_range, pair_idx, s AS sim_score, ib AS doc_id FROM kept
+            )
+            SELECT t.score_range, t.pair_idx, t.sim_score, t.doc_id, d.n_chars
             FROM two t JOIN docs d ON t.doc_id = d.doc_id
         """,
         "decision": """
