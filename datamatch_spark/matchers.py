@@ -465,6 +465,63 @@ class ThresholdMatcher:
             f"{path}/decision"
         )
 
+    def save_pairs_to_excel(
+        self,
+        name: str,
+        match_threshold: float,
+        sample_counts: int = 5,
+        lower_bound: float = 0.7,
+        step: float = 0.05,
+        include_exact_matches: bool = True,
+    ) -> None:
+        """Reference-API parity (matchers.py:373-416): 3-sheet Excel
+        workbook. Needs an Excel writer engine (openpyxl/xlsxwriter);
+        without one, use :meth:`save_pairs_to_parquet` — same three
+        result sets as tables."""
+        import pandas as pd
+
+        try:
+            writer = pd.ExcelWriter(name)
+        except (ImportError, ModuleNotFoundError) as e:  # pragma: no cover
+            raise ImportError(
+                "no Excel writer engine installed; use save_pairs_to_parquet"
+            ) from e
+        with writer:
+            self.get_sample_pairs(
+                sample_counts, lower_bound, 1.0, step, include_exact_matches
+            ).toPandas().to_excel(writer, sheet_name="Sample pairs", index=False)
+            self.get_all_pairs(
+                lower_bound, 1.0, include_exact_matches
+            ).toPandas().to_excel(writer, sheet_name="All pairs", index=False)
+            self.decision_counts(match_threshold).toPandas().to_excel(
+                writer, sheet_name="Decision", index=False
+            )
+
+    def save_clusters_to_excel(
+        self,
+        name: str,
+        match_threshold: float,
+        lower_bound: float = 0.7,
+        include_exact_matches: bool = True,
+    ) -> None:
+        """Reference-API parity (matchers.py:426-459): 2-sheet Excel
+        workbook; see :meth:`save_pairs_to_excel` re engines."""
+        import pandas as pd
+
+        try:
+            writer = pd.ExcelWriter(name)
+        except (ImportError, ModuleNotFoundError) as e:  # pragma: no cover
+            raise ImportError(
+                "no Excel writer engine installed; use save_clusters_to_parquet"
+            ) from e
+        with writer:
+            self.get_clusters_within_threshold(
+                lower_bound, 1.0, include_exact_matches
+            ).toPandas().to_excel(writer, sheet_name="All clusters", index=False)
+            self.decision_counts(match_threshold).toPandas().to_excel(
+                writer, sheet_name="Decision", index=False
+            )
+
     def save_clusters_to_parquet(
         self,
         path: str,
