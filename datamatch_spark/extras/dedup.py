@@ -9,10 +9,11 @@ Python in the hot path. Scale notes per operator:
   (standard posting-list pruning). Skew beyond the cap is handled by
   AQE; truly hot shingles are dropped and logged via
   ``shingle_stats``.
-* MinHash-LSH: signatures via n_perm min-aggregates of
-  ``xxhash64(shingle, seed)`` (map-side partial agg), banding via hash
-  of signature slices, candidates from band-bucket self-join, then
-  EXACT Jaccard verification — output is LSH-recall-bounded but
+* MinHash-LSH: shingle hashing JVM-side, signatures as wrapping-uint64
+  numpy matrix ops in ONE Arrow pandas UDF (no explode shuffle),
+  banding via hash of signature slices, candidates from band-bucket
+  self-join, signature-estimate prefilter, then EXACT hashed-shingle
+  Jaccard verification — output is LSH-recall-bounded but
   precision-exact.
 * SimHash: 64-bit sign-sum fingerprint; near-dup candidates via
   16-bit chunk pigeonhole banding, verified with bit_count(xor).
@@ -20,8 +21,11 @@ Python in the hot path. Scale notes per operator:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "shingles_expr",
@@ -147,26 +151,57 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold).select("idx_a", "idx_b", "jaccard")
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer (public-domain constant mix) —
+    wrapping uint64 numpy arithmetic."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, n_perm: int = 64
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
-    Shingles are hashed token-rolling longs (with_shingle_hashes, no
-    shingle strings); the n_perm hash families rehash that 8-byte long
-    with per-family seeds. Mins are map-side-combinable aggregates."""
+    Shingles are token-rolling xxhash64 longs (with_shingle_hashes —
+    no shingle strings); the n_perm permutation hashes are
+    splitmix64(shingle_hash ^ seed_i) computed as wrapping-uint64 numpy
+    matrix ops inside ONE Arrow pandas UDF — the 64-hashes-per-shingle
+    blowup runs at numpy speed instead of 64 JVM hash calls per
+    shingle, and there is NO explode/groupBy shuffle: signatures are a
+    per-row map. Docs with no shingles produce no signature (parity
+    with an explode+agg formulation)."""
+    seeds = _splitmix64(np.arange(1, n_perm + 1, dtype=np.uint64))
+
+    @pandas_udf("array<long>")
+    def sig_udf(sh: pd.Series) -> pd.Series:
+        nrows = len(sh)
+        if nrows == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in sh), dtype=np.int64, count=nrows)
+        maxl = max(int(lens.max()), 1)
+        M = np.zeros((nrows, maxl), dtype=np.uint64)
+        mask = np.zeros((nrows, maxl), dtype=bool)
+        for i, x in enumerate(sh):
+            k = len(x)
+            if k:
+                M[i, :k] = np.asarray(x, dtype=np.int64).astype(np.uint64)
+                mask[i, :k] = True
+        pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+        sigs = np.empty((nrows, len(seeds)), dtype=np.uint64)
+        for p, seed in enumerate(seeds):
+            h = _splitmix64(M ^ seed)
+            h = np.where(mask, h, pad)
+            sigs[:, p] = h.min(axis=1)
+        out = sigs.astype(np.int64).tolist()
+        return pd.Series(out)
+
     sh = with_shingle_hashes(
         df.select(F.col(id_col).alias("__id"), text_col), text_col, n, "__sh"
-    ).select("__id", F.explode("__sh").alias("__h0"))
-    aggs = [
-        F.min(F.xxhash64(F.col("__h0"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_perm)
-    ]
-    sig = sh.groupBy("__id").agg(*aggs)
-    return sig.select(
-        F.col("__id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig"),
-    )
+    ).where(F.size("__sh") > 0)
+    return sh.select(F.col("__id").alias(id_col), sig_udf(F.col("__sh")).alias("sig"))
 
 
 def minhash_lsh_pairs(
