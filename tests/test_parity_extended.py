@@ -2,9 +2,6 @@
 Swap variator, filters — plus engine determinism under different
 partitionings."""
 
-import pandas as pd
-import pytest
-
 from datamatch_spark import (
     ColumnsIndex,
     DissimilarFilter,
@@ -51,7 +48,6 @@ def test_match_mode_parity(spark, reference_datamatch):
     from pyspark.sql import functions as F
 
     fields = _spark_fields(spark)
-    parity = F.substring("doc_id", 10, 1).cast("int") % 2  # d%09d -> last digit
     dfa = fields.where((F.col("doc_id").substr(2, 9).cast("int") % 2) == 0)
     dfb = fields.where((F.col("doc_id").substr(2, 9).cast("int") % 2) == 1)
     from datamatch_spark import DateSimilarity
