@@ -264,7 +264,7 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
         ),
     ).localCheckpoint()
     kept: DataFrame | None = None
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         if remaining.isEmpty():
             break
         wa = Window.partitionBy("idx_a")
@@ -279,6 +279,11 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
         if sel.isEmpty():
             break
         kept = sel if kept is None else kept.unionByName(sel)
+        # the union chain grows one plan level per round; truncate it
+        # periodically so adversarial graphs (long chains → many
+        # rounds) keep a bounded plan depth
+        if rnd % 8 == 7:
+            kept = kept.localCheckpoint()
         remaining = (
             remaining.join(sel.select("idx_a").distinct(), on="idx_a", how="left_anti")
             .join(sel.select("idx_b").distinct(), on="idx_b", how="left_anti")

@@ -117,8 +117,8 @@ def ngram_jaccard_pairs(
     stop-shingles (bounds the join blowup; affected pairs can only
     LOSE intersection mass, so precision is kept by the final exact
     filter on the pruned universe)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(_shingles_expr(text_col, n)).alias("shingle")
+    sh = _ensure_width(df.select(F.col(id_col).alias("__id"), text_col)).select(
+        "__id", F.explode(_shingles_expr(text_col, n)).alias("shingle")
     )
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
@@ -160,8 +160,80 @@ def _splitmix64(x):
     return z ^ (z >> np.uint64(31))
 
 
+def _has_shingles(text_col: str, n: int) -> Column:
+    """Cheap raw-text predicate equivalent to ``size(shingles) > 0``.
+
+    NEVER filter on the computed shingle array: Catalyst pushes such a
+    filter through the projection by SUBSTITUTING the whole nested-HOF
+    shingle expression into the predicate, and interpreted HOF
+    evaluation has no common-subexpression elimination — measured 280×
+    slower (0.7s → 195s at 200k docs) than this token-count predicate,
+    which pushes down to the scan."""
+    return F.col(text_col).isNotNull() & (
+        F.size(F.split(F.col(text_col), " ")) >= n
+    )
+
+
+def _ensure_width(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin-repartition ``df`` iff it is under-partitioned for
+    the session's parallelism. The heavy per-row operators below
+    (signatures, simhash sums, shingle explode) otherwise inherit the
+    input's partitioning — a single-file parquet read or a
+    localCheckpoint can be ONE partition, serializing all compute onto
+    one core. At scale a real table is already wide and this is a
+    no-op (no shuffle added)."""
+    want = partitions or 2 * df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, want // 2):
+        return df
+    return df.repartition(want)
+
+
+def _minhash_matrix(sh: pd.Series, seeds: np.ndarray) -> np.ndarray:
+    """(nrows × n_perm) uint64 MinHash signature matrix from a series
+    of shingle-hash lists — wrapping-uint64 numpy, no Python per-hash
+    loop (the only loops are per-row padding and per-permutation)."""
+    nrows = len(sh)
+    lens = np.fromiter((len(x) for x in sh), dtype=np.int64, count=nrows)
+    maxl = max(int(lens.max()), 1)
+    M = np.zeros((nrows, maxl), dtype=np.uint64)
+    mask = np.zeros((nrows, maxl), dtype=bool)
+    for i, x in enumerate(sh):
+        k = len(x)
+        if k:
+            M[i, :k] = np.asarray(x, dtype=np.int64).astype(np.uint64)
+            mask[i, :k] = True
+    pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+    sigs = np.empty((nrows, len(seeds)), dtype=np.uint64)
+    for p, seed in enumerate(seeds):
+        h = _splitmix64(M ^ seed)
+        h = np.where(mask, h, pad)
+        sigs[:, p] = h.min(axis=1)
+    return sigs
+
+
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(nrows × bands) int64 band hashes: splitmix64 fold over each
+    band's signature slice, seeded by the band index — replaces the
+    former JVM path (cast 64 longs to string, concat, xxhash64), which
+    was the minhash plan's codegen hot spot."""
+    nrows, n_perm = sigs.shape
+    r = n_perm // bands
+    out = np.empty((nrows, bands), dtype=np.uint64)
+    for b in range(bands):
+        h = np.full(nrows, _splitmix64(np.uint64(b + 0x5EED)), dtype=np.uint64)
+        for c in range(b * r, (b + 1) * r):
+            h = _splitmix64(h ^ sigs[:, c])
+        out[:, b] = h
+    return out.astype(np.int64)
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, n_perm: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
@@ -177,30 +249,14 @@ def minhash_signatures(
 
     @pandas_udf("array<long>")
     def sig_udf(sh: pd.Series) -> pd.Series:
-        nrows = len(sh)
-        if nrows == 0:
+        if len(sh) == 0:
             return pd.Series([], dtype=object)
-        lens = np.fromiter((len(x) for x in sh), dtype=np.int64, count=nrows)
-        maxl = max(int(lens.max()), 1)
-        M = np.zeros((nrows, maxl), dtype=np.uint64)
-        mask = np.zeros((nrows, maxl), dtype=bool)
-        for i, x in enumerate(sh):
-            k = len(x)
-            if k:
-                M[i, :k] = np.asarray(x, dtype=np.int64).astype(np.uint64)
-                mask[i, :k] = True
-        pad = np.uint64(0xFFFFFFFFFFFFFFFF)
-        sigs = np.empty((nrows, len(seeds)), dtype=np.uint64)
-        for p, seed in enumerate(seeds):
-            h = _splitmix64(M ^ seed)
-            h = np.where(mask, h, pad)
-            sigs[:, p] = h.min(axis=1)
-        out = sigs.astype(np.int64).tolist()
-        return pd.Series(out)
+        return pd.Series(_minhash_matrix(sh, seeds).astype(np.int64).tolist())
 
-    sh = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__id"), text_col), text_col, n, "__sh"
-    ).where(F.size("__sh") > 0)
+    base = _ensure_width(
+        df.select(F.col(id_col).alias("__id"), text_col), partitions
+    ).where(_has_shingles(text_col, n))
+    sh = with_shingle_hashes(base, text_col, n, "__sh")
     return sh.select(F.col("__id").alias(id_col), sig_udf(F.col("__sh")).alias("sig"))
 
 
@@ -235,30 +291,41 @@ def minhash_lsh_pairs(
             if r < 2 or (1.0 / nb) ** (1.0 / r) > threshold:
                 break
             bands = nb
-    rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, n_perm)
-    sigs = sigs.localCheckpoint()
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(
-                ",", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
-            ),
-            F.lit(b),
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(id_col, *band_cols)
-    stacked = banded.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    seeds = _splitmix64(np.arange(1, n_perm + 1, dtype=np.uint64))
+    n_bands = bands
+
+    # ONE Arrow UDF computes the signature AND its band hashes (numpy
+    # splitmix64 folds) — no per-band string concat/cast JVM expression
+    @pandas_udf("struct<sig: array<long>, bands: array<long>>")
+    def sig_bands_udf(sh: pd.Series) -> pd.DataFrame:
+        if len(sh) == 0:
+            return pd.DataFrame({"sig": [], "bands": []})
+        sigs = _minhash_matrix(sh, seeds)
+        bh = _band_hashes(sigs, n_bands)
+        return pd.DataFrame(
+            {"sig": sigs.astype(np.int64).tolist(), "bands": bh.tolist()}
+        )
+
+    # one materialized per-doc frame carries everything downstream
+    # needs: shingle-hash set (exact verify), signature (estimate
+    # prefilter) and band hashes (candidate generation)
+    base = _ensure_width(df.select(F.col(id_col).alias("__id"), text_col)).where(
+        _has_shingles(text_col, n)
+    )
+    info = (
+        with_shingle_hashes(base, text_col, n, "sh")
+        .select("__id", "sh", sig_bands_udf(F.col("sh")).alias("sb"))
+        .select(
+            "__id",
+            "sh",
+            F.col("sb.sig").alias("sig"),
+            F.col("sb.bands").alias("bands"),
+        )
+        .localCheckpoint()
+    )
+    stacked = info.select(
+        "__id", F.posexplode("bands").alias("band", "bh")
+    )
     l = stacked.select(F.col("__id").alias("idx_a"), "band", "bh")
     r = stacked.select(F.col("__id").alias("idx_b"), "band", "bh")
     cand = (
@@ -267,7 +334,11 @@ def minhash_lsh_pairs(
         .select("idx_a", "idx_b")
         .dropDuplicates(["idx_a", "idx_b"])
     )
-    # cheap signature-estimate prefilter (64 long comparisons/pair)
+    # signature-estimate prefilter (n_perm long comparisons/pair) and
+    # exact hashed-shingle verification in ONE pass: two joins total,
+    # and Catalyst evaluates the cheap estimate filter below the
+    # set-intersection projection, so array_intersect only runs on
+    # estimate survivors
     est = (
         F.size(
             F.filter(
@@ -277,25 +348,24 @@ def minhash_lsh_pairs(
         ).cast("double")
         / float(n_perm)
     )
-    cand = (
+    verified = (
         cand.join(
-            sigs.select(F.col(id_col).alias("idx_a"), F.col("sig").alias("sig_a")),
+            info.select(
+                F.col("__id").alias("idx_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("sh").alias("sh_a"),
+            ),
             on="idx_a",
         )
         .join(
-            sigs.select(F.col(id_col).alias("idx_b"), F.col("sig").alias("sig_b")),
+            info.select(
+                F.col("__id").alias("idx_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("sh").alias("sh_b"),
+            ),
             on="idx_b",
         )
         .where(est >= threshold - est_margin)
-        .select("idx_a", "idx_b")
-    )
-    # exact verification on hashed (long) shingle sets
-    shing = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__id"), text_col), text_col, n, "sh"
-    ).select("__id", "sh")
-    verified = (
-        cand.join(shing.select(F.col("__id").alias("idx_a"), F.col("sh").alias("sh_a")), on="idx_a")
-        .join(shing.select(F.col("__id").alias("idx_b"), F.col("sh").alias("sh_b")), on="idx_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -314,7 +384,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 2) -> D
     """(id, simhash long): 64-bit sign-sum fingerprint over shingle
     hashes — 64 conditional-sum aggregates, all map-side combinable."""
     sh = with_shingle_hashes(
-        df.select(F.col(id_col).alias("__id"), text_col), text_col, n, "__sh"
+        _ensure_width(df.select(F.col(id_col).alias("__id"), text_col)),
+        text_col,
+        n,
+        "__sh",
     ).select("__id", F.explode("__sh").alias("h"))
     aggs = [
         F.sum(

@@ -15,8 +15,10 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = ["cosine", "cosine_topk", "lsh_topk", "embedding_near_dup_pairs"]
 
@@ -120,21 +122,22 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def _code_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """Sign-bit LSH code as a long, all in JVM expressions."""
-    code = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        code = code.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
+def _code_udf(planes: np.ndarray):
+    """Sign-bit LSH code as a long: ONE Arrow-batched matmul against
+    the plane matrix, sign bits packed with a dot against powers of
+    two — replaces the former per-plane ``aggregate(zip_with(...))``
+    JVM folds (n_planes HOF evaluations per row, the slow path)."""
+    P = planes.T.copy()  # dim × n_planes
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64)).astype(np.float64)
+
+    @pandas_udf("long")
+    def code(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.asarray(vecs.tolist(), dtype=np.float64)
+        bits = (V @ P) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
     return code
 
 
@@ -156,15 +159,16 @@ def lsh_topk(
     equi-join."""
     dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
+    code = _code_udf(planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _code_expr(vec_col, planes).alias("__code"),
+        code(F.col(vec_col)).alias("__code"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _code_expr(vec_col, planes).alias("__code"),
+        code(F.col(vec_col)).alias("__code"),
     )
     if multiprobe:
         probes = F.array(

@@ -163,20 +163,60 @@ class ThresholdMatcher:
             if n_parts == "auto":
                 n_parts = 2 * self._dfa.sparkSession.sparkContext.defaultParallelism
             pairs = pairs.repartition(n_parts)
-        if not self._variator.is_noop:
+        mv = self._variator.max_variants
+        if self._variator.is_noop:
+            ctx = CompileCtx(df=pairs)
+            score = self._scorer.compile(ctx)
+            scored = ctx.df.withColumn("sim_score", score.cast("double")).select(
+                "idx_a", "idx_b", "sim_score"
+            )
+        elif mv is not None and mv <= 4:
+            # small static variant bound (e.g. Swap: ≤2 per side):
+            # score every variant combination as a COLUMN and take
+            # greatest — zero explode, zero per-pair max shuffle.
+            # Out-of-range combos are guarded to NULL (greatest ignores
+            # NULLs), matching max-over-variations semantics
+            # (reference matchers.py:138-144). Multiple pandas-UDF
+            # combo scores collapse into one ArrowEvalPython node, so
+            # the Arrow exchange count stays 1.
+            fields = rec_schema.fieldNames()
+            pairs = pairs.withColumn(
+                "__va", self._variator.variants(F.col("a"), fields)
+            ).withColumn("__vb", self._variator.variants(F.col("b"), fields))
+            ctx = CompileCtx(df=pairs)
+            for i in range(mv):
+                ctx.df = ctx.df.withColumn(f"__va{i}", F.get(F.col("__va"), i))
+                ctx.df = ctx.df.withColumn(f"__vb{i}", F.get(F.col("__vb"), i))
+            combo_scores = []
+            for i in range(mv):
+                for j in range(mv):
+                    ctx.a, ctx.b = f"__va{i}", f"__vb{j}"
+                    s = self._scorer.compile(ctx).cast("double")
+                    guard = (F.size("__va") > i) & (F.size("__vb") > j)
+                    combo_scores.append(
+                        F.when(guard, s).otherwise(F.lit(None).cast("double"))
+                    )
+            score = (
+                combo_scores[0]
+                if len(combo_scores) == 1
+                else F.greatest(*combo_scores)
+            )
+            scored = ctx.df.withColumn("sim_score", score).select(
+                "idx_a", "idx_b", "sim_score"
+            )
+        else:
+            # unknown/large variant bound: explode both sides and take
+            # the per-pair max (one aggregation shuffle)
             fields = rec_schema.fieldNames()
             pairs = pairs.withColumn(
                 "a", F.explode(self._variator.variants(F.col("a"), fields))
             ).withColumn("b", F.explode(self._variator.variants(F.col("b"), fields)))
-        ctx = CompileCtx(df=pairs)
-        score = self._scorer.compile(ctx)
-        scored = ctx.df.withColumn("sim_score", score.cast("double"))
-        if self._variator.is_noop:
-            scored = scored.select("idx_a", "idx_b", "sim_score")
-        else:
-            # max over the variant cross product (reference matchers.py:138-144)
-            scored = scored.groupBy("idx_a", "idx_b").agg(
-                F.max("sim_score").alias("sim_score")
+            ctx = CompileCtx(df=pairs)
+            score = self._scorer.compile(ctx)
+            scored = (
+                ctx.df.withColumn("sim_score", score.cast("double"))
+                .groupBy("idx_a", "idx_b")
+                .agg(F.max("sim_score").alias("sim_score"))
             )
         # NOTE: the NULL-score (refusal) drop and match-mode greedy
         # pruning are applied AFTER materialization (scored_pairs):

@@ -92,15 +92,30 @@ def block_statistics(side: DataFrame, dedup: bool) -> DataFrame:
 
 
 def _hot_blocks(side: DataFrame, cfg: PairingConfig):
-    """Returns [(block_key, n_shards)] for blocks above the salt threshold."""
+    """Returns [(block_key, n_shards)] for blocks above the salt
+    threshold — the LARGEST blocks first, so if the ``max_hot_keys``
+    cap ever bites, the keys that stay unsalted are the smallest
+    offenders, never the worst one."""
     rows = (
         side.groupBy(BLOCK_KEY)
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > cfg.salt_threshold)
+        .orderBy(F.col("n").desc(), F.col(BLOCK_KEY).asc())
         .limit(cfg.max_hot_keys)
         .collect()
     )
     return [(r[BLOCK_KEY], max(2, -(-r["n"] // cfg.rows_per_shard))) for r in rows]
+
+
+def _anti_hot(side: DataFrame, hot: list) -> DataFrame:
+    """Rows of ``side`` whose block key is NOT hot, via a broadcast
+    left-anti join — an IN-list literal of up to max_hot_keys keys
+    would bloat the plan/codegen at real scale."""
+    spark = side.sparkSession
+    hot_df = F.broadcast(
+        spark.createDataFrame([(k,) for k, _ in hot], schema=f"{BLOCK_KEY} string")
+    )
+    return side.join(hot_df, on=BLOCK_KEY, how="left_anti")
 
 
 def _n_parts(side: DataFrame, cfg: PairingConfig) -> int:
@@ -220,8 +235,7 @@ def candidate_pairs(
         if not hot:
             pairs = _dedup_pairs_plain(side_a, cfg)
         else:
-            hot_keys = [k for k, _ in hot]
-            cold = side_a.where(~F.col(BLOCK_KEY).isin(hot_keys))
+            cold = _anti_hot(side_a, hot)
             pairs = _dedup_pairs_plain(cold, cfg).unionByName(
                 _dedup_pairs_salted(side_a, hot, spark, cfg)
             )
@@ -233,6 +247,7 @@ def candidate_pairs(
             rows = (
                 ca.join(cb, on=BLOCK_KEY)
                 .where((F.col("na") * F.col("nb")) > F.lit(cfg.salt_threshold) * F.lit(cfg.rows_per_shard))
+                .orderBy((F.col("na") * F.col("nb")).desc(), F.col(BLOCK_KEY).asc())
                 .limit(cfg.max_hot_keys)
                 .collect()
             )
@@ -244,9 +259,8 @@ def candidate_pairs(
         if not hot:
             pairs = _match_pairs_plain(side_a, side_b, cfg)
         else:
-            hot_keys = [k for k, _ in hot]
-            cold_a = side_a.where(~F.col(BLOCK_KEY).isin(hot_keys))
-            cold_b = side_b.where(~F.col(BLOCK_KEY).isin(hot_keys))
+            cold_a = _anti_hot(side_a, hot)
+            cold_b = _anti_hot(side_b, hot)
             pairs = _match_pairs_plain(cold_a, cold_b, cfg).unionByName(
                 _match_pairs_salted(side_a, side_b, hot, spark, cfg)
             )

@@ -16,7 +16,17 @@ __all__ = ["Variator", "Swap"]
 
 
 class Variator:
-    """Identity variator (reference variators.py:13-29)."""
+    """Identity variator (reference variators.py:13-29).
+
+    ``max_variants``: static upper bound on the variant-array length,
+    or None when unknown. When small (≤4 per side) the matcher scores
+    every variant combination inline and takes ``greatest`` — zero
+    extra shuffle; unknown bounds fall back to explode + per-pair max
+    aggregation. Subclasses that override :meth:`variants` should set
+    it when the bound is known.
+    """
+
+    max_variants: int | None = 1
 
     def required_columns(self) -> set[str]:
         return set()
@@ -28,11 +38,20 @@ class Variator:
     def variants(self, struct_col: Column, fields: list[str]) -> Column:
         return F.array(struct_col)
 
+    def __init_subclass__(cls, **kwargs) -> None:
+        # a subclass that redefines variants() without declaring its
+        # bound must not inherit the identity's bound of 1
+        super().__init_subclass__(**kwargs)
+        if "variants" in cls.__dict__ and "max_variants" not in cls.__dict__:
+            cls.max_variants = None
+
 
 class Swap(Variator):
     """Yields the record plus a copy with two columns exchanged, unless
     the two values are null-safe-equal (reference variators.py:32-59:
     skip when both-NaN or equal; one-null pairs DO produce a swap)."""
+
+    max_variants = 2
 
     def __init__(self, column_a: str, column_b: str) -> None:
         self._col_a = column_a

@@ -101,3 +101,23 @@ def test_greedy_one_to_one_matches_sequential(spark, seed):
         (r["sim_score"], r["idx_a"], r["idx_b"]) for r in greedy_one_to_one(df).collect()
     )
     assert got == _sequential_greedy(pairs)
+
+
+def test_greedy_one_to_one_adversarial_chain(spark):
+    """Strictly-decreasing scores along a bipartite chain force one
+    dominant pair per round — the worst case for round count. Proves
+    the kept-union lineage truncation keeps many-round runs working
+    (bounded plan depth) and the result still matches sequential
+    greedy."""
+    n = 40  # ~20 fixpoint rounds, crosses several checkpoint cycles
+    pairs = []
+    for i in range(n):
+        a, b = (i + 1) // 2, i // 2 + 100
+        pairs.append((round(1.0 - i * 0.01, 2), a, b))
+    df = spark.createDataFrame(pairs, "sim_score double, idx_a long, idx_b long")
+    got = sorted(
+        (r["sim_score"], r["idx_a"], r["idx_b"]) for r in greedy_one_to_one(df).collect()
+    )
+    expect = _sequential_greedy(pairs)
+    assert got == expect
+    assert len(got) == n // 2
