@@ -196,6 +196,77 @@ def q_all_pairs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_noop_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NoopIndex full cross product (§2.2) — guarded to a small slice
+    because the operator is by definition quadratic."""
+    from datamatch_spark.indices import NoopIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    pairs = candidate_pairs(docs, NoopIndex(), "doc_id", ["n_chars"])
+    return pairs.select("idx_a", "idx_b")
+
+
+def q_index_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColumnsIndex(index_elements=True) (§2.2): rows block on EVERY
+    element of an array key column (multi-bucket; pairs deduped)."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang") == "fr")
+        .withColumn("toks", F.slice(F.split("text", " "), 1, 3))
+    )
+    pairs = candidate_pairs(
+        docs, ColumnsIndex("toks", index_elements=True), "doc_id", ["n_chars"]
+    )
+    return pairs.select("idx_a", "idx_b")
+
+
+def q_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-mode (two-dataset) blocked candidate generation — the
+    tutorial-shaped linkage join (§2.3 MatchPairer; reference
+    doc/tutorial.rst:39-119)."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    dfa = docs.where(F.col("doc_id") % 2 == 0)
+    dfb = docs.where(F.col("doc_id") % 2 == 1)
+    pairs = candidate_pairs(
+        dfa, ColumnsIndex(["lang", "source"]), "doc_id", ["n_chars"], dfb=dfb
+    )
+    return pairs.select("idx_a", "idx_b")
+
+
+def q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_clusters_within_threshold end-to-end (§2.8): blocks are
+    cliques by construction (single-valued block keys ⇒ components =
+    blocks = complete graphs) but scores are non-trivial, so
+    cluster_idx / pair_idx / the two-row projection are all
+    SQL-reproducible (reference matchers.py:237-274)."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = ThresholdMatcher(
+        ColumnsIndex(["o_orderpriority", "o_orderdate"]),
+        {"o_totalprice": AbsoluteNumericalSimilarity(1_000_000)},
+        orders,
+        row_key="o_orderkey",
+        validate=False,
+    )
+    rep = m.get_clusters_within_threshold(0.4, 1.0)
+    return rep.select(
+        "cluster_idx",
+        "pair_idx",
+        F.round("sim_score", 6).alias("sim_score"),
+        F.col("row_key").alias("o_orderkey"),
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def q_multiindex_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiIndex OR mode (§2.2): union of sub-index key sets with
     merge-by-equal-key; pairs deduped across buckets."""
@@ -519,6 +590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_exact": q_cluster_exact,
         "all_pairs_report": q_all_pairs_report,
         "sample_pairs_report": q_sample_pairs_report,
+        "noop_index": q_noop_index,
+        "index_elements": q_index_elements,
+        "match_candidates": q_match_candidates,
+        "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,
         "multiindex_and": q_multiindex_and,
         "date_scored_pairs": q_date_scored_pairs,
@@ -639,6 +714,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.pair_idx, t.sim_score, t.doc_id, d.lang, d.source, d.n_chars
             FROM two t JOIN docs d ON t.doc_id = d.doc_id
+        """,
+        "noop_index": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+            SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+        """,
+        "index_elements": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ')[1:3] AS toks
+              FROM documents WHERE lang = 'fr'
+            ), k AS (
+              SELECT DISTINCT doc_id, 's:' || u.t AS k
+              FROM d, UNNEST(d.toks) AS u(t)
+            )
+            SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM k a JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id
+        """,
+        "match_candidates": """
+            SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source
+            WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        """,
+        "cluster_report": """
+            WITH p AS (
+              SELECT a.o_orderkey AS ia, b.o_orderkey AS ib,
+                     a.o_orderpriority AS prio, a.o_orderdate AS od,
+                     1.0 - abs(a.o_totalprice - b.o_totalprice) / 1000000.0 AS s
+              FROM orders a JOIN orders b
+                ON a.o_orderpriority = b.o_orderpriority
+               AND a.o_orderdate = b.o_orderdate
+               AND a.o_orderkey < b.o_orderkey
+              WHERE abs(a.o_totalprice - b.o_totalprice) < 1000000
+                AND (1.0 - abs(a.o_totalprice - b.o_totalprice) / 1000000.0)
+                      BETWEEN 0.4 AND 1.0
+            ), stats AS (
+              SELECT prio, od, max(s) AS max_s, min(ia) AS rep
+              FROM p GROUP BY prio, od
+            ), idxd AS (
+              SELECT prio, od,
+                     row_number() OVER (ORDER BY max_s DESC, rep ASC) - 1
+                       AS cluster_idx
+              FROM stats
+            ), ranked AS (
+              SELECT p.*, i.cluster_idx,
+                     row_number() OVER (
+                       PARTITION BY p.prio, p.od
+                       ORDER BY p.s DESC, p.ia ASC, p.ib ASC
+                     ) - 1 AS pair_idx
+              FROM p JOIN idxd i ON p.prio = i.prio AND p.od = i.od
+            ), two AS (
+              SELECT cluster_idx, pair_idx, round(s, 6) AS sim_score,
+                     ia AS o_orderkey FROM ranked
+              UNION ALL
+              SELECT cluster_idx, pair_idx, round(s, 6) AS sim_score,
+                     ib AS o_orderkey FROM ranked
+            )
+            SELECT t.cluster_idx, t.pair_idx, t.sim_score, t.o_orderkey,
+                   o.o_orderpriority, round(o.o_totalprice, 2) AS o_totalprice
+            FROM two t JOIN orders o ON t.o_orderkey = o.o_orderkey
         """,
         "multiindex_or": """
             WITH keys AS (

@@ -10,8 +10,12 @@ Headline workloads:
   is candidate-pairs-scored/sec from this query.
 * cc_cluster     — large-star/small-star connected components + clique
   split over the er_dedup pair graph.
+* er_swap        — Swap-variator dedup (inline variant-combination
+  max: no explode, no per-pair max shuffle).
 * minhash_dedup  — MinHash-LSH near-dup over a tiled text corpus.
 * cosine_topk    — brute-force cosine top-k over tiled embeddings.
+* lsh_ann        — LSH-bucketed approximate top-k (16 planes,
+  multiprobe) over the same tiled embeddings.
 * text_pipeline  — token/quality/fingerprint/lang-id over tiled docs.
 
 Run scripts/scaling_bench.py for the N-vs-4N-parallelism scaling
@@ -88,6 +92,65 @@ def bench_er_dedup(spark, sf: float):
     return elapsed, n_scored, m
 
 
+def bench_er_swap(spark, sf: float):
+    """Swap-variator dedup: the inline variant-combination max scores
+    all ≤4 combos as columns (no explode, no per-pair max shuffle) —
+    measured ~2.8× the plain scoring cost for 4× the kernel work."""
+    from datamatch_spark import (
+        ColumnsIndex,
+        JaroWinklerSimilarity,
+        PairingConfig,
+        Swap,
+        ThresholdMatcher,
+    )
+    from datamatch_spark.corpus import CorpusConfig, generate_documents, project_fields
+
+    n_docs = max(2000, int(200_000 * sf))
+    cfg = CorpusConfig(
+        n_docs=n_docs,
+        seed=43,
+        profile="clean",
+        blk_buckets=max(50, n_docs // 25),
+        hot_pct=4,
+    )
+    fields = project_fields(generate_documents(spark, cfg)).drop("spans").localCheckpoint()
+    t0 = time.time()
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        fields,
+        row_key="doc_id",
+        validate=False,
+        variator=Swap("first", "last"),
+        pairing_config=PairingConfig(salt_threshold=1000, rows_per_shard=250),
+    )
+    n = m.scored_pairs.count()
+    return time.time() - t0, n
+
+
+def bench_lsh_ann(spark, sf_dir: str, sf: float):
+    from datamatch_spark.extras.simsearch import lsh_topk
+
+    tile = max(10, int(1000 * sf))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    big = (
+        emb.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") * tile + F.col("copy")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x + (F.col("copy") % 13).cast("float") * F.lit(0.0001),
+            ).alias("embedding"),
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    queries = big.where(F.col("vec_id") % tile == 0).limit(100).localCheckpoint()
+    t0 = time.time()
+    n = lsh_topk(big, queries, k=5, n_planes=16).count()
+    return time.time() - t0, n
+
+
 def bench_cc_cluster(spark, matcher):
     t0 = time.time()
     n = matcher.get_cluster_assignments(0.8, 1.0).count()
@@ -115,6 +178,7 @@ def bench_minhash(spark, sf_dir: str, sf: float):
                 " ",
             ).alias("text"),
         )
+        .repartition(64)  # a real corpus table is wide; the tile crossJoin isn't
         .localCheckpoint()
     )
     t0 = time.time()
@@ -136,6 +200,7 @@ def bench_cosine(spark, sf_dir: str, sf: float):
                 lambda x: x + (F.col("copy") % 13).cast("float") * F.lit(0.0001),
             ).alias("embedding"),
         )
+        .repartition(64)
         .localCheckpoint()
     )
     queries = big.where(F.col("vec_id") % tile == 0).limit(100).localCheckpoint()
@@ -159,6 +224,7 @@ def bench_text(spark, sf_dir: str, sf: float):
         .select(
             (F.col("doc_id") * tile + F.col("copy")).alias("doc_id"), "text"
         )
+        .repartition(64)
         .localCheckpoint()
     )
     t0 = time.time()
@@ -229,11 +295,17 @@ def main():
     t_cc, n_members = bench_cc_cluster(spark, matcher)
     queries["cc_cluster"] = round(t_cc, 3)
     _clear_rdd_cache()
+    t_sw, n_sw = bench_er_swap(spark, sf)
+    queries["er_swap"] = round(t_sw, 3)
+    _clear_rdd_cache()
     t_mh, n_mh = bench_minhash(spark, sf_dir, sf)
     queries["minhash_dedup"] = round(t_mh, 3)
     _clear_rdd_cache()
     t_cos, n_cos = bench_cosine(spark, sf_dir, sf)
     queries["cosine_topk"] = round(t_cos, 3)
+    _clear_rdd_cache()
+    t_ann, n_ann = bench_lsh_ann(spark, sf_dir, sf)
+    queries["lsh_ann"] = round(t_ann, 3)
     _clear_rdd_cache()
     t_txt, n_txt = bench_text(spark, sf_dir, sf)
     queries["text_pipeline"] = round(t_txt, 3)
@@ -249,8 +321,10 @@ def main():
         "pairs_scored": n_pairs,
         "pairs_scored_per_sec": round(n_pairs / t_er, 1) if t_er > 0 else None,
         "cluster_members": n_members,
+        "swap_pairs": n_sw,
         "minhash_pairs": n_mh,
         "cosine_rows": n_cos,
+        "ann_rows": n_ann,
         "text_rows": n_txt,
     }
     print(json.dumps(result))

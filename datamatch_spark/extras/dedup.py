@@ -16,7 +16,8 @@ Python in the hot path. Scale notes per operator:
   Jaccard verification — output is LSH-recall-bounded but
   precision-exact.
 * SimHash: 64-bit sign-sum fingerprint; near-dup candidates via
-  16-bit chunk pigeonhole banding, verified with bit_count(xor).
+  chunk pigeonhole banding (n_chunks = max_hamming+1 by default, which
+  makes recall lossless), verified with bit_count(xor).
 """
 
 from __future__ import annotations
@@ -407,12 +408,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 2) -> D
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """(idx_a, idx_b, hamming) pairs with simhash Hamming distance <=
-    max_hamming. Candidates by 16-bit chunk equality (pigeonhole: any
-    pair within distance 3 shares at least one of 4 chunks), verified
-    with bit_count(xor)."""
+    max_hamming. Candidates by chunk equality, verified with
+    bit_count(xor).
+
+    RECALL CONTRACT (pigeonhole): a pair at distance d shares at least
+    one of the ``n_chunks`` equal-as-possible bit chunks iff
+    d < n_chunks — recall is guaranteed only for
+    ``max_hamming <= n_chunks - 1``. The default ``n_chunks =
+    max_hamming + 1`` is therefore lossless; pass a smaller
+    ``n_chunks`` to trade recall for cheaper candidate generation
+    (each chunk carries 64/n_chunks bits, so more chunks ⇒
+    exponentially bigger buckets: at corpus scale keep max_hamming
+    small — Manku et al. (WWW 2007) use k=3 over 64 bits)."""
+    if n_chunks is None:
+        n_chunks = min(max_hamming + 1, 16)  # 16 × 4-bit chunks max
+    if not 1 <= n_chunks <= 16:
+        raise ValueError("n_chunks must be in [1, 16]")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = simhash(df, id_col, text_col, n)
     chunks = sh.select(
         F.col(id_col).alias("__id"),
@@ -422,11 +444,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("cv"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),

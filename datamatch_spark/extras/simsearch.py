@@ -126,7 +126,9 @@ def _code_udf(planes: np.ndarray):
     """Sign-bit LSH code as a long: ONE Arrow-batched matmul against
     the plane matrix, sign bits packed with a dot against powers of
     two — replaces the former per-plane ``aggregate(zip_with(...))``
-    JVM folds (n_planes HOF evaluations per row, the slow path)."""
+    JVM folds, which scale linearly with n_planes (measured at 200k ×
+    64-dim: 8 planes HOF 2.0s ≈ UDF; 16/24 planes HOF 8.5/7.7s vs UDF
+    0.83s — the matmul is transfer-dominated and flat in n_planes)."""
     P = planes.T.copy()  # dim × n_planes
     weights = (1 << np.arange(planes.shape[0], dtype=np.int64)).astype(np.float64)
 

@@ -176,17 +176,23 @@ class ThresholdMatcher:
             # greatest — zero explode, zero per-pair max shuffle.
             # Out-of-range combos are guarded to NULL (greatest ignores
             # NULLs), matching max-over-variations semantics
-            # (reference matchers.py:138-144). Multiple pandas-UDF
-            # combo scores collapse into one ArrowEvalPython node, so
-            # the Arrow exchange count stays 1.
+            # (reference matchers.py:138-144). The combo pandas-UDF
+            # scores batch into a couple of ArrowEvalPython nodes over
+            # the UNEXPLODED rows — vs explode mode's UDF over up to
+            # mv² × rows plus a full groupBy shuffle of scored rows.
             fields = rec_schema.fieldNames()
             pairs = pairs.withColumn(
                 "__va", self._variator.variants(F.col("a"), fields)
             ).withColumn("__vb", self._variator.variants(F.col("b"), fields))
-            ctx = CompileCtx(df=pairs)
-            for i in range(mv):
-                ctx.df = ctx.df.withColumn(f"__va{i}", F.get(F.col("__va"), i))
-                ctx.df = ctx.df.withColumn(f"__vb{i}", F.get(F.col("__vb"), i))
+            # ONE projection adds every variant slot, so all combo
+            # UDFs' inputs coexist at a single plan level and extract
+            # into a single ArrowEvalPython batch
+            variant_cols = [
+                F.get(F.col(f"__v{s}"), i).alias(f"__v{s}{i}")
+                for s in ("a", "b")
+                for i in range(mv)
+            ]
+            ctx = CompileCtx(df=pairs.select("*", *variant_cols))
             combo_scores = []
             for i in range(mv):
                 for j in range(mv):

@@ -99,6 +99,54 @@ def main():
         )
     )
 
+    # 4. hot-block salting: cold split must be a broadcast ANTI join
+    from datamatch_spark.pairing import PairingConfig, candidate_pairs
+
+    hot_rows = [(i, "hot" if i < 500 else f"g{i % 37}") for i in range(1000)]
+    hot_df = spark.createDataFrame(hot_rows, "row_key long, g string")
+    salted = candidate_pairs(
+        hot_df,
+        ColumnsIndex("g"),
+        "row_key",
+        ["g"],
+        cfg=PairingConfig(salt_threshold=100, rows_per_shard=50),
+    )
+    sections.append(
+        (
+            "Salted dedup pairing (hot block present)",
+            "What to check: the cold-side split is a BroadcastHashJoin "
+            "**LeftAnti** against the broadcast hot-key table (never an "
+            "IN-list literal in a Filter — that bloats the plan/codegen at "
+            "max_hot_keys scale), unioned with the triangular shard-pair "
+            "branch for the hot keys.",
+            formatted(salted),
+        )
+    )
+
+    # 5. Swap variator: inline variant-combination max, no added shuffle
+    from datamatch_spark import Swap
+
+    m_swap = ThresholdMatcher(
+        ColumnsIndex("blk"),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        fields,
+        row_key="doc_id",
+        variator=Swap("first", "last"),
+        validate=False,
+        defer=True,
+    )
+    swap_plan = m_swap._build_scored()
+    sections.append(
+        (
+            "Swap variator scoring (inline variant-combination max)",
+            "What to check: NO Generate/explode node and NO aggregation "
+            "Exchange above the scoring — the ≤4 variant-combination scores "
+            "are columns combined with `greatest`; the only Python stages "
+            "are ArrowEvalPython batches over the unexploded pair rows.",
+            formatted(swap_plan),
+        )
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical plans of the key operators\n\n"

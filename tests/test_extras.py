@@ -171,3 +171,36 @@ def test_decode_real_is_stubbed(spark):
     media = M.media_table_from_docs(docs)
     with pytest.raises(NotImplementedError):
         M.decode_media(media, codec="real")
+
+
+def test_simhash_pigeonhole_recall_lossless(spark):
+    """With the default n_chunks = max_hamming + 1, chunk banding must
+    find EVERY pair within the distance bound — compare against the
+    brute-force cross join on bit_count(xor)."""
+    from itertools import combinations
+
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(12)) + (" zz" if i % 3 else ""))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    max_h = 8
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(df, "doc_id", n=2).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sh), 2)
+        if bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1") <= max_h
+    }
+    got = {
+        (r["idx_a"], r["idx_b"])
+        for r in D.simhash_near_pairs(df, "doc_id", n=2, max_hamming=max_h).collect()
+    }
+    assert got == brute
+    # and a lossy narrow banding stays a subset (precision exact)
+    lossy = {
+        (r["idx_a"], r["idx_b"])
+        for r in D.simhash_near_pairs(
+            df, "doc_id", n=2, max_hamming=max_h, n_chunks=2
+        ).collect()
+    }
+    assert lossy <= brute
