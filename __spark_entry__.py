@@ -538,6 +538,42 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.where(F.col("vec_id") < 25), k=3, n_planes=6)
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k. Run with nprobe = n_cells, which makes the
+    inverted-file search provably exact — so the brute-force cosine
+    oracle applies; the recall-vs-nprobe tradeoff is tested in pytest."""
+    from datamatch_spark.extras.simsearch import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 25), k=3, n_cells=16, nprobe=16
+    )
+
+
+def q_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming micro-batch linkage spine (datamatch_spark.streaming):
+    one batch of new docs matched against a static reference — rows-only
+    (includes greedy 1:1 pruning, which is not SQL-expressible)."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex
+    from datamatch_spark.streaming import incremental_link_batch
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(F.col("doc_id") % 3 == 1)
+    out = incremental_link_batch(
+        batch,
+        ref,
+        ColumnsIndex("lang"),
+        {"n_chars": AbsoluteNumericalSimilarity(50)},
+        "doc_id",
+        0.5,
+        1.0,
+    )
+    return out.select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over interleaved docs (rows-only)."""
     from datamatch_spark.corpus import CorpusConfig, generate_documents
@@ -613,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "incremental_link": q_incremental_link,
         "media_features": q_media_features,
     }
 
@@ -915,6 +953,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
         """,
         "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 25
+            ), c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ), scored AS (
+              SELECT q.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(q.qv, c.cv), 6) AS cos
+              FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+                     ) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+        """,
+        "ivf_ann": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 25

@@ -48,12 +48,23 @@ _NUMERIC_TYPES = (
 )
 
 
+def _escape_seps(col: Column) -> Column:
+    """Escape the separator bytes out of a string component so
+    ``("a\\x1fb", "c")`` can never collide with ``("a", "b\\x1fc")``:
+    backslash doubles first, then each separator becomes a 2-byte
+    escape — injective, so distinct tuples stay distinct."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit(_FIELD_SEP), F.lit("\\f"))
+    return F.replace(c, F.lit(_TUPLE_SEP), F.lit("\\t"))
+
+
 def typed_key_component(col: Column, dtype: T.DataType) -> Column:
     """Serialize one key component so equal *values* serialize equally.
 
     Ints and floats both go through double (``(2,) == (2.0,)`` in the
     reference's tuple keys); safe below 2^53 which covers realistic row
-    keys. NULL propagates.
+    keys. NULL propagates. Only the string branch can contain separator
+    bytes, so only it pays the escaping.
     """
     if isinstance(dtype, _NUMERIC_TYPES):
         return F.concat(F.lit("n:"), col.cast("double").cast("string"))
@@ -63,7 +74,7 @@ def typed_key_component(col: Column, dtype: T.DataType) -> Column:
         return F.concat(F.lit("d:"), col.cast("string"))
     if isinstance(dtype, T.TimestampType):
         return F.concat(F.lit("t:"), col.cast("string"))
-    return F.concat(F.lit("s:"), col.cast("string"))
+    return F.concat(F.lit("s:"), _escape_seps(col.cast("string")))
 
 
 def _serialize_key(components: list[Column]) -> Column:

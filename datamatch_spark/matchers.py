@@ -258,7 +258,10 @@ class ThresholdMatcher:
             self._scored = scored
             if self._metrics_sink is not None:
                 # north rule: per-partition lineage + per-block
-                # candidate-pair counts written alongside results
+                # candidate-pair counts written alongside results.
+                # NOTE: block_statistics re-derives the keyed side — a
+                # deliberate second (cheap, pre-blowup) pass over dfa;
+                # opt-in via metrics_sink, never on the default path.
                 from .pairing import block_statistics, keyed_side
 
                 self._metrics_sink.record_partitions(

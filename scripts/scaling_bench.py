@@ -3,15 +3,24 @@
 
 No real cluster exists in this sandbox, so the N -> 4N executor
 scaling criterion is evidenced by running the SAME er_dedup job at
-local[8] and local[32] on identical input and reporting
+two parallelism levels on identical input and reporting
 candidate-pairs-scored/sec at both, plus the scaling efficiency
-    eff = (throughput_32 / throughput_8) / (32 / 8).
+    eff = (throughput_high / throughput_low) / (high / low).
+
+Honest core accounting: ``--pin`` wraps each level in
+``taskset -c`` so the WHOLE process tree (JVM task threads + GC +
+Arrow serialization + Python UDF workers) is bounded to exactly N
+cores — without pinning, local[1] pipelines the JVM and the Python
+worker on ~2 physical cores and the baseline is inflated, understating
+efficiency (a real N-executor cluster is core-bounded per executor,
+which is what pinning reproduces).
 
 Each level runs in its own subprocess (fresh JVM); best-of-N wall
-times are used because this VM shows ±40% noisy-neighbor variance on
-a fixed single-threaded workload. Results are appended to BENCH.md.
+times are used because this VM shows noisy-neighbor variance. Results
+are appended to BENCH.md.
 
 Usage: python scripts/scaling_bench.py [--repeats 3] [--n-docs 100000]
+       [--low 8] [--pin]
 """
 
 from __future__ import annotations
@@ -64,11 +73,14 @@ print(json.dumps({"cpus": cpus, "pairs": n, "seconds": round(elapsed, 3),
 """
 
 
-def run_level(cpus: int, n_docs: int, repeats: int) -> dict:  # noqa: D103
+def run_level(cpus: int, n_docs: int, repeats: int, pin: bool) -> dict:  # noqa: D103
     best = None
+    cmd = [sys.executable, "-c", WORKER, str(cpus), str(n_docs)]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     for _ in range(repeats):
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cpus), str(n_docs)],
+            cmd,
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -85,18 +97,23 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-docs", type=int, default=100_000)
     ap.add_argument("--low", type=int, default=8, help="N; the high level is 4N")
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset-bound each level's process tree to exactly N cores",
+    )
     args = ap.parse_args()
 
     n_low = args.low
     n_high = 4 * args.low
-    r8 = run_level(n_low, args.n_docs, args.repeats)
-    r32 = run_level(n_high, args.n_docs, args.repeats)
+    r8 = run_level(n_low, args.n_docs, args.repeats, args.pin)
+    r32 = run_level(n_high, args.n_docs, args.repeats, args.pin)
     eff = (r32["pairs_per_sec"] / r8["pairs_per_sec"]) / (n_high / n_low)
     report = {
         "n_docs": args.n_docs,
         "low": r8,
         "high": r32,
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"scaling_efficiency_{n_low}_to_{n_high}": round(eff, 3),
     }
     print(json.dumps(report, indent=2))
 
@@ -105,7 +122,7 @@ def main():
 
 Same er_dedup job (blocked salted self-join + JW×2 + date scoring) on an
 identical {args.n_docs:,}-doc interleaved corpus, best of {args.repeats}
-runs per level (this VM shows ±40% noisy-neighbor variance):
+runs per level{" — each level's WHOLE process tree taskset-pinned to exactly N cores (JVM + GC + Arrow + Python UDF workers), the honest analogue of core-bounded executors" if args.pin else ""}:
 
 | parallelism | pairs scored | wall (s) | pairs/sec |
 |---|---|---|---|

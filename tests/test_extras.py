@@ -204,3 +204,34 @@ def test_simhash_pigeonhole_recall_lossless(spark):
         ).collect()
     }
     assert lossy <= brute
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    centers = rng.standard_normal((20, 16))
+    vecs = (centers[rng.randint(0, 20, 200)] + 0.25 * rng.standard_normal((200, 16))).astype(
+        "float32"
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where("vec_id < 10")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(df, queries, k=3, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.8, recall  # 4-of-16 cells on clustered data
+    # probing every cell must reproduce brute force exactly
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(df, queries, k=3, n_cells=16, nprobe=16).collect()
+    }
+    assert exact == brute

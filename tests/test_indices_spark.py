@@ -128,3 +128,21 @@ def test_numeric_key_canonicalization(spark):
     k1 = ColumnsIndex("c").key_df(df1, "row_key").collect()[0]["block_key"]
     k2 = ColumnsIndex("c").key_df(df2, "row_key").collect()[0]["block_key"]
     assert k1 == k2
+
+
+def test_separator_bytes_in_values_cannot_collide(spark):
+    """("a\\x1fb", "c") and ("a", "b\\x1fc") are DIFFERENT key tuples;
+    separator bytes inside string values are escaped out so the
+    serialized keys differ (and plain values round-trip unchanged)."""
+    df = spark.createDataFrame(
+        [(0, "a\x1fb", "c"), (1, "a", "b\x1fc"), (2, "a\x1fb", "c")],
+        "row_key long, u string, v string",
+    )
+    keys = ColumnsIndex(["u", "v"]).key_df(df, "row_key").collect()
+    by_key = {}
+    for r in keys:
+        by_key.setdefault(r["block_key"], set()).add(r["row_key"])
+    assert by_key[
+        next(k for k in by_key if 0 in by_key[k])
+    ] == {0, 2}
+    assert len(by_key) == 2  # rows 0/2 share a bucket; row 1 is alone

@@ -1,0 +1,108 @@
+"""Structured Streaming operators: watermarked exact dedup and
+incremental (micro-batch) linkage against a static reference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex
+from datamatch_spark.streaming import (
+    incremental_link_batch,
+    make_link_batch_fn,
+    streaming_exact_dedup,
+)
+
+
+@pytest.fixture()
+def doc_stream_dir(spark, tmp_path):
+    src = tmp_path / "in"
+    rows = [
+        (1, "alpha beta gamma", "2026-01-01 00:00:00"),
+        (2, "alpha beta gamma", "2026-01-01 00:00:30"),  # dup of 1, in horizon
+        (3, "delta epsilon zeta", "2026-01-01 00:01:00"),
+        (4, "ALPHA beta GAMMA", "2026-01-01 00:01:30"),  # case-dup of 1
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        str(src)
+    )
+    return str(src)
+
+
+def test_streaming_exact_dedup(spark, doc_stream_dir, tmp_path):
+    schema = "doc_id long, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(doc_stream_dir)
+    deduped = streaming_exact_dedup(stream, "text", event_time_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from dedup_out").collect()}
+    # one survivor per distinct lowered text: {1 or 2 or 4} and {3}
+    assert len(got) == 2
+    assert 3 in got
+    assert got - {3} <= {1, 2, 4}
+
+
+def test_incremental_link_batch(spark):
+    ref = spark.createDataFrame(
+        [(100, "en", 50), (101, "en", 80), (102, "de", 50)],
+        "doc_id long, lang string, n_chars long",
+    )
+    batch = spark.createDataFrame(
+        [(1, "en", 52), (2, "de", 49), (3, "fr", 10)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = incremental_link_batch(
+        batch,
+        ref,
+        ColumnsIndex("lang"),
+        {"n_chars": AbsoluteNumericalSimilarity(10)},
+        "doc_id",
+        0.5,
+        1.0,
+    )
+    got = {(r["idx_a"], r["idx_b"]): round(r["sim_score"], 2) for r in out.collect()}
+    # batch 1 links to ref 100 (|52-50|=2 -> 0.8); 101 is out of range;
+    # batch 2 links to ref 102 (|49-50|=1 -> 0.9); fr has no block
+    assert got == {(1, 100): 0.8, (2, 102): 0.9}
+
+
+def test_foreach_batch_link_sink(spark, doc_stream_dir, tmp_path):
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "delta epsilon zeta")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    schema = "doc_id long, text string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(doc_stream_dir)
+        .withColumn("n_chars", F.length("text"))
+        .drop("ts")
+    )
+    sink = str(tmp_path / "matches")
+    fn = make_link_batch_fn(
+        ref,
+        ColumnsIndex("n_chars"),
+        {"n_chars": AbsoluteNumericalSimilarity(10)},
+        "doc_id",
+        sink,
+        0.5,
+        1.0,
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["idx_a"], r["idx_b"]) for r in spark.read.parquet(sink).collect()}
+    # greedy 1:1: each batch doc links to at most one reference doc
+    assert got
+    assert len({a for a, _ in got}) == len(got)
