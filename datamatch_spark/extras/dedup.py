@@ -154,11 +154,13 @@ def ngram_jaccard_pairs(
 
 def _splitmix64(x):
     """Vectorized splitmix64 finalizer (public-domain constant mix) —
-    wrapping uint64 numpy arithmetic."""
-    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    wrapping uint64 numpy arithmetic (overflow is the point; numpy
+    emits a RuntimeWarning only for 0-d scalar inputs, silenced)."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 
 def _has_shingles(text_col: str, n: int) -> Column:
@@ -270,6 +272,7 @@ def minhash_lsh_pairs(
     bands: int | None = None,
     threshold: float = 0.7,
     est_margin: float = 0.12,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(idx_a, idx_b, jaccard) near-duplicate pairs: LSH banding for
     candidates, signature-estimate prefilter, exact hashed-shingle
@@ -283,7 +286,14 @@ def minhash_lsh_pairs(
     (fraction of equal signature components >= threshold-est_margin)
     kills most false candidates with 64 long comparisons before the
     set-intersection pass; at 64 perms the estimate's σ ≈ 0.04, so the
-    default margin costs <1% recall at the threshold."""
+    default margin costs <1% recall at the threshold.
+
+    ``checkpoint_dir``: when given, the per-doc signature frame is
+    committed as a parquet stage (StageManifest — same atomic-commit
+    contract as the matcher's resumable checkpoints; at deployment
+    scale this is the Iceberg-snapshot analogue), so a restarted dedup
+    job skips signature computation; default is an in-memory
+    localCheckpoint."""
     if bands is None:
         bands = 2
         while True:
@@ -322,8 +332,15 @@ def minhash_lsh_pairs(
             F.col("sb.sig").alias("sig"),
             F.col("sb.bands").alias("bands"),
         )
-        .localCheckpoint()
     )
+    if checkpoint_dir:
+        from ..checkpointing import StageManifest
+
+        info = StageManifest(checkpoint_dir).materialize(
+            "minhash_info", info, df.sparkSession
+        )
+    else:
+        info = info.localCheckpoint()
     stacked = info.select(
         "__id", F.posexplode("bands").alias("band", "bh")
     )

@@ -106,11 +106,24 @@ def main():
 
     n_low = args.low
     n_high = 4 * args.low
-    r8 = run_level(n_low, args.n_docs, args.repeats, args.pin)
-    r32 = run_level(n_high, args.n_docs, args.repeats, args.pin)
-    eff = (r32["pairs_per_sec"] / r8["pairs_per_sec"]) / (n_high / n_low)
+    # INTERLEAVED rounds: each round measures low then high back-to-back,
+    # so the pair shares the same host weather (this VM's noisy-neighbor
+    # load drifts minute-to-minute — comparing a level measured in a slow
+    # minute against one measured in a fast minute corrupts the ratio;
+    # per-round ratios are self-normalizing). Report every round plus the
+    # median-ratio round.
+    rounds = []
+    for _ in range(args.repeats):
+        rl = run_level(n_low, args.n_docs, 1, args.pin)
+        rh = run_level(n_high, args.n_docs, 1, args.pin)
+        e = (rh["pairs_per_sec"] / rl["pairs_per_sec"]) / (n_high / n_low)
+        rounds.append({"low": rl, "high": rh, "eff": round(e, 3)})
+    rounds_sorted = sorted(rounds, key=lambda r: r["eff"])
+    mid = rounds_sorted[len(rounds_sorted) // 2]
+    r8, r32, eff = mid["low"], mid["high"], mid["eff"]
     report = {
         "n_docs": args.n_docs,
+        "rounds": [r["eff"] for r in rounds],
         "low": r8,
         "high": r32,
         f"scaling_efficiency_{n_low}_to_{n_high}": round(eff, 3),
@@ -121,8 +134,11 @@ def main():
 ## Scaling evidence (N vs 4N parallelism, sandbox stand-in for executors)
 
 Same er_dedup job (blocked salted self-join + JW×2 + date scoring) on an
-identical {args.n_docs:,}-doc interleaved corpus, best of {args.repeats}
-runs per level{" — each level's WHOLE process tree taskset-pinned to exactly N cores (JVM + GC + Arrow + Python UDF workers), the honest analogue of core-bounded executors" if args.pin else ""}:
+identical {args.n_docs:,}-doc interleaved corpus; {args.repeats} interleaved
+rounds (each round runs N then 4N back-to-back so both share the same host
+weather; the median-efficiency round is reported, all rounds listed)
+{"— each level's WHOLE process tree taskset-pinned to exactly N cores (JVM + GC + Arrow + Python UDF workers), the honest analogue of core-bounded executors" if args.pin else ""}:
+Round efficiencies: {[r['eff'] for r in rounds]}
 
 | parallelism | pairs scored | wall (s) | pairs/sec |
 |---|---|---|---|

@@ -114,3 +114,31 @@ def test_iceberg_seam_configs(spark, tmp_path):
     spark.sql("CREATE TABLE ice.db.t (id BIGINT) USING iceberg")
     spark.sql("INSERT INTO ice.db.t VALUES (1)")
     assert spark.table("ice.db.t").count() == 1
+
+
+def test_minhash_checkpoint_resume(spark, tmp_path):
+    """minhash_lsh_pairs(checkpoint_dir=...) commits the signature
+    stage; a second run reuses it (manifest marks the stage done)."""
+    import json
+    import os
+
+    from datamatch_spark.extras.dedup import minhash_lsh_pairs
+
+    rows = [(i, " ".join(f"w{i//2*40 + j}" for j in range(20))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ck = str(tmp_path / "mh")
+    first = {
+        (r["idx_a"], r["idx_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", n=2, threshold=0.5, checkpoint_dir=ck
+        ).collect()
+    }
+    manifest = json.load(open(os.path.join(ck, "manifest.json")))
+    assert "minhash_info" in manifest["stages"]
+    second = {
+        (r["idx_a"], r["idx_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", n=2, threshold=0.5, checkpoint_dir=ck
+        ).collect()
+    }
+    assert first == second == {(2 * k, 2 * k + 1) for k in range(10)}
