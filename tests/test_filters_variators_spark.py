@@ -78,3 +78,42 @@ def test_swap_variator_one_null(spark):
     # both null: no swap
     got = variants_of(spark, Swap("x", "y"), "x long, y long", (None, None))
     assert got == [(None, None)]
+
+
+def test_custom_variator_explode_fallback_equals_inline(spark):
+    """A user variator subclass that does not declare max_variants
+    falls back to explode + per-pair max; with Swap-identical variants
+    the result must equal the inline (greatest-of-combos) path."""
+    from pyspark.sql import functions as F
+
+    from datamatch_spark import ColumnsIndex, JaroWinklerSimilarity, Swap, ThresholdMatcher
+    from datamatch_spark.variators import Variator
+
+    class SwapLike(Variator):  # no max_variants -> unknown bound
+        def __init__(self, a, b):
+            self._a, self._b = a, b
+
+        def required_columns(self):
+            return {self._a, self._b}
+
+        def variants(self, struct_col, fields):
+            return Swap(self._a, self._b).variants(struct_col, fields)
+
+    assert SwapLike.max_variants is None  # __init_subclass__ guard
+    rows = [
+        (i, f"n{i % 7}a", f"m{(i * 3) % 5}b", f"g{i % 4}") for i in range(80)
+    ] + [(100, "same", "same", "g0"), (101, None, "x", "g0")]
+    df = spark.createDataFrame(rows, "row_key long, first string, last string, g string")
+    kw = dict(row_key="row_key", validate=False)
+    scorer = {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()}
+    inline = ThresholdMatcher(
+        ColumnsIndex("g"), scorer, df, variator=Swap("first", "last"), **kw
+    )
+    fallback = ThresholdMatcher(
+        ColumnsIndex("g"), scorer, df, variator=SwapLike("first", "last"), **kw
+    )
+    a = {(r["idx_a"], r["idx_b"]): round(r["sim_score"], 9)
+         for r in inline.scored_pairs.collect()}
+    b = {(r["idx_a"], r["idx_b"]): round(r["sim_score"], 9)
+         for r in fallback.scored_pairs.collect()}
+    assert a == b

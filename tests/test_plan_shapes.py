@@ -1,0 +1,62 @@
+"""Physical-plan regression guards: the optimizations this engine
+depends on must stay visible in the plan (a future change that
+reintroduces an explode, an aggregation shuffle, or an IN-list hot-key
+filter would silently wreck the 100×-scale story long before any
+correctness test notices)."""
+
+from pyspark.sql import functions as F
+
+from datamatch_spark import (
+    ColumnsIndex,
+    JaroWinklerSimilarity,
+    Swap,
+    ThresholdMatcher,
+)
+from datamatch_spark.pairing import PairingConfig, candidate_pairs
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_swap_plan_has_no_explode_or_agg_exchange(spark):
+    rows = [(i, f"l{i % 5}", f"f{i % 7}", f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "row_key long, last string, first string, g string")
+    m = ThresholdMatcher(
+        ColumnsIndex("g"),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        df,
+        variator=Swap("first", "last"),
+        validate=False,
+        defer=True,
+    )
+    plan = _formatted(m._build_scored())
+    assert "Generate" not in plan  # no explode
+    assert "HashAggregate" not in plan  # no per-pair max shuffle
+
+
+def test_salted_pairing_uses_broadcast_anti_join(spark):
+    rows = [(i, "hot" if i < 300 else f"g{i % 23}") for i in range(600)]
+    df = spark.createDataFrame(rows, "row_key long, g string")
+    pairs = candidate_pairs(
+        df,
+        ColumnsIndex("g"),
+        "row_key",
+        ["g"],
+        cfg=PairingConfig(salt_threshold=100, rows_per_shard=50),
+    )
+    plan = _formatted(pairs)
+    assert "LeftAnti" in plan
+    # the cold-side split must not be an IN-list literal over hot keys
+    assert "g IN (" not in plan and "block_key IN" not in plan
+
+
+def test_parquet_scan_pushdown(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
