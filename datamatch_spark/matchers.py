@@ -392,12 +392,14 @@ class ThresholdMatcher:
             F.min("sim_score").alias("__min_sim"),
             F.min("idx_a").alias("__rep"),
         )
-        stats = stats.withColumn(
+        # contiguous rank WITHOUT a single-partition global window —
+        # at scale the cluster count is unbounded (ranking.py)
+        from .ranking import global_rank
+
+        stats = global_rank(
+            stats,
+            [F.col("__max_sim").desc(), F.col("__rep").asc()],
             "cluster_idx",
-            F.row_number().over(
-                Window.orderBy(F.col("__max_sim").desc(), F.col("__rep").asc())
-            )
-            - 1,
         )
         if not include_exact_matches:
             # drop clusters in which every pair is exact — after idx
@@ -422,10 +424,10 @@ class ThresholdMatcher:
     ) -> DataFrame:
         """(pair_idx, sim_score, row_key, *source cols) descending
         (reference matchers.py:340-371)."""
+        from .ranking import global_rank
+
         sliced = self._slice(lower_bound, upper_bound)
-        ranked = sliced.withColumn(
-            "pair_idx", F.row_number().over(Window.orderBy(*_ORDER_DESC())) - 1
-        )
+        ranked = global_rank(sliced, _ORDER_DESC(), "pair_idx")
         if not include_exact_matches:
             ranked = ranked.where(F.col("sim_score") != 1.0)
         out = self._two_rows_per_pair(ranked, ["pair_idx", "sim_score"])
