@@ -185,7 +185,9 @@ def _greedy_cliques(nodes, adjacency):
     return clusters
 
 
-def split_cliques(pairs_with_component: DataFrame) -> DataFrame:
+def split_cliques(
+    pairs_with_component: DataFrame, max_component_edges: int = 10_000_000
+) -> DataFrame:
     """Split each connected component into greedy cliques.
 
     Input: (component, sim_score, idx_a, idx_b). Output: the surviving
@@ -193,6 +195,14 @@ def split_cliques(pairs_with_component: DataFrame) -> DataFrame:
     every 2-combination within a clique is emitted with its original
     score (reference matchers.py:181-190); pairs whose endpoints land
     in different cliques are dropped, singleton leftovers vanish.
+
+    Each component's edge list is packed into one row (the greedy walk
+    is inherently sequential per component; blocking bounds component
+    size, so the distribution axis is the huge NUMBER of components).
+    A component above ``max_component_edges`` fails fast with a clear
+    message instead of OOMing a task — that situation means the
+    threshold is too low or blocking too coarse for clique semantics
+    to be meaningful anyway.
     """
     idx_type = pairs_with_component.schema["idx_a"].dataType
     out_schema = T.StructType(
@@ -232,6 +242,12 @@ def split_cliques(pairs_with_component: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for comp, edges in zip(pdf["component"], pdf["edges"]):
+                if len(edges) > max_component_edges:
+                    raise ValueError(
+                        f"component {comp!r} has {len(edges)} edges "
+                        f"(> max_component_edges={max_component_edges}); "
+                        "raise the score threshold or use finer blocking"
+                    )
                 rows.extend(
                     _split_component(
                         comp, [(e["sim_score"], e["idx_a"], e["idx_b"]) for e in edges]

@@ -263,6 +263,26 @@ def minhash_signatures(
     return sh.select(F.col("__id").alias(id_col), sig_udf(F.col("__sh")).alias("sig"))
 
 
+def _sig_bands_udf(n_perm: int, bands: int):
+    """ONE Arrow UDF computing the MinHash signature AND its band
+    hashes (numpy splitmix64 folds) — no per-band string concat/cast
+    JVM expression. Shared by the batch LSH pipeline and the streaming
+    stateful near-dup operator."""
+    seeds = _splitmix64(np.arange(1, n_perm + 1, dtype=np.uint64))
+
+    @pandas_udf("struct<sig: array<long>, bands: array<long>>")
+    def sig_bands_udf(sh: pd.Series) -> pd.DataFrame:
+        if len(sh) == 0:
+            return pd.DataFrame({"sig": [], "bands": []})
+        sigs = _minhash_matrix(sh, seeds)
+        bh = _band_hashes(sigs, bands)
+        return pd.DataFrame(
+            {"sig": sigs.astype(np.int64).tolist(), "bands": bh.tolist()}
+        )
+
+    return sig_bands_udf
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -302,20 +322,7 @@ def minhash_lsh_pairs(
             if r < 2 or (1.0 / nb) ** (1.0 / r) > threshold:
                 break
             bands = nb
-    seeds = _splitmix64(np.arange(1, n_perm + 1, dtype=np.uint64))
-    n_bands = bands
-
-    # ONE Arrow UDF computes the signature AND its band hashes (numpy
-    # splitmix64 folds) — no per-band string concat/cast JVM expression
-    @pandas_udf("struct<sig: array<long>, bands: array<long>>")
-    def sig_bands_udf(sh: pd.Series) -> pd.DataFrame:
-        if len(sh) == 0:
-            return pd.DataFrame({"sig": [], "bands": []})
-        sigs = _minhash_matrix(sh, seeds)
-        bh = _band_hashes(sigs, n_bands)
-        return pd.DataFrame(
-            {"sig": sigs.astype(np.int64).tolist(), "bands": bh.tolist()}
-        )
+    sig_bands_udf = _sig_bands_udf(n_perm, bands)
 
     # one materialized per-doc frame carries everything downstream
     # needs: shingle-hash set (exact verify), signature (estimate

@@ -458,6 +458,18 @@ class ThresholdMatcher:
         tagged = sliced.withColumn("__bucket", bucket_col).withColumn(
             "score_range", label_col
         ).where(F.col("__bucket").isNotNull())
+        # two-phase bottom-k: keep the k lowest per (bucket, input
+        # partition) first, so the exact per-bucket sort below only
+        # sees ≤ k×partitions rows per bucket instead of the whole
+        # bucket (score buckets are few — a handful of giant
+        # single-bucket sorts otherwise)
+        wpre = Window.partitionBy("__bucket", "__ppid").orderBy(*_ORDER_ASC())
+        tagged = (
+            tagged.withColumn("__ppid", F.spark_partition_id())
+            .withColumn("__prn", F.row_number().over(wpre))
+            .where(F.col("__prn") <= sample_counts)
+            .drop("__prn", "__ppid")
+        )
         wasc = Window.partitionBy("__bucket").orderBy(*_ORDER_ASC())
         tagged = tagged.withColumn("__rn", F.row_number().over(wasc)).where(
             F.col("__rn") <= sample_counts

@@ -11,6 +11,10 @@ re-scanning the corpus:
   was already seen, with watermarked state eviction
   (``dropDuplicatesWithinWatermark``) so state is bounded by the
   late-data horizon rather than corpus size.
+* ``streaming_near_dup_pairs`` — custom stateful operator
+  (``applyInPandasWithState``): MinHash-LSH near-dup detection ACROSS
+  micro-batches, state = per-LSH-bucket signature sets with a
+  processing-time TTL and a per-bucket cap.
 * ``incremental_link_batch`` — one micro-batch of match-mode linkage:
   new documents against a static (broadcast-sized or bucketed)
   reference table, reusing the batch engine's blocking + scoring spine
@@ -26,11 +30,13 @@ output sink.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "streaming_exact_dedup",
+    "streaming_near_dup_pairs",
     "incremental_link_batch",
     "make_link_batch_fn",
 ]
@@ -57,6 +63,134 @@ def streaming_exact_dedup(
         out = out.withWatermark(event_time_col, delay)
         return out.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
     return out.dropDuplicates(["__fp"]).drop("__fp")
+
+
+def streaming_near_dup_pairs(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int = 8,
+    threshold: float = 0.7,
+    state_ttl_ms: int | None = 30 * 60 * 1000,
+    max_bucket_docs: int = 1000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    MinHash-LSH near-duplicate detection across micro-batches.
+
+    Each document's signature + band hashes come from the same Arrow
+    UDF as the batch pipeline; rows are keyed by LSH bucket
+    ``(band, band_hash)`` and each bucket's state holds the signatures
+    seen in the TTL horizon. A new arrival is compared (numpy
+    signature-estimate, the unbiased Jaccard estimator) against the
+    bucket's state and emits ``(idx_a, idx_b, jaccard_est)`` for every
+    match ≥ threshold, idx_a < idx_b.
+
+    Contracts at scale: state is per-bucket and hash-partitioned by
+    the state store; ``state_ttl_ms`` (processing-time timeout) bounds
+    it to the horizon — NOTE a timeout-registered query keeps running
+    empty "cleaning up state" triggers, so ``trigger(availableNow)``
+    never self-terminates; pass ``state_ttl_ms=None`` for
+    drain-and-stop (backfill) usage, where ``max_bucket_docs`` is the
+    only state bound. ``max_bucket_docs`` caps degenerate buckets
+    (hot-content floods) by evicting oldest entries. Pairs colliding
+    in multiple bands are emitted once per band — dedupe downstream if
+    exact-once pairs are needed. The streaming emitter is
+    estimate-based (state stores signatures, not shingle sets); run
+    the batch ``minhash_lsh_pairs`` for exact-verified jaccard.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .extras.dedup import _has_shingles, _sig_bands_udf, with_shingle_hashes
+
+    sig_udf = _sig_bands_udf(n_perm, bands)
+    keyed = (
+        with_shingle_hashes(
+            stream.select(F.col(id_col).alias("__id"), text_col).where(
+                _has_shingles(text_col, n)
+            ),
+            text_col,
+            n,
+            "__sh",
+        )
+        .select("__id", sig_udf(F.col("__sh")).alias("__sb"))
+        .select(
+            "__id",
+            F.col("__sb.sig").alias("__sig"),
+            F.posexplode("__sb.bands").alias("band", "bh"),
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("idx_a", LongType()),
+            StructField("idx_b", LongType()),
+            StructField("jaccard_est", DoubleType()),
+        ]
+    )
+    # state: parallel arrays — doc ids and their flattened signatures
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("flat_sigs", ArrayType(LongType())),
+        ]
+    )
+    ttl = int(state_ttl_ms) if state_ttl_ms is not None else None
+    cap = int(max_bucket_docs)
+
+    def dedup_bucket(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"idx_a": [], "idx_b": [], "jaccard_est": []})
+            return
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            S = np.asarray(flat, dtype=np.int64).reshape(-1, n_perm)
+        else:
+            ids, S = [], np.zeros((0, n_perm), dtype=np.int64)
+        out_a, out_b, out_e = [], [], []
+        for pdf in pdf_iter:
+            for doc_id, sig in zip(pdf["__id"], pdf["__sig"]):
+                v = np.asarray(sig, dtype=np.int64)
+                if len(ids):
+                    est = (S == v).mean(axis=1)
+                    for j in np.nonzero(est >= threshold)[0]:
+                        a, b = ids[j], int(doc_id)
+                        if a == b:
+                            continue
+                        out_a.append(min(a, b))
+                        out_b.append(max(a, b))
+                        out_e.append(round(float(est[j]), 6))
+                ids.append(int(doc_id))
+                S = np.vstack([S, v[None, :]])
+        if len(ids) > cap:  # evict oldest
+            ids = ids[-cap:]
+            S = S[-cap:]
+        state.update((ids, S.reshape(-1).tolist()))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        yield pd.DataFrame(
+            {"idx_a": out_a, "idx_b": out_b, "jaccard_est": out_e}
+        )
+
+    return keyed.groupBy("band", "bh").applyInPandasWithState(
+        dedup_bucket,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
+    )
 
 
 def incremental_link_batch(

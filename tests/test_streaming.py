@@ -106,3 +106,57 @@ def test_foreach_batch_link_sink(spark, doc_stream_dir, tmp_path):
     # greedy 1:1: each batch doc links to at most one reference doc
     assert got
     assert len({a for a, _ in got}) == len(got)
+
+
+def test_streaming_near_dup_pairs_cross_batch_state(spark, tmp_path):
+    """applyInPandasWithState MinHash dedup: a doc arriving in a LATER
+    micro-batch run must pair with its near-dup from an earlier run —
+    state survives via the streaming checkpoint."""
+    from datamatch_spark.streaming import streaming_near_dup_pairs
+
+    def doc(i, base, mutate=False):
+        words = [f"w{base * 50 + j}" for j in range(30)]
+        if mutate:
+            words[3] = "zz"
+        return (i, " ".join(words))
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+    sink = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+
+    def run_batch(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        pairs = streaming_near_dup_pairs(
+            stream, "doc_id", "text", n=2, n_perm=64, bands=8,
+            threshold=0.5, state_ttl_ms=None,  # drain-and-stop contract
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: docs 0..3, two base texts
+    run_batch([doc(0, 0), doc(1, 0, mutate=True), doc(2, 1), doc(3, 7)], "b1")
+    got1 = {
+        (r["idx_a"], r["idx_b"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (0, 1) in got1  # within-batch near-dup
+    # batch 2: doc 10 is a near-dup of doc 2 from batch 1
+    run_batch([doc(10, 1, mutate=True), doc(11, 9)], "b2")
+    got2 = {
+        (r["idx_a"], r["idx_b"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (2, 10) in got2  # CROSS-batch pair via persisted state
+    assert not any(a == b for a, b in got2)
