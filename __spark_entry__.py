@@ -574,6 +574,39 @@ def q_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path (rows-only): synthesize deterministic P6
+    PPM bytes per doc, decode via the numpy PPM codec, return
+    dimensions + leading features."""
+    import numpy as np
+    import pandas as pd
+
+    from datamatch_spark.extras.multimodal import MEDIA_SCHEMA, decode_media, encode_ppm
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 64).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.RandomState(int(did))
+                px = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+                rows.append(
+                    (f"m{did}", "image", bytearray(encode_ppm(px)), (8, 8, 1, 0))
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "data", "meta"])
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    out = decode_media(media, codec="ppm", dim=8)
+    return out.select(
+        "media_ref",
+        "width",
+        "height",
+        F.round(F.col("features")[0], 5).alias("mean_r"),
+        F.round(F.col("features")[3], 5).alias("std_r"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over interleaved docs (rows-only)."""
     from datamatch_spark.corpus import CorpusConfig, generate_documents
@@ -652,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "incremental_link": q_incremental_link,
         "media_features": q_media_features,
+        "media_decode_ppm": q_media_decode_ppm,
     }
 
 

@@ -235,3 +235,41 @@ def test_ivf_topk_recall(spark):
         for r in S.ivf_topk(df, queries, k=3, n_cells=16, nprobe=16).collect()
     }
     assert exact == brute
+
+
+def test_real_ppm_and_wav_codecs(spark):
+    """codec='ppm'/'wav' REALLY decode: round-trip synthesized media
+    bytes through the Spark pipeline and check recovered dimensions
+    and physically meaningful features."""
+    import numpy as np
+
+    red = np.zeros((8, 6, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    half = np.zeros((4, 4, 3), dtype=np.uint8)
+    half[:2, :, :] = 255  # top half white
+    tone = (np.sin(2 * np.pi * 440 * np.arange(1600) / 16000) * 20000).astype(np.int16)
+    silence = np.zeros(800, dtype=np.int16)
+    imgs = spark.createDataFrame(
+        [
+            ("img_red", "image", bytearray(M.encode_ppm(red)), (6, 8, 1, 0)),
+            ("img_half", "image", bytearray(M.encode_ppm(half)), (4, 4, 1, 0)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    out = {r["media_ref"]: r for r in M.decode_media(imgs, codec="ppm").collect()}
+    assert (out["img_red"]["width"], out["img_red"]["height"]) == (6, 8)
+    r_mean, g_mean = out["img_red"]["features"][0], out["img_red"]["features"][1]
+    assert abs(r_mean - 1.0) < 1e-6 and abs(g_mean) < 1e-6
+    assert abs(out["img_half"]["features"][0] - 0.5) < 1e-6  # half white
+    auds = spark.createDataFrame(
+        [
+            ("aud_tone", "audio", bytearray(M.encode_wav(tone)), (0, 0, 0, 16000)),
+            ("aud_sil", "audio", bytearray(M.encode_wav(silence)), (0, 0, 0, 16000)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    got = {r["media_ref"]: r for r in M.decode_media(auds, codec="wav").collect()}
+    assert got["aud_tone"]["n_frames"] == 1600
+    rms_tone = got["aud_tone"]["features"][0]
+    rms_sil = got["aud_sil"]["features"][0]
+    assert rms_tone > 0.3 and rms_sil == 0.0
