@@ -1,0 +1,81 @@
+"""Bucketed keyed-side tables: co-located, exchange-free pair joins.
+
+At 100 TB the dominant recurring cost of blocked linkage is shuffling
+the keyed sides on BLOCK_KEY for every run. Bucketing amortizes it:
+write the keyed side ONCE as a table bucketed (and sorted) on
+BLOCK_KEY; every subsequent blocked self-join / A×B join reads the
+buckets back already co-located — Catalyst plans a SortMergeJoin with
+NO Exchange on either side (asserted in tests/test_bucketing.py).
+
+This is the parquet/in-memory-catalog form of the same idea an Iceberg
+deployment expresses with a bucket partition transform
+(``bucket(N, block_key)``).
+
+Usage::
+
+    side = keyed_side(df, index, "id", cols, "idx", "rec")
+    save_bucketed_keyed_side(side, "people_keyed", n_buckets=256)
+    pairs = bucketed_candidate_pairs(spark, "people_keyed")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .indices import BLOCK_KEY
+from .pairing import PairingConfig, _dedup_pairs_plain, _match_pairs_plain
+
+__all__ = [
+    "save_bucketed_keyed_side",
+    "bucketed_candidate_pairs",
+]
+
+
+def save_bucketed_keyed_side(
+    side: DataFrame,
+    table_name: str,
+    n_buckets: int = 256,
+    path: str | None = None,
+) -> None:
+    """Persist a keyed side (idx, block_key, rec — ``pairing.keyed_side``
+    output) as a parquet table bucketed AND sorted on BLOCK_KEY.
+
+    ``n_buckets`` must match between any two tables that will be
+    joined (co-location requires identical bucketing)."""
+    writer = (
+        side.write.format("parquet")
+        .bucketBy(n_buckets, BLOCK_KEY)
+        .sortBy(BLOCK_KEY)
+        .mode("overwrite")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_candidate_pairs(
+    spark: SparkSession,
+    table_a: str,
+    table_b: str | None = None,
+    dedupe_multi_bucket: bool = False,
+) -> DataFrame:
+    """Candidate pairs from pre-bucketed keyed-side table(s): the
+    blocked join runs exchange-free (``pre_partitioned=True`` skips
+    the runtime repartition; bucket co-location replaces it).
+
+    Dedup mode (``table_b is None``): self-join with idx_a < idx_b.
+    Match mode: A×B within blocks. Hot-block salting is intentionally
+    NOT applied here — salting re-shards rows and would defeat
+    co-location; for skewed corpora either salt at write time (bucket
+    the pre-salted side) or use the runtime ``candidate_pairs`` path.
+    """
+    cfg = PairingConfig(pre_partitioned=True, salt_enabled=False)
+    side_a = spark.table(table_a)
+    if table_b is None:
+        pairs = _dedup_pairs_plain(side_a, cfg)
+    else:
+        pairs = _match_pairs_plain(side_a, spark.table(table_b), cfg)
+    pairs = pairs.drop(BLOCK_KEY)
+    if dedupe_multi_bucket:
+        pairs = pairs.dropDuplicates(["idx_a", "idx_b"])
+    return pairs

@@ -60,6 +60,11 @@ class PairingConfig:
     # the blowup AND the downstream scoring UDFs run wide, with no
     # post-join shuffle of the fat pair rows at all.
     target_partitions: int | None = None
+    # True when the keyed sides are ALREADY co-located on BLOCK_KEY
+    # (e.g. read from tables bucketed on it — bucketing.py): skips the
+    # explicit pre-join repartition so the blocked join runs
+    # exchange-free. The caller owns the guarantee.
+    pre_partitioned: bool = False
 
 
 def keyed_side(
@@ -129,7 +134,9 @@ def _dedup_pairs_plain(side: DataFrame, cfg: PairingConfig) -> DataFrame:
         F.col(BLOCK_KEY),
         F.col("idx").alias("idx_a"),
         F.col("rec").alias("a"),
-    ).repartition(_n_parts(side, cfg), F.col(BLOCK_KEY))
+    )
+    if not cfg.pre_partitioned:
+        left = left.repartition(_n_parts(side, cfg), F.col(BLOCK_KEY))
     right = side.select(
         F.col(BLOCK_KEY),
         F.col("idx").alias("idx_b"),
@@ -174,7 +181,9 @@ def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -
 def _match_pairs_plain(side_a: DataFrame, side_b: DataFrame, cfg: PairingConfig) -> DataFrame:
     left = side_a.select(
         F.col(BLOCK_KEY), F.col("idx").alias("idx_a"), F.col("rec").alias("a")
-    ).repartition(_n_parts(side_a, cfg), F.col(BLOCK_KEY))
+    )
+    if not cfg.pre_partitioned:
+        left = left.repartition(_n_parts(side_a, cfg), F.col(BLOCK_KEY))
     right = side_b.select(
         F.col(BLOCK_KEY), F.col("idx").alias("idx_b"), F.col("rec").alias("b")
     )

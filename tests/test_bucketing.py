@@ -1,0 +1,80 @@
+"""Bucketed keyed-side tables: the blocked pair join must read the
+buckets co-located — NO Exchange in the plan — and produce the exact
+same pair set as the runtime (shuffling) path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatch_spark import ColumnsIndex
+from datamatch_spark.bucketing import (
+    bucketed_candidate_pairs,
+    save_bucketed_keyed_side,
+)
+from datamatch_spark.pairing import candidate_pairs, keyed_side
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    # in-memory catalog writes to spark.sql.warehouse.dir; point table
+    # paths at tmp explicitly instead of relying on session-level conf
+    return str(tmp_path)
+
+
+def test_bucketed_dedup_join_is_exchange_free_and_exact(spark, warehouse):
+    rows = [(i, f"g{i % 13}", i * 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    side = keyed_side(df, ColumnsIndex("g"), "id", ["v"], "idx", "rec")
+    spark.sql("DROP TABLE IF EXISTS keyed_t")
+    save_bucketed_keyed_side(side, "keyed_t", n_buckets=8, path=f"{warehouse}/keyed_t")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        pairs = bucketed_candidate_pairs(spark, "keyed_t")
+        plan = pairs._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "hashpartitioning" not in plan, plan  # no shuffle exchange
+    got = {(r["idx_a"], r["idx_b"]) for r in pairs.collect()}
+    want = {
+        (r["idx_a"], r["idx_b"])
+        for r in candidate_pairs(df, ColumnsIndex("g"), "id", ["v"]).collect()
+    }
+    assert got == want
+    spark.sql("DROP TABLE keyed_t")
+
+
+def test_bucketed_match_join_is_exchange_free_and_exact(spark, warehouse):
+    rows_a = [(i, f"g{i % 7}", i) for i in range(0, 100, 2)]
+    rows_b = [(i, f"g{i % 7}", i) for i in range(1, 100, 2)]
+    dfa = spark.createDataFrame(rows_a, "id long, g string, v long")
+    dfb = spark.createDataFrame(rows_b, "id long, g string, v long")
+    sa = keyed_side(dfa, ColumnsIndex("g"), "id", ["v"], "idx", "rec")
+    sb = keyed_side(dfb, ColumnsIndex("g"), "id", ["v"], "idx", "rec")
+    for t in ("keyed_a", "keyed_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    save_bucketed_keyed_side(sa, "keyed_a", n_buckets=4, path=f"{warehouse}/ka")
+    save_bucketed_keyed_side(sb, "keyed_b", n_buckets=4, path=f"{warehouse}/kb")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        pairs = bucketed_candidate_pairs(spark, "keyed_a", "keyed_b")
+        plan = pairs._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "hashpartitioning" not in plan, plan  # no shuffle exchange
+    got = {(r["idx_a"], r["idx_b"]) for r in pairs.collect()}
+    want = {
+        (r["idx_a"], r["idx_b"])
+        for r in candidate_pairs(dfa, ColumnsIndex("g"), "id", ["v"], dfb=dfb).collect()
+    }
+    assert got == want
+    for t in ("keyed_a", "keyed_b"):
+        spark.sql(f"DROP TABLE {t}")
