@@ -232,8 +232,13 @@ def q_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.pairing import candidate_pairs
 
     docs = _docs(spark, sf_dir)
-    dfa = docs.where(F.col("doc_id") % 2 == 0)
-    dfb = docs.where(F.col("doc_id") % 2 == 1)
+    # Split on doc_id % 40 (NOT % 2 or % 4: the corpus generator assigns
+    # source = src{doc_id % 20}, so any split on a modulus dividing 20
+    # is perfectly source-correlated and the (lang, source) join would
+    # be empty by construction).  With % 40, source k lands at
+    # %40 ∈ {k, k+20} — one residue on each side, real join output.
+    dfa = docs.where(F.col("doc_id") % 40 < 20)
+    dfb = docs.where(F.col("doc_id") % 40 >= 20)
     pairs = candidate_pairs(
         dfa, ColumnsIndex(["lang", "source"]), "doc_id", ["n_chars"], dfb=dfb
     )
@@ -332,6 +337,48 @@ def q_date_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate=False,
     )
     return m.get_index_pairs_within_thresholds(0.4, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
+def q_date_scored_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateSimilarity stages 1-2 with stage-3 pairs excluded (§2.5).
+
+    Stage 3 (same year + same day-of-month, far apart) scores with the
+    indel-ratio kernel, which SQL cannot reproduce — so those (rare)
+    pairs are excluded identically on BOTH sides, converting the other
+    ~95%+ of date scoring from a rows-only check to a hard DuckDB
+    oracle (reference similarities.py:166-180). The rows-only
+    ``date_scored_pairs`` still covers stage 3."""
+    from datamatch_spark import ColumnsIndex, DateSimilarity, ThresholdMatcher
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "odate", F.col("o_orderdate").cast("date")
+    )
+    m = ThresholdMatcher(
+        ColumnsIndex(["o_orderpriority", "o_custkey"]),
+        {"odate": DateSimilarity(30)},
+        orders,
+        row_key="o_orderkey",
+        validate=False,
+    )
+    pairs = m.get_index_pairs_within_thresholds(0.4, 1.0)
+    da = orders.select(F.col("o_orderkey").alias("idx_a"), F.col("odate").alias("__da"))
+    db = orders.select(F.col("o_orderkey").alias("idx_b"), F.col("odate").alias("__db"))
+    j = pairs.join(F.broadcast(da), "idx_a").join(F.broadcast(db), "idx_b")
+    days = F.abs(F.datediff("__da", "__db"))
+    same_year = F.year("__da") == F.year("__db")
+    stage1 = days < 30
+    stage2 = (
+        same_year
+        & (F.month("__da") == F.dayofmonth("__db"))
+        & (F.dayofmonth("__da") == F.month("__db"))
+    )
+    stage3 = (
+        ~stage1 & ~stage2 & same_year
+        & (F.dayofmonth("__da") == F.dayofmonth("__db"))
+    )
+    return j.where(~stage3).select(
         "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
     )
 
@@ -524,8 +571,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.simsearch import embedding_near_dup_pairs
 
+    # Threshold 0.3, not 0.9: the fixture embeddings' max within-block
+    # cosine is ~0.47, so 0.9 matched zero rows (vacuous oracle);
+    # 0.3 yields 111 real rows at sf0.01.
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.9, block_col="label"
+        _emb(spark, sf_dir), threshold=0.3, block_col="label"
     )
 
 
@@ -666,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiindex_or": q_multiindex_or,
         "multiindex_and": q_multiindex_and,
         "date_scored_pairs": q_date_scored_pairs,
+        "date_scored_pairs_sql": q_date_scored_pairs_sql,
         "decision": q_decision,
         "greedy_one_to_one": q_greedy_one_to_one,
         "jw_dedup_pairs": q_jw_dedup_pairs,
@@ -807,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.source = b.source
-            WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            WHERE a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
         """,
         "cluster_report": """
             WITH p AS (
@@ -896,6 +947,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.score_range, t.pair_idx, t.sim_score, t.doc_id, d.n_chars
             FROM two t JOIN docs d ON t.doc_id = d.doc_id
+        """,
+        "date_scored_pairs_sql": """
+            WITH p AS (
+              SELECT a.o_orderkey AS ia, b.o_orderkey AS ib,
+                     CAST(a.o_orderdate AS DATE) AS da,
+                     CAST(b.o_orderdate AS DATE) AS db
+              FROM orders a JOIN orders b
+                ON a.o_orderpriority = b.o_orderpriority
+               AND a.o_custkey = b.o_custkey
+               AND a.o_orderkey < b.o_orderkey
+            ), s AS (
+              SELECT ia, ib,
+                     abs(date_diff('day', db, da)) AS days,
+                     year(da) = year(db) AS same_year,
+                     month(da) AS ma, month(db) AS mb,
+                     day(da) AS dda, day(db) AS ddb
+              FROM p
+            ), scored AS (
+              SELECT ia AS idx_a, ib AS idx_b,
+                     CASE WHEN days < 30 THEN 1.0 - days / 30.0
+                          WHEN same_year AND ma = ddb AND dda = mb THEN 0.5
+                          ELSE 0.0 END AS sim_score,
+                     (days >= 30) AND NOT (same_year AND ma = ddb AND dda = mb)
+                       AND same_year AND dda = ddb AS is_stage3
+              FROM s
+            )
+            SELECT idx_a, idx_b, round(sim_score, 6) AS sim_score
+            FROM scored
+            WHERE NOT is_stage3 AND sim_score BETWEEN 0.4 AND 1.0
         """,
         "decision": """
             SELECT CAST(0.8 AS DOUBLE) AS match_threshold,
@@ -1033,6 +1113,6 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
     }

@@ -31,17 +31,28 @@ __all__ = [
 ]
 
 
+MULTI_BUCKET_PROP = "datamatch.multi_bucket"
+
+
 def save_bucketed_keyed_side(
     side: DataFrame,
     table_name: str,
     n_buckets: int = 256,
     path: str | None = None,
+    multi_bucket: bool = False,
 ) -> None:
     """Persist a keyed side (idx, block_key, rec — ``pairing.keyed_side``
     output) as a parquet table bucketed AND sorted on BLOCK_KEY.
 
     ``n_buckets`` must match between any two tables that will be
-    joined (co-location requires identical bucketing)."""
+    joined (co-location requires identical bucketing).
+
+    ``multi_bucket`` MUST be the ``index.multi_bucket`` flag of the
+    index that produced ``side`` (True for ``index_elements=True`` /
+    ``MultiIndex`` OR): it is persisted as table property
+    ``datamatch.multi_bucket`` and read back by
+    ``bucketed_candidate_pairs`` so pairs sharing >1 bucket are
+    deduplicated exactly as the runtime path does."""
     writer = (
         side.write.format("parquet")
         .bucketBy(n_buckets, BLOCK_KEY)
@@ -51,13 +62,24 @@ def save_bucketed_keyed_side(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+    side.sparkSession.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('{MULTI_BUCKET_PROP}'='{str(bool(multi_bucket)).lower()}')"
+    )
+
+
+def _table_multi_bucket(spark: SparkSession, table_name: str) -> bool:
+    rows = spark.sql(
+        f"SHOW TBLPROPERTIES {table_name} ('{MULTI_BUCKET_PROP}')"
+    ).collect()
+    return bool(rows) and rows[0]["value"] == "true"
 
 
 def bucketed_candidate_pairs(
     spark: SparkSession,
     table_a: str,
     table_b: str | None = None,
-    dedupe_multi_bucket: bool = False,
+    dedupe_multi_bucket: bool | None = None,
 ) -> DataFrame:
     """Candidate pairs from pre-bucketed keyed-side table(s): the
     blocked join runs exchange-free (``pre_partitioned=True`` skips
@@ -68,7 +90,17 @@ def bucketed_candidate_pairs(
     NOT applied here — salting re-shards rows and would defeat
     co-location; for skewed corpora either salt at write time (bucket
     the pre-salted side) or use the runtime ``candidate_pairs`` path.
+
+    ``dedupe_multi_bucket=None`` (default) reads the
+    ``datamatch.multi_bucket`` property persisted by
+    ``save_bucketed_keyed_side`` (OR across both tables), matching the
+    runtime path which always dedupes when ``index.multi_bucket``.
+    Pass an explicit bool to override.
     """
+    if dedupe_multi_bucket is None:
+        dedupe_multi_bucket = _table_multi_bucket(spark, table_a) or (
+            table_b is not None and _table_multi_bucket(spark, table_b)
+        )
     cfg = PairingConfig(pre_partitioned=True, salt_enabled=False)
     side_a = spark.table(table_a)
     if table_b is None:

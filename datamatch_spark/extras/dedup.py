@@ -268,6 +268,14 @@ def _sig_bands_udf(n_perm: int, bands: int):
     hashes (numpy splitmix64 folds) — no per-band string concat/cast
     JVM expression. Shared by the batch LSH pipeline and the streaming
     stateful near-dup operator."""
+    if n_perm % bands != 0:
+        # _band_hashes uses r = n_perm // bands: a non-dividing band
+        # count would silently drop the last n_perm % bands signature
+        # components from every band, losing recall with no warning.
+        raise ValueError(
+            f"bands ({bands}) must divide n_perm ({n_perm}); "
+            f"{n_perm % bands} signature components would be unused"
+        )
     seeds = _splitmix64(np.arange(1, n_perm + 1, dtype=np.uint64))
 
     @pandas_udf("struct<sig: array<long>, bands: array<long>>")
@@ -319,9 +327,14 @@ def minhash_lsh_pairs(
         while True:
             nb = bands * 2
             r = n_perm // nb
-            if r < 2 or (1.0 / nb) ** (1.0 / r) > threshold:
+            # nb must divide n_perm exactly (a non-dividing band count
+            # would drop trailing signature components — _sig_bands_udf
+            # rejects it), hence the n_perm % nb check.
+            if r < 2 or n_perm % nb != 0 or (1.0 / nb) ** (1.0 / r) > threshold:
                 break
             bands = nb
+        if n_perm % bands != 0:
+            bands = 1
     sig_bands_udf = _sig_bands_udf(n_perm, bands)
 
     # one materialized per-doc frame carries everything downstream

@@ -72,6 +72,11 @@ def _decode_ppm(data: bytes, dim: int):
     if parts[0] != b"P6":
         raise ValueError(f"not a binary PPM: magic {parts[0]!r}")
     w, h = int(parts[1]), int(parts[2])
+    maxval = int(parts[3])
+    if maxval != 255:
+        # maxval > 255 means 2-byte big-endian samples — reading them
+        # as uint8 would silently misdecode; refuse loudly instead.
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     img = px.reshape(h, w, 3).astype(np.float32) / 255.0
     chan = img.reshape(-1, 3)

@@ -80,8 +80,19 @@ class ThresholdMatcher:
         checkpoint_dir: str | None = None,
         score_partitions: int | str | None = None,
         metrics_sink=None,
+        keyed_tables: str | tuple[str, str] | None = None,
     ) -> None:
         self._mode = MODE_DEDUP if dfb is None else MODE_MATCH
+        if isinstance(keyed_tables, str):
+            keyed_tables = (keyed_tables,)
+        if keyed_tables is not None:
+            want = 1 if dfb is None else 2
+            if len(keyed_tables) != want:
+                raise ValueError(
+                    f"keyed_tables must name {want} table(s) for "
+                    f"{'dedup' if want == 1 else 'match'} mode"
+                )
+        self._keyed_tables = keyed_tables
         self._index = index
         self._scorer = coerce_scorer(scorer)
         self._dfa = dfa
@@ -147,14 +158,36 @@ class ThresholdMatcher:
 
     def _build_scored(self) -> DataFrame:
         needed = self._needed_columns()
-        pairs = candidate_pairs(
-            self._dfa,
-            self._index,
-            self._row_key,
-            needed,
-            dfb=self._dfb,
-            cfg=self._cfg,
-        )
+        if self._keyed_tables is not None:
+            # pre-bucketed keyed sides (bucketing.py): the blocked pair
+            # join reads bucket-co-located tables and runs with ZERO
+            # shuffle exchanges — the amortized path for recurring
+            # linkage over the same corpus (the parquet form of an
+            # Iceberg bucket(N, block_key) layout).
+            from .bucketing import bucketed_candidate_pairs
+
+            spark = self._dfa.sparkSession
+            rec_fields = set(
+                spark.table(self._keyed_tables[0])
+                .schema["rec"].dataType.fieldNames()
+            )
+            missing = set(needed) - rec_fields
+            if missing:
+                raise ValueError(
+                    f"bucketed keyed table {self._keyed_tables[0]!r} lacks "
+                    f"columns {sorted(missing)} required by the scorer/"
+                    f"filters/variator; re-save it with those columns"
+                )
+            pairs = bucketed_candidate_pairs(spark, *self._keyed_tables)
+        else:
+            pairs = candidate_pairs(
+                self._dfa,
+                self._index,
+                self._row_key,
+                needed,
+                dfb=self._dfb,
+                cfg=self._cfg,
+            )
         rec_schema = pairs.schema["a"].dataType
         for flt in self._filters:
             pairs = pairs.where(flt.predicate("a", "b", rec_schema))
@@ -164,9 +197,31 @@ class ThresholdMatcher:
                 n_parts = 2 * self._dfa.sparkSession.sparkContext.defaultParallelism
             pairs = pairs.repartition(n_parts)
         mv = self._variator.max_variants
+        from .variators import Swap
+
+        swap_fusable = (
+            type(self._variator) is Swap
+            and callable(getattr(self._scorer, "compile_swap_max", None))
+            and self._scorer.can_swap_fuse()
+        )
         if self._variator.is_noop:
             ctx = CompileCtx(df=pairs)
             score = self._scorer.compile(ctx)
+            scored = ctx.df.withColumn("sim_score", score.cast("double")).select(
+                "idx_a", "idx_b", "sim_score"
+            )
+        elif swap_fusable:
+            # Swap + all-batch SimSumScorer: ONE fused UDF computes the
+            # max over all 4 variant combos, scoring invariant fields
+            # once and the swapped pair's cross sims only on the rows
+            # whose combo is valid — kernel work 1x + O(swap-rate)
+            # instead of the inline-combo path's unconditional 4x
+            # (pandas UDFs evaluate the full batch under a F.when
+            # guard). Bit-identical output (see compile_swap_max).
+            ctx = CompileCtx(df=pairs)
+            score = self._scorer.compile_swap_max(
+                ctx, self._variator._col_a, self._variator._col_b
+            )
             scored = ctx.df.withColumn("sim_score", score.cast("double")).select(
                 "idx_a", "idx_b", "sim_score"
             )

@@ -51,7 +51,7 @@ def global_rank(
         offsets.append((pid, acc))
         acc += n
     if not offsets:
-        return df.withColumn(out_col, F.lit(0).cast("int")).limit(0)
+        return df.withColumn(out_col, F.lit(0).cast("long")).limit(0)
     off_df = F.broadcast(
         spark.createDataFrame(offsets, schema="__pid int, __off long")
     )
@@ -60,7 +60,9 @@ def global_rank(
         parted.join(off_df, on="__pid")
         .withColumn(
             out_col,
-            (F.row_number().over(w) - 1 + F.col("__off")).cast("int"),
+            # long, not int: this ranks 10^9+-row frames; int overflows
+            # past 2^31-1 (wraps with ANSI off, throws with ANSI on).
+            (F.row_number().over(w) - 1 + F.col("__off")).cast("long"),
         )
         .drop("__pid", "__off")
     )

@@ -152,6 +152,158 @@ class SimSumScorer(BaseScorer):
             args.append(ctx.bcol(k))
         return fused(*args)
 
+    def can_swap_fuse(self) -> bool:
+        """True when every similarity has a batch kernel, enabling the
+        swap-aware fused path (``compile_swap_max``)."""
+        return all(callable(getattr(s, "batch", None)) for s in self._fields.values())
+
+    def compile_swap_max(self, ctx: CompileCtx, col_x: str, col_y: str) -> Column:
+        """Max-over-Swap-variants score in ONE Arrow UDF.
+
+        Swap(x, y) variants differ from the base record ONLY in fields
+        x and y, so the 4 combo scores share every other field's
+        similarity. The naive inline-combo path evaluates the full
+        fused scorer 4x (pandas UDFs compute for the whole batch even
+        under a ``F.when`` guard — the guard masks the RESULT, not the
+        compute). Here instead:
+
+        * invariant fields are scored ONCE;
+        * the four cross-similarities of the swapped pair (ax·bx,
+          ax·by, ay·bx, ay·by) are each evaluated only on the row
+          subset whose combo is actually valid (one/both sides swap),
+          so kernel work is 1x + O(swap-rate), not 4x;
+        * per-combo totals accumulate in the exact field order of the
+          plain fused scorer and the max is taken pre-sqrt (sqrt is
+          monotone and correctly rounded, so ``sqrt(max(acc))`` is
+          bitwise ``max(sqrt(acc))``) — results are bit-identical to
+          the inline-combo path;
+        * combo validity mirrors Swap's null-safe-unequal gate
+          (reference variators.py:32-59) and invalid combos are
+          excluded like greatest() ignores the guard NULLs; NaN scores
+          win comparisons (np.maximum) matching Spark's greatest.
+
+        Works when x/y themselves are scored or not: an unscored
+        swapped column still flips the swap gate and feeds no kernel.
+        """
+        import numpy as np
+
+        names = ctx.record_schema.fieldNames()
+        for k in self._fields:
+            if k not in names:
+                raise KeyError(k)
+        items = list(self._fields.items())
+        n_fields = float(len(items))
+        sim_x = self._fields.get(col_x)
+        sim_y = self._fields.get(col_y)
+        # When both swapped fields are scored by the SAME similarity
+        # (the canonical Swap("first","last") JW x JW case), field y's
+        # cross-sim table is a permutation of field x's: cy[(i,j)] =
+        # sim(a_y-variant-i, b_y-variant-j) and the y-variants are the
+        # x-variants exchanged, so only FOUR distinct value-pairs exist
+        # — (ax,bx) and (ay,by) needed on all rows (plain scoring pays
+        # those too) plus (ax,by)/(ay,bx) on swap rows only. Kernel
+        # work = plain + 2 x swap-rate, vs the inline-combo path's 8.
+        share_xy = (
+            sim_x is not None
+            and sim_y is not None
+            and type(sim_x) is type(sim_y)
+            and vars(sim_x) == vars(sim_y)
+        )
+
+        def nullsafe_neq(u: pd.Series, v: pd.Series) -> "np.ndarray":
+            na_u, na_v = u.isna().to_numpy(), v.isna().to_numpy()
+            eq_vals = pd.Series(u.to_numpy() == v.to_numpy()).fillna(False).to_numpy()
+            eq = (na_u & na_v) | (~na_u & ~na_v & eq_vals)
+            return ~eq
+
+        def masked_sim(sim, a: pd.Series, b: pd.Series, mask: "np.ndarray"):
+            if mask.all():  # ~100% swap rate: skip the subset copies
+                nullm = (a.isna() | b.isna()).to_numpy()
+                vals = np.asarray(sim.batch(a, b), dtype=np.float64)
+                return np.where(nullm, 0.0, vals)
+            out = np.zeros(len(a), dtype=np.float64)
+            idx = np.flatnonzero(mask)
+            if len(idx):
+                av = a.iloc[idx].reset_index(drop=True)
+                bv = b.iloc[idx].reset_index(drop=True)
+                nullm = (av.isna() | bv.isna()).to_numpy()
+                vals = np.asarray(sim.batch(av, bv), dtype=np.float64)
+                out[idx] = np.where(nullm, 0.0, vals)
+            return out
+
+        @pandas_udf("double")
+        def swap_fused(*cols: pd.Series) -> pd.Series:
+            ax, ay, bx, by = cols[0], cols[1], cols[2], cols[3]
+            inv = cols[4:]
+            n = len(ax)
+            ones = np.ones(n, dtype=bool)
+            swap_a = nullsafe_neq(ax, ay)
+            swap_b = nullsafe_neq(bx, by)
+            # combo validity: (i, j) needs variant i on a / j on b
+            valid = {
+                (0, 0): ones,
+                (0, 1): swap_b,
+                (1, 0): swap_a,
+                (1, 1): swap_a & swap_b,
+            }
+            # cross sims, masked to the rows whose combos need them.
+            # a-side value of field x under variant i: ax if i==0 else ay
+            # a-side value of field y under variant i: ay if i==0 else ax
+            def cross(sim, a0, a1, b0, b1):
+                return {
+                    (0, 0): masked_sim(sim, a0, b0, ones),
+                    (0, 1): masked_sim(sim, a0, b1, valid[(0, 1)]),
+                    (1, 0): masked_sim(sim, a1, b0, valid[(1, 0)]),
+                    (1, 1): masked_sim(sim, a1, b1, valid[(1, 1)]),
+                }
+
+            if share_xy:
+                m_any = swap_a | swap_b
+                p1 = masked_sim(sim_x, ax, bx, ones)
+                p2 = masked_sim(sim_x, ax, by, m_any)
+                p3 = masked_sim(sim_x, ay, bx, m_any)
+                p4 = masked_sim(sim_x, ay, by, ones)
+                cx = {(0, 0): p1, (0, 1): p2, (1, 0): p3, (1, 1): p4}
+                cy = {(0, 0): p4, (0, 1): p3, (1, 0): p2, (1, 1): p1}
+            else:
+                cx = cross(sim_x, ax, ay, bx, by) if sim_x is not None else None
+                cy = cross(sim_y, ay, ax, by, bx) if sim_y is not None else None
+            combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+            acc = {c: np.zeros(n, dtype=np.float64) for c in combos}
+            ptr = 0
+            for k, sim in items:
+                if k == col_x:
+                    for c in combos:
+                        acc[c] += cx[c] * cx[c]
+                elif k == col_y:
+                    for c in combos:
+                        acc[c] += cy[c] * cy[c]
+                else:
+                    a, b = inv[2 * ptr], inv[2 * ptr + 1]
+                    nullm = (a.isna() | b.isna()).to_numpy()
+                    vals = np.asarray(sim.batch(a, b), dtype=np.float64)
+                    sq = np.where(nullm, 0.0, vals)
+                    sq = sq * sq
+                    for c in combos:
+                        acc[c] += sq
+                    ptr += 1
+            best = acc[(0, 0)]
+            for c in combos[1:]:
+                best = np.where(valid[c], np.maximum(best, acc[c]), best)
+            return pd.Series(np.sqrt(best / n_fields))
+
+        args = [
+            ctx.acol(col_x),
+            ctx.acol(col_y),
+            ctx.bcol(col_x),
+            ctx.bcol(col_y),
+        ]
+        for k, _ in items:
+            if k not in (col_x, col_y):
+                args.append(ctx.acol(k))
+                args.append(ctx.bcol(k))
+        return swap_fused(*args)
+
 
 class AbsoluteScorer(BaseScorer):
     """Fixed score when both records carry the same non-null value in

@@ -78,3 +78,79 @@ def test_bucketed_match_join_is_exchange_free_and_exact(spark, warehouse):
     assert got == want
     for t in ("keyed_a", "keyed_b"):
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_multi_bucket_flag_persisted_and_deduped(spark, warehouse):
+    # multi-bucket index (index_elements=True): each row lands in one
+    # bucket per array element, so pairs sharing >1 element would
+    # duplicate without the persisted-flag dedup.
+    rows = [(i, [f"t{i % 5}", f"t{(i + 1) % 5}"], i) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, toks array<string>, v long")
+    idx = ColumnsIndex("toks", index_elements=True)
+    side = keyed_side(df, idx, "id", ["v"], "idx", "rec")
+    spark.sql("DROP TABLE IF EXISTS keyed_mb")
+    save_bucketed_keyed_side(
+        side, "keyed_mb", n_buckets=4, path=f"{warehouse}/kmb",
+        multi_bucket=idx.multi_bucket,
+    )
+    pairs = bucketed_candidate_pairs(spark, "keyed_mb")  # default: read flag
+    got = [(r["idx_a"], r["idx_b"]) for r in pairs.collect()]
+    assert len(got) == len(set(got)), "duplicate pairs despite persisted flag"
+    want = {
+        (r["idx_a"], r["idx_b"])
+        for r in candidate_pairs(df, idx, "id", ["v"]).collect()
+    }
+    assert set(got) == want
+    # explicit override still wins
+    raw = bucketed_candidate_pairs(spark, "keyed_mb", dedupe_multi_bucket=False)
+    assert raw.count() > len(got)
+    spark.sql("DROP TABLE keyed_mb")
+
+
+def test_matcher_accepts_bucketed_keyed_tables(spark, warehouse):
+    """End-to-end ThresholdMatcher over a pre-bucketed keyed side:
+    scored pairs identical to the runtime path, and the candidate join
+    in the plan has no shuffle exchange."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ThresholdMatcher
+
+    rows = [(i, f"g{i % 11}", float(i % 97)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    idx = ColumnsIndex("g")
+    side = keyed_side(df, idx, "id", ["v"], "idx", "rec")
+    spark.sql("DROP TABLE IF EXISTS keyed_m")
+    save_bucketed_keyed_side(side, "keyed_m", n_buckets=8, path=f"{warehouse}/km")
+    scorer = {"v": AbsoluteNumericalSimilarity(100)}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        m = ThresholdMatcher(
+            idx, scorer, df, row_key="id", validate=False, defer=True,
+            keyed_tables="keyed_m",
+        )
+        plan = m._build_scored()._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "hashpartitioning" not in plan, plan
+        got = {
+            (r["idx_a"], r["idx_b"], round(r["sim_score"], 9))
+            for r in m.scored_pairs.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    base = ThresholdMatcher(idx, scorer, df, row_key="id", validate=False)
+    want = {
+        (r["idx_a"], r["idx_b"], round(r["sim_score"], 9))
+        for r in base.scored_pairs.collect()
+    }
+    assert got == want
+    # missing scorer column is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks"):
+        ThresholdMatcher(
+            idx, {"missing_col": AbsoluteNumericalSimilarity(1)}, df,
+            row_key="id", validate=False, defer=True, keyed_tables="keyed_m",
+        )._build_scored()
+    spark.sql("DROP TABLE keyed_m")

@@ -273,3 +273,18 @@ def test_real_ppm_and_wav_codecs(spark):
     rms_tone = got["aud_tone"]["features"][0]
     rms_sil = got["aud_sil"]["features"][0]
     assert rms_tone > 0.3 and rms_sil == 0.0
+
+
+def test_band_count_must_divide_n_perm():
+    from datamatch_spark.extras.dedup import _sig_bands_udf
+
+    with pytest.raises(ValueError, match="must divide"):
+        _sig_bands_udf(64, 5)
+
+
+def test_ppm_maxval_rejected():
+    from datamatch_spark.extras.multimodal import _decode_ppm
+
+    bad = b"P6\n2 2\n65535\n" + bytes(24)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(bad, 10)
