@@ -265,12 +265,16 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
     pair — the reference's highest-score-first greedy 1:1 pruning.
 
     Fixpoint of locally-dominant selection: a pair whose rank tuple is
-    the minimum within BOTH its idx_a partition and its idx_b partition
-    is kept; its endpoints' other pairs are discarded; repeat. No
-    global sort — only per-key window minima (two shuffles per round).
-    """
-    from pyspark.sql import Window
+    the minimum among BOTH its idx_a group and its idx_b group is
+    kept; its endpoints' other pairs are discarded; repeat.
 
+    Per round: two min-per-key AGGREGATES joined back, not per-key
+    windows. The aggregates partial-combine map-side, so their shuffle
+    is O(distinct keys) instead of the windows' two full sort-shuffles
+    of the remaining pairs, and AQE turns the join back into a
+    broadcast whenever a round's best-per-key table is small — the
+    dominant case after round 1, when only contested endpoints remain.
+    """
     remaining = pairs.withColumn(
         "__r",
         F.struct(
@@ -283,11 +287,11 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
     for rnd in range(max_iter):
         if remaining.isEmpty():
             break
-        wa = Window.partitionBy("idx_a")
-        wb = Window.partitionBy("idx_b")
+        ma = remaining.groupBy("idx_a").agg(F.min("__r").alias("__ma"))
+        mb = remaining.groupBy("idx_b").agg(F.min("__r").alias("__mb"))
         sel = (
-            remaining.withColumn("__ma", F.min("__r").over(wa))
-            .withColumn("__mb", F.min("__r").over(wb))
+            remaining.join(ma, on="idx_a")
+            .join(mb, on="idx_b")
             .where((F.col("__r") == F.col("__ma")) & (F.col("__r") == F.col("__mb")))
             .drop("__ma", "__mb")
             .localCheckpoint()

@@ -75,6 +75,7 @@ def streaming_near_dup_pairs(
     threshold: float = 0.7,
     state_ttl_ms: int | None = 30 * 60 * 1000,
     max_bucket_docs: int = 1000,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator (``applyInPandasWithState``):
     MinHash-LSH near-duplicate detection across micro-batches.
@@ -95,8 +96,13 @@ def streaming_near_dup_pairs(
     drain-and-stop (backfill) usage, where ``max_bucket_docs`` is the
     only state bound. ``max_bucket_docs`` caps degenerate buckets
     (hot-content floods) by evicting oldest entries. Pairs colliding
-    in multiple bands are emitted once per band — dedupe downstream if
-    exact-once pairs are needed. The streaming emitter is
+    in multiple bands are emitted once per band (the bucket states are
+    independent, so cross-band dedup cannot happen inside the
+    operator); ``unique_pairs=True`` appends a streaming
+    ``dropDuplicates`` on (idx_a, idx_b) — exactly-once pairs, but its
+    dedup state is UNBOUNDED across the query lifetime; leave False
+    and dedupe in the batch sink for long-running production queries.
+    The streaming emitter is
     estimate-based (state stores signatures, not shingle sets); run
     the batch ``minhash_lsh_pairs`` for exact-verified jaccard.
     """
@@ -158,20 +164,47 @@ def streaming_near_dup_pairs(
         else:
             ids, S = [], np.zeros((0, n_perm), dtype=np.int64)
         out_a, out_b, out_e = [], [], []
+
+        def emit(a: int, b: int, e: float) -> None:
+            if a == b:
+                return
+            out_a.append(min(a, b))
+            out_b.append(max(a, b))
+            out_e.append(round(float(e), 6))
+
+        # batch-append: prior state S stays fixed; each micro-batch
+        # chunk becomes ONE stacked matrix (no per-doc vstack — the
+        # former per-doc copy was O(n^2) within a hot bucket's
+        # trigger). Within-chunk comparisons slice the fixed matrix.
+        chunks: list[np.ndarray] = []
+        chunk_ids: list[list[int]] = []
         for pdf in pdf_iter:
-            for doc_id, sig in zip(pdf["__id"], pdf["__sig"]):
-                v = np.asarray(sig, dtype=np.int64)
-                if len(ids):
+            m = len(pdf)
+            if m == 0:
+                continue
+            cids = [int(d) for d in pdf["__id"]]
+            V = np.asarray(pdf["__sig"].tolist(), dtype=np.int64).reshape(
+                m, n_perm
+            )
+            for r in range(m):
+                v = V[r]
+                if S.shape[0]:  # vs prior-state docs
                     est = (S == v).mean(axis=1)
                     for j in np.nonzero(est >= threshold)[0]:
-                        a, b = ids[j], int(doc_id)
-                        if a == b:
-                            continue
-                        out_a.append(min(a, b))
-                        out_b.append(max(a, b))
-                        out_e.append(round(float(est[j]), 6))
-                ids.append(int(doc_id))
-                S = np.vstack([S, v[None, :]])
+                        emit(ids[j], cids[r], est[j])
+                for W, wids in zip(chunks, chunk_ids):  # vs earlier chunks
+                    est = (W == v).mean(axis=1)
+                    for j in np.nonzero(est >= threshold)[0]:
+                        emit(wids[j], cids[r], est[j])
+                if r:  # vs earlier rows of this chunk
+                    est = (V[:r] == v).mean(axis=1)
+                    for j in np.nonzero(est >= threshold)[0]:
+                        emit(cids[j], cids[r], est[j])
+            chunks.append(V)
+            chunk_ids.append(cids)
+        if chunks:
+            ids = ids + [i for cid in chunk_ids for i in cid]
+            S = np.concatenate([S] + chunks, axis=0)
         if len(ids) > cap:  # evict oldest
             ids = ids[-cap:]
             S = S[-cap:]
@@ -182,7 +215,7 @@ def streaming_near_dup_pairs(
             {"idx_a": out_a, "idx_b": out_b, "jaccard_est": out_e}
         )
 
-    return keyed.groupBy("band", "bh").applyInPandasWithState(
+    out = keyed.groupBy("band", "bh").applyInPandasWithState(
         dedup_bucket,
         out_schema,
         state_schema,
@@ -191,6 +224,21 @@ def streaming_near_dup_pairs(
         if ttl is not None
         else GroupStateTimeout.NoTimeout,
     )
+    if unique_pairs:
+        # mapInPandas identity barrier: the stateful operator's columnar
+        # (Arrow) output otherwise feeds the dedup shuffle directly and
+        # the UnsafeRow shuffle serializer throws ClassCastException
+        # (ColumnarBatchRow -> UnsafeRow, observed on Spark 4.1); a
+        # plain projection does not break the columnar chain, but the
+        # Python identity pass re-enters through the Arrow eval path
+        # whose output the shuffle accepts.
+        def _ident(it):
+            yield from it
+
+        out = out.mapInPandas(
+            _ident, schema="idx_a long, idx_b long, jaccard_est double"
+        ).dropDuplicates(["idx_a", "idx_b"])
+    return out
 
 
 def incremental_link_batch(

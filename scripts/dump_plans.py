@@ -138,11 +138,13 @@ def main():
     swap_plan = m_swap._build_scored()
     sections.append(
         (
-            "Swap variator scoring (inline variant-combination max)",
-            "What to check: NO Generate/explode node and NO aggregation "
-            "Exchange above the scoring — the ≤4 variant-combination scores "
-            "are columns combined with `greatest`; the only Python stages "
-            "are ArrowEvalPython batches over the unexploded pair rows.",
+            "Swap variator scoring (fused max-over-variants UDF)",
+            "What to check: NO Generate/explode node, NO aggregation "
+            "Exchange, and exactly ONE ArrowEvalPython above the pair join "
+            "— the max over all 4 Swap variant combos is a single fused "
+            "UDF that scores invariant fields once and the swapped pair's "
+            "cross-similarities only on swap rows (scorers.py "
+            "compile_swap_max).",
             formatted(swap_plan),
         )
     )

@@ -263,3 +263,57 @@ def test_decision_counts(dedup_matcher):
     n_pairs = len(dedup_matcher.collect_index_pairs_within_thresholds(0.83, 1.0))
     assert row["number_of_matched_pairs"] == n_pairs
     assert n_pairs >= 11
+
+
+def test_sample_pairs_property_random_scores(spark):
+    """get_sample_pairs vs an independent reimplementation of the
+    reference slicing semantics (matchers.py:292-338) on a random
+    score distribution: per range, the sample_counts LOWEST pairs
+    under the (score, idx_a, idx_b) total order, pair_idx descending;
+    exercises the two-phase bottom-k over many input partitions."""
+    import random
+
+    import numpy as np
+
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    rng = random.Random(1234)
+    n = 400
+    rows = [(i, "g", rng.uniform(0.0, 1000.0)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(16)
+    k = 4
+    m = ThresholdMatcher(
+        ColumnsIndex("g"),
+        {"v": AbsoluteNumericalSimilarity(1000)},
+        df,
+        row_key="id",
+        validate=False,
+    )
+    lower, upper, step = 0.7, 1.0, 0.05
+    got = [
+        (r["score_range"], r["pair_idx"], round(r["sim_score"], 9), r["row_key"])
+        for r in m.get_sample_pairs(k, lower, upper, step).collect()
+    ]
+
+    # independent emulation over the same scored pairs
+    scored = [
+        (r["sim_score"], r["idx_a"], r["idx_b"])
+        for r in m.scored_pairs.collect()
+    ]
+    bounds = list(np.arange(upper, lower, -step)) + [lower]
+    want = []
+    assigned = set()
+    for i in range(len(bounds) - 1):
+        hi, lo = float(bounds[i]), float(bounds[i + 1])
+        bucket = sorted(
+            p for p in scored
+            if p not in assigned and lo < p[0] <= hi
+        )
+        chosen = bucket[:k]
+        assigned.update(chosen)
+        mlen = len(chosen)
+        label = "%.2f-%.2f" % (hi, lo)
+        for rank, (s, ia, ib) in enumerate(chosen):
+            for key in (ia, ib):
+                want.append((label, mlen - 1 - rank, round(s, 9), key))
+    assert sorted(got) == sorted(want)

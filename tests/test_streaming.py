@@ -160,3 +160,43 @@ def test_streaming_near_dup_pairs_cross_batch_state(spark, tmp_path):
     }
     assert (2, 10) in got2  # CROSS-batch pair via persisted state
     assert not any(a == b for a, b in got2)
+
+
+def test_streaming_near_dup_unique_pairs(spark, tmp_path):
+    """unique_pairs=True: a pair colliding in several LSH bands is
+    emitted once; batch-append state path handles multi-doc batches."""
+    from datamatch_spark.streaming import streaming_near_dup_pairs
+
+    def doc(i, base, mutate=False):
+        words = [f"w{base * 50 + j}" for j in range(30)]
+        if mutate:
+            words[3] = "zz"
+        return (i, " ".join(words))
+
+    src = tmp_path / "in_u"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_u")
+    sink = str(tmp_path / "out_u")
+    schema = "doc_id long, text string"
+    # identical docs 0/1 collide in EVERY band; near-dups 2/3 in several
+    rows = [doc(0, 0), doc(1, 0), doc(2, 1), doc(3, 1, mutate=True)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    pairs = streaming_near_dup_pairs(
+        stream, "doc_id", "text", n=2, n_perm=64, bands=8,
+        threshold=0.5, state_ttl_ms=None, unique_pairs=True,
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [(r["idx_a"], r["idx_b"]) for r in spark.read.parquet(sink).collect()]
+    assert len(got) == len(set(got)), f"duplicate emissions: {got}"
+    assert (0, 1) in got and (2, 3) in got
