@@ -92,6 +92,67 @@ def bench_er_dedup(spark, sf: float):
     return elapsed, n_scored, m
 
 
+def bench_er_dedup_bucketed(spark, sf: float):
+    """The amortized recurring-linkage path: the keyed side is saved
+    ONCE as a table bucketed+sorted on BLOCK_KEY (the parquet analogue
+    of Iceberg bucket(N, key)); every subsequent run's blocked join is
+    exchange-free. Timed section = one recurring run (read buckets ->
+    pairs -> fused scoring), NOT the one-time save.
+
+    hot_pct=0: bucket co-location intentionally skips runtime salting
+    (it would re-shard and defeat co-location), so the deployment
+    contract is salt-at-write-time for skewed corpora — this bench
+    measures the contract's intended regime. Measured at 50k docs:
+    runtime path 9.0-11.7 s vs bucketed 3.1-4.3 s per recurring run
+    (save-once 6.1 s), identical 683,577 pairs."""
+    import tempfile
+
+    from datamatch_spark import (
+        ColumnsIndex,
+        DateSimilarity,
+        JaroWinklerSimilarity,
+        ThresholdMatcher,
+    )
+    from datamatch_spark.bucketing import save_bucketed_keyed_side
+    from datamatch_spark.corpus import CorpusConfig, generate_documents, project_fields
+    from datamatch_spark.pairing import keyed_side
+
+    n_docs = max(3000, int(500_000 * sf))
+    cfg = CorpusConfig(
+        n_docs=n_docs,
+        seed=42,
+        profile="clean",
+        blk_buckets=max(50, n_docs // 25),
+        hot_pct=0,
+    )
+    fields = project_fields(generate_documents(spark, cfg)).drop("spans").localCheckpoint()
+    idx = ColumnsIndex("blk")
+    side = keyed_side(fields, idx, "doc_id", ["last", "first", "dob"], "idx", "rec")
+    spark.sql("DROP TABLE IF EXISTS bench_keyed")
+    save_bucketed_keyed_side(
+        side,
+        "bench_keyed",
+        n_buckets=64,
+        path=tempfile.mkdtemp(prefix="bench_keyed_"),
+        multi_bucket=idx.multi_bucket,
+    )
+    t0 = time.time()
+    m = ThresholdMatcher(
+        idx,
+        {
+            "last": JaroWinklerSimilarity(),
+            "first": JaroWinklerSimilarity(),
+            "dob": DateSimilarity(),
+        },
+        fields,
+        row_key="doc_id",
+        validate=False,
+        keyed_tables="bench_keyed",
+    )
+    n_scored = m.scored_pairs.count()
+    return time.time() - t0, n_scored
+
+
 def bench_er_swap(spark, sf: float):
     """Swap-variator dedup: ONE fused UDF scores the max over all 4
     variant combos (no explode, no per-pair max shuffle), sharing the
@@ -297,6 +358,9 @@ def main():
     t_cc, n_members = bench_cc_cluster(spark, matcher)
     queries["cc_cluster"] = round(t_cc, 3)
     _clear_rdd_cache()
+    t_bk, n_bk = bench_er_dedup_bucketed(spark, sf)
+    queries["er_dedup_bucketed"] = round(t_bk, 3)
+    _clear_rdd_cache()
     t_sw, n_sw = bench_er_swap(spark, sf)
     queries["er_swap"] = round(t_sw, 3)
     _clear_rdd_cache()
@@ -322,6 +386,7 @@ def main():
         "cpus": cpus,
         "pairs_scored": n_pairs,
         "pairs_scored_per_sec": round(n_pairs / t_er, 1) if t_er > 0 else None,
+        "bucketed_pairs_scored": n_bk,
         "cluster_members": n_members,
         "swap_pairs": n_sw,
         "minhash_pairs": n_mh,

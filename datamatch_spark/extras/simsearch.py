@@ -435,10 +435,49 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    lsh_planes: int | None = None,
+    seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """(idx_a, idx_b, cos) pairs with cosine >= threshold. With
-    ``block_col`` the self-join is per-block (e.g. label or an LSH
-    bucket); without, it is a full O(N²) scan — small corpora only."""
+    """(idx_a, idx_b, cos) pairs with cosine >= threshold.
+
+    Three blocking modes, most to least scalable:
+
+    * ``lsh_planes=k`` (the 100 TB path): self-join within sign-LSH
+      buckets; with ``multiprobe`` a pair is found iff its codes differ
+      in <= 1 of the k bits. Exact cosine verification follows, so
+      precision is exact; recall for a pair at cosine c is
+      p^k + k*p^(k-1)*(1-p) with p = 1 - arccos(c)/pi (e.g. k=8,
+      c=0.99 -> ~0.997; c=0.95 -> ~0.97). Raise recall by lowering k
+      or re-running with another seed and unioning.
+    * ``block_col``: per-block self-join (label, category, a coarse
+      precomputed bucket).
+    * neither: full O(N^2) cross-join — small corpora only.
+    """
+    if block_col is None and lsh_planes:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, lsh_planes, seed)
+        a = _attach_codes(df, planes, id_col, vec_col, "idx_a", "__va")
+        b = _attach_codes(df, planes, id_col, vec_col, "idx_b", "__vb")
+        if multiprobe:
+            probes = F.array(
+                F.col("__code"),
+                *[
+                    F.col("__code").bitwiseXOR(
+                        F.shiftleft(F.lit(1).cast("long"), i)
+                    )
+                    for i in range(lsh_planes)
+                ],
+            )
+            a = a.select("idx_a", "__va", F.explode(probes).alias("__code"))
+        joined = a.join(b, on="__code").where(F.col("idx_a") < F.col("idx_b"))
+        return (
+            _score_pairs_arrow(joined, "idx_a", "idx_b", "__va", "__vb")
+            .withColumn("cos", F.round("cos", 6))
+            .where(F.col("cos") >= threshold)
+            .dropDuplicates(["idx_a", "idx_b"])
+            .select("idx_a", "idx_b", "cos")
+        )
     a = df.select(
         F.col(id_col).alias("idx_a"),
         F.col(vec_col).alias("__va"),

@@ -288,3 +288,61 @@ def test_ppm_maxval_rejected():
     bad = b"P6\n2 2\n65535\n" + bytes(24)
     with pytest.raises(ValueError, match="maxval"):
         _decode_ppm(bad, 10)
+
+
+def test_embedding_near_dup_lsh_blocked_recall(spark):
+    """LSH-bucketed near-dup: exact precision (every returned pair is a
+    verified brute-force pair, identical cos) and high recall on
+    planted near-duplicates."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    vid = 0
+    for i in range(40):
+        base = rng.standard_normal(32)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        # planted near-dup: tiny perturbation => cosine ~0.999
+        rows.append((vid, [float(x) for x in base + 0.02 * rng.standard_normal(32)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {
+        (r["idx_a"], r["idx_b"]): r["cos"]
+        for r in S.embedding_near_dup_pairs(df, threshold=0.98).collect()
+    }
+    got = {
+        (r["idx_a"], r["idx_b"]): r["cos"]
+        for r in S.embedding_near_dup_pairs(
+            df, threshold=0.98, lsh_planes=8
+        ).collect()
+    }
+    assert set(got) <= set(truth)  # exact precision
+    for k, v in got.items():
+        assert v == truth[k]
+    assert len(truth) >= 40  # the 40 planted pairs are real near-dups
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"recall {recall} ({len(got)}/{len(truth)})"
+
+
+def test_pair_cosine_matches_column_cosine(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)],
+            [float(x) for x in rng.standard_normal(16)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", F.round(S.pair_cosine(F.col("a"), F.col("b")), 9).alias("c")
+        ).collect()
+    }
+    want = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", F.round(S.cosine(F.col("a"), F.col("b")), 9).alias("c")
+        ).collect()
+    }
+    assert got == want
