@@ -245,6 +245,21 @@ def q_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("idx_a", "idx_b")
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández-Stolfo 1995): global
+    sort by (n_chars, doc_id), pair rows < 5 positions apart. Rank via
+    the distributed two-phase global_rank; pairs via the multi-bucket
+    equality encoding (indices.SortedNeighborhoodIndex)."""
+    from datamatch_spark.indices import SortedNeighborhoodIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = candidate_pairs(
+        docs, SortedNeighborhoodIndex(["n_chars"], window=5), "doc_id", []
+    )
+    return pairs.select("idx_a", "idx_b")
+
+
 def q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_clusters_within_threshold end-to-end (§2.8): blocks are
     cliques by construction (single-valued block keys ⇒ components =
@@ -399,8 +414,11 @@ def q_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_greedy_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Match-mode greedy 1:1 pruning (§2.8) — sequential semantics,
-    not SQL-expressible (rows-only check)."""
+    """Match-mode greedy 1:1 pruning (§2.8). The sequential
+    highest-score-first semantics ARE SQL-expressible: a recursive CTE
+    that repeatedly picks the lowest-rank pair with both endpoints
+    unused (equivalent to the one-pass greedy scan, since conflicts
+    only grow) — see oracle_sql()["greedy_one_to_one"]."""
     from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
 
     docs = _docs(spark, sf_dir)
@@ -712,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noop_index": q_noop_index,
         "index_elements": q_index_elements,
         "match_candidates": q_match_candidates,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,
         "multiindex_and": q_multiindex_and,
@@ -860,6 +879,18 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.source = b.source
             WHERE a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
         """,
+        "sorted_neighborhood": """
+            WITH ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rnk
+              FROM documents
+              WHERE n_chars IS NOT NULL
+            )
+            SELECT LEAST(a.doc_id, b.doc_id) AS idx_a,
+                   GREATEST(a.doc_id, b.doc_id) AS idx_b
+            FROM ranked a JOIN ranked b
+              ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+        """,
         "cluster_report": """
             WITH p AS (
               SELECT a.o_orderkey AS ia, b.o_orderkey AS ib,
@@ -947,6 +978,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.score_range, t.pair_idx, t.sim_score, t.doc_id, d.n_chars
             FROM two t JOIN docs d ON t.doc_id = d.doc_id
+        """,
+        "greedy_one_to_one": """
+            WITH RECURSIVE scored AS (
+              -- every blocked pair is scored and participates in the
+              -- greedy pass (0-score pairs consume endpoints too);
+              -- the [0.5, 1.0] slice happens AFTER pruning, mirroring
+              -- ThresholdMatcher.scored_pairs -> _slice
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     CASE WHEN abs(a.n_chars - b.n_chars) < 50
+                          THEN 1.0 - abs(a.n_chars - b.n_chars) / 50.0
+                          ELSE 0.0 END AS sim_score
+              FROM documents a JOIN documents b ON a.lang = b.lang
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            ), ranked AS (
+              SELECT idx_a, idx_b, sim_score,
+                     row_number() OVER (
+                       ORDER BY sim_score DESC, idx_a, idx_b) AS rn
+              FROM scored
+            ), g AS (
+              -- sequential highest-score-first greedy 1:1 as a
+              -- recursive scan: each step picks the lowest-rank pair
+              -- whose endpoints are both unused
+              SELECT 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS ua,
+                     CAST([] AS BIGINT[]) AS ub
+              UNION ALL
+              SELECT nxt.rn, list_append(g.ua, nxt.idx_a),
+                     list_append(g.ub, nxt.idx_b)
+              FROM g, LATERAL (
+                SELECT r.rn, r.idx_a, r.idx_b FROM ranked r
+                WHERE r.rn > g.rn
+                  AND NOT list_contains(g.ua, r.idx_a)
+                  AND NOT list_contains(g.ub, r.idx_b)
+                ORDER BY r.rn LIMIT 1
+              ) nxt
+            )
+            SELECT r.idx_a, r.idx_b, round(r.sim_score, 6) AS sim_score
+            FROM ranked r JOIN g ON r.rn = g.rn
+            WHERE r.sim_score BETWEEN 0.5 AND 1.0
         """,
         "date_scored_pairs_sql": """
             WITH p AS (

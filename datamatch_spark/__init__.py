@@ -8,7 +8,13 @@ Public API mirrors /root/reference/datamatch/__init__.py:1-18.
 """
 
 from .filters import BaseFilter, ColumnFilter, DissimilarFilter, NonOverlappingFilter
-from .indices import BaseIndex, ColumnsIndex, MultiIndex, NoopIndex
+from .indices import (
+    BaseIndex,
+    ColumnsIndex,
+    MultiIndex,
+    NoopIndex,
+    SortedNeighborhoodIndex,
+)
 from .matchers import ThresholdMatcher
 from .pairing import PairingConfig
 from .scorers import (
@@ -35,6 +41,7 @@ __all__ = [
     "NoopIndex",
     "ColumnsIndex",
     "MultiIndex",
+    "SortedNeighborhoodIndex",
     "BaseIndex",
     "JaroWinklerSimilarity",
     "StringSimilarity",

@@ -31,7 +31,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["BaseIndex", "NoopIndex", "ColumnsIndex", "MultiIndex", "BLOCK_KEY"]
+__all__ = [
+    "BaseIndex",
+    "NoopIndex",
+    "ColumnsIndex",
+    "MultiIndex",
+    "SortedNeighborhoodIndex",
+    "BLOCK_KEY",
+]
 
 BLOCK_KEY = "block_key"
 _FIELD_SEP = "\x1f"  # between components of one key tuple
@@ -94,9 +101,12 @@ class BaseIndex(ABC):
 
     ``multi_bucket`` is True when one row may land in more than one
     bucket (then the pair join must dedupe (idx_a, idx_b)).
+    ``dedup_only`` is True when the index's keys are only meaningful
+    within one dataset (match mode must reject it).
     """
 
     multi_bucket: bool = False
+    dedup_only: bool = False
 
     @abstractmethod
     def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
@@ -208,3 +218,70 @@ class MultiIndex(BaseIndex):
             parts.append(F.lit(_TUPLE_SEP))
             parts.append(F.col(f"__bk_{i}"))
         return out.select(F.col(row_key), F.concat(*parts).alias(BLOCK_KEY))
+
+
+class SortedNeighborhoodIndex(BaseIndex):
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995;
+    Christen 2012 §4.5): sort all rows by ``cols`` and pair every two
+    rows whose positions differ by less than ``window``. Catches
+    near-boundary matches that value-equality blocking splits apart
+    (typos in the blocking key, adjacent dates, …) at a guaranteed
+    linear candidate count (≤ N·(window−1) pairs).
+
+    Spark-native formulation: a row at global sort position ``r`` lands
+    in the ``window`` consecutive buckets ``r … r+window−1``, so two
+    rows share ≥1 bucket **iff** their positions differ by
+    < ``window`` — sorted-neighborhood becomes a plain multi-bucket
+    equality index and composes with the whole pairing machinery
+    (salting, MultiIndex, dedup of multi-bucket pairs). The global
+    position comes from ``global_rank`` (distributed two-phase rank —
+    no single-task sort). Keys cost N·window rows and a pair found at
+    distance d is emitted from window−d buckets before dedup; with the
+    usual small windows (5–20) both are linear in N.
+
+    Ordering is over the RAW column values (Spark/SQL column order,
+    ties broken by ``row_key`` — a total order), NOT the serialized
+    key strings. Rows with a NULL in any sort column never pair
+    (reference NaN-key semantics, indices.py:129-132).
+
+    Dedup mode only: ranks computed independently per dataset are not
+    comparable, so match mode (``dfb``) raises in pairing.
+    """
+
+    multi_bucket = True
+    dedup_only = True
+
+    def __init__(self, cols: str | list[str], window: int = 5) -> None:
+        if window < 2:
+            raise ValueError("window must be >= 2 (window=1 pairs nothing)")
+        self._cols = [cols] if isinstance(cols, str) else list(cols)
+        self._window = int(window)
+
+    def required_columns(self) -> set[str]:
+        return set(self._cols)
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        from .ranking import global_rank
+
+        missing = [c for c in self._cols if c not in df.columns]
+        if missing:
+            raise KeyError(missing[0])
+        sel = df.select(row_key, *self._cols)
+        for c in self._cols:
+            sel = sel.where(F.col(c).isNotNull())
+        ranked = global_rank(
+            sel,
+            [F.col(c) for c in self._cols] + [F.col(row_key)],
+            "__snr",
+        )
+        offsets = F.array(*[F.lit(i) for i in range(self._window)])
+        return ranked.select(
+            F.col(row_key),
+            F.col("__snr"),
+            F.explode(offsets).alias("__off"),
+        ).select(
+            F.col(row_key),
+            F.concat(
+                F.lit("w:"), (F.col("__snr") + F.col("__off")).cast("string")
+            ).alias(BLOCK_KEY),
+        )

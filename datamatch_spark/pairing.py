@@ -40,8 +40,12 @@ __all__ = ["PairingConfig", "keyed_side", "candidate_pairs", "block_statistics"]
 @dataclass
 class PairingConfig:
     # block row count above which the block is salted; also the default
-    # per-task row budget for unsalted blocks
-    salt_threshold: int = 5_000
+    # per-task row budget for unsalted blocks. Kept equal to
+    # rows_per_shard so the largest UNSALTED block's pair count
+    # (threshold²/2) matches the salted per-cell budget
+    # (rows_per_shard²/2) — otherwise a block just under the threshold
+    # is the new straggler (5000 rows = 12.5M pairs in one task).
+    salt_threshold: int = 2_000
     # target rows per salt shard. The real budget is PAIR OUTPUT per
     # task ~= rows_per_shard²/2 (~2M pairs at the default) — a shard
     # too large serializes pair generation for the hot block into a
@@ -158,7 +162,18 @@ def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -
         F.explode(F.expr("sequence(__shard, __s - 1)")).alias("__tgt"),
         F.col("idx").alias("idx_l"),
         F.col("rec").alias("rec_l"),
-    ).repartition(_n_parts(side, cfg), F.col(BLOCK_KEY), F.col("__tgt"))
+        # partition by the shard PAIR, not just the target: per-target
+        # load is triangular (target t joins t+1 left shards, so the
+        # last target carries s× the first's pairs — measured 4× max/
+        # mean partition skew and a 40×-median straggler task on a
+        # 5.5k-row hot block). Each (shard_l, tgt) cell is uniform
+        # (≤ rows_per_shard² pairs). The hot right side is broadcast,
+        # so this partitioning survives into pair blowup + scoring;
+        # under an SMJ fallback Catalyst re-exchanges on the join key
+        # and this clause is merely redundant, never wrong.
+    ).repartition(
+        _n_parts(side, cfg), F.col(BLOCK_KEY), F.col("__shard_l"), F.col("__tgt")
+    )
     right = tagged.select(
         F.col(BLOCK_KEY),
         F.col("__shard").alias("__tgt"),
@@ -237,6 +252,11 @@ def candidate_pairs(
     cfg = cfg or PairingConfig()
     spark = dfa.sparkSession
     dedup = dfb is None
+    if not dedup and getattr(index, "dedup_only", False):
+        raise ValueError(
+            f"{type(index).__name__} keys are only comparable within one "
+            "dataset (global sort ranks); it cannot be used in match mode"
+        )
     side_a = keyed_side(dfa, index, row_key, needed_cols, "idx", "rec")
 
     if dedup:

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""N vs 4N EXECUTOR scaling via Spark's local-cluster mode.
+
+``scaling_bench.py`` varies local[K] thread counts inside ONE JVM —
+which conflates engine scaling with single-JVM contention (GC, one
+allocator, one Arrow serialization path). This script instead launches
+``local-cluster[N,8,mem]``: N genuinely separate executor JVMs with 8
+cores each, each with its own heap, GC, shuffle server, and Python
+worker pool — the faithful sandbox analogue of the north rule's
+"N and 4N executors", with only the host's memory system still shared.
+
+Per round, runs 1 executor then 4 executors back-to-back (same host
+weather), fresh JVMs per level; reports every round plus the
+median-efficiency round and appends to BENCH.md.
+
+Usage: python scripts/executor_scaling_bench.py [--repeats 3]
+       [--n-docs 300000] [--exec-cores 8] [--exec-mem-mb 8192]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, time
+n_exec = int(sys.argv[1]); cores = int(sys.argv[2]); mem = int(sys.argv[3])
+n_docs = int(sys.argv[4])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder
+    .master(f"local-cluster[{n_exec},{cores},{mem}]")
+    .appName(f"exec-scaling-{n_exec}")
+    .config("spark.sql.shuffle.partitions", str(cores * n_exec))
+    .config("spark.driver.memory", "8g")
+    # executor Python workers run under the standalone worker's cwd;
+    # they need an ABSOLUTE path to import the package (the deployment
+    # analogue is spark-submit --py-files)
+    .config("spark.executorEnv.PYTHONPATH", os.getcwd())
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from datamatch_spark import (ColumnsIndex, DateSimilarity, JaroWinklerSimilarity,
+                             PairingConfig, ThresholdMatcher)
+from datamatch_spark.corpus import CorpusConfig, generate_documents, project_fields
+cfg = CorpusConfig(n_docs=n_docs, seed=42, profile="clean",
+                   blk_buckets=max(50, n_docs // 40), hot_pct=2)
+fields = project_fields(generate_documents(spark, cfg)).drop("spans").localCheckpoint()
+sims = {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity(),
+        "dob": DateSimilarity()}
+warm = ThresholdMatcher(ColumnsIndex("blk"), sims, fields.limit(2000),
+                        row_key="doc_id", validate=False)
+warm.scored_pairs.count()
+t0 = time.time()
+m = ThresholdMatcher(ColumnsIndex("blk"), sims, fields, row_key="doc_id",
+    validate=False,
+    pairing_config=PairingConfig(salt_threshold=1000, rows_per_shard=250))
+n = m.scored_pairs.count()
+el = time.time() - t0
+print(json.dumps({"executors": n_exec, "pairs": n, "seconds": round(el, 3),
+                  "pairs_per_sec": round(n / el, 1)}))
+"""
+
+
+def run_level(n_exec: int, cores: int, mem: int, n_docs: int,
+              pin: bool = False) -> dict:  # noqa: D103
+    last_err = ""
+    cmd = [sys.executable, "-c", WORKER, str(n_exec), str(cores), str(mem),
+           str(n_docs)]
+    if pin:
+        # bound the WHOLE tree (driver JVM + standalone worker +
+        # executors + Python workers) to n_exec*cores host cores — the
+        # honest analogue of N core-bounded executor hosts
+        hi = n_exec * cores - 1
+        cmd = ["taskset", "-c", f"0-{hi}" if hi else "0"] + cmd
+    for _ in range(3):  # standalone worker/executor launch can race a
+        # previous level's shutdown hooks; settle and retry
+        out = subprocess.run(
+            cmd,
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        last_err = out.stderr[-2000:]
+        import time
+        time.sleep(10)
+    raise RuntimeError(last_err)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--n-docs", type=int, default=300_000)
+    ap.add_argument("--exec-cores", type=int, default=8)
+    ap.add_argument("--exec-mem-mb", type=int, default=8192)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each level's whole tree to N*cores cores")
+    ap.add_argument("--warmup", action="store_true",
+                    help="one discarded small run first (first JVM after "
+                         "idle is reproducibly ~4x slow on this host)")
+    args = ap.parse_args()
+
+    if args.warmup:
+        run_level(1, args.exec_cores, args.exec_mem_mb, 30_000, args.pin)
+    rounds = []
+    for _ in range(args.repeats):
+        r1 = run_level(1, args.exec_cores, args.exec_mem_mb, args.n_docs,
+                       args.pin)
+        r4 = run_level(4, args.exec_cores, args.exec_mem_mb, args.n_docs,
+                       args.pin)
+        e = (r4["pairs_per_sec"] / r1["pairs_per_sec"]) / 4.0
+        rounds.append({"low": r1, "high": r4, "eff": round(e, 3)})
+        print(json.dumps(rounds[-1]), flush=True)
+    mid = sorted(rounds, key=lambda r: r["eff"])[len(rounds) // 2]
+    r1, r4, eff = mid["low"], mid["high"], mid["eff"]
+    print(json.dumps({"rounds": [r["eff"] for r in rounds],
+                      "scaling_efficiency_1_to_4_executors": eff}))
+
+    pin_note = (
+        " --pin (each level's whole tree taskset-bound to N*8 cores)"
+        if args.pin else " (unpinned)"
+    )
+    md = f"""
+## Executor scaling: N vs 4N separate executor JVMs (`local-cluster`)
+
+`scripts/executor_scaling_bench.py{pin_note}`: same er_dedup job
+({args.n_docs:,} docs), run on `local-cluster[1,{args.exec_cores},{args.exec_mem_mb}]`
+vs `local-cluster[4,{args.exec_cores},{args.exec_mem_mb}]` — genuinely separate
+executor JVMs (own heap/GC/shuffle server/Python workers), identical
+per-executor shape at both levels; the faithful sandbox analogue of the
+north rule's N -> 4N executors. {args.repeats} interleaved rounds,
+median-efficiency round reported:
+Round efficiencies: {[r['eff'] for r in rounds]}
+
+| executors | pairs scored | wall (s) | pairs/sec |
+|---|---|---|---|
+| 1 x {args.exec_cores} cores | {r1['pairs']:,} | {r1['seconds']} | {r1['pairs_per_sec']:,} |
+| 4 x {args.exec_cores} cores | {r4['pairs']:,} | {r4['seconds']} | {r4['pairs_per_sec']:,} |
+
+**Executor-scaling efficiency (1 -> 4): {eff:.3f}** (target >= 0.8).
+"""
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "BENCH.md"), "a") as f:
+        f.write(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -146,3 +146,72 @@ def test_separator_bytes_in_values_cannot_collide(spark):
         next(k for k in by_key if 0 in by_key[k])
     ] == {0, 2}
     assert len(by_key) == 2  # rows 0/2 share a bucket; row 1 is alone
+
+
+class TestSortedNeighborhood:
+    def _pairs(self, df, idx):
+        from datamatch_spark.pairing import candidate_pairs
+
+        return {
+            (r["idx_a"], r["idx_b"])
+            for r in candidate_pairs(df, idx, "row_key", []).collect()
+        }
+
+    def test_pairs_match_bruteforce_window(self, spark):
+        """candidate_pairs(SortedNeighborhoodIndex) == all pairs whose
+        positions in the (val, row_key) sort order differ by < window."""
+        import random
+
+        from datamatch_spark import SortedNeighborhoodIndex
+
+        rnd = random.Random(7)
+        rows = [(i, rnd.randint(0, 30)) for i in range(60)]
+        df = spark.createDataFrame(rows, "row_key long, val long")
+        for w in (2, 4, 7):
+            got = self._pairs(df, SortedNeighborhoodIndex("val", window=w))
+            order = [k for k, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+            want = {
+                (min(order[i], order[j]), max(order[i], order[j]))
+                for i in range(len(order))
+                for j in range(i + 1, min(i + w, len(order)))
+            }
+            assert got == want, (w, len(got), len(want))
+
+    def test_null_sort_key_never_pairs(self, spark):
+        from datamatch_spark import SortedNeighborhoodIndex
+
+        df = spark.createDataFrame(
+            [(0, "a"), (1, None), (2, "b")], "row_key long, val string"
+        )
+        got = self._pairs(df, SortedNeighborhoodIndex("val", window=3))
+        assert got == {(0, 2)}
+
+    def test_match_mode_rejected(self, spark):
+        from datamatch_spark import SortedNeighborhoodIndex
+        from datamatch_spark.pairing import candidate_pairs
+
+        df = spark.createDataFrame([(0, "a")], "row_key long, val string")
+        with pytest.raises(ValueError, match="match mode"):
+            candidate_pairs(
+                df, SortedNeighborhoodIndex("val"), "row_key", [], dfb=df
+            )
+
+    def test_window_lt_2_rejected(self):
+        from datamatch_spark import SortedNeighborhoodIndex
+
+        with pytest.raises(ValueError, match="window"):
+            SortedNeighborhoodIndex("val", window=1)
+
+    def test_multiindex_or_composition(self, spark):
+        """OR with a ColumnsIndex: union of neighborhood pairs and
+        equal-value pairs (the classic multi-pass blocking setup)."""
+        from datamatch_spark import ColumnsIndex, MultiIndex, SortedNeighborhoodIndex
+
+        rows = [(0, 10, "x"), (1, 11, "y"), (2, 30, "x"), (3, 31, "z")]
+        df = spark.createDataFrame(rows, "row_key long, num long, cat string")
+        idx = MultiIndex(
+            [SortedNeighborhoodIndex("num", window=2), ColumnsIndex("cat")]
+        )
+        got = self._pairs(df, idx)
+        # window-2 over num order 10,11,30,31 -> (0,1),(1,2),(2,3); cat adds (0,2)
+        assert got == {(0, 1), (1, 2), (2, 3), (0, 2)}
