@@ -86,16 +86,42 @@ def _clean_batch(strs, max_len: int | None):
     return out
 
 
+# Rows per kernel sub-chunk. The DP kernels stream their whole
+# (rows × width) matrices several times per character position; at
+# Arrow batch size (20k rows) that working set (~10 MB) spills past
+# L2 and, with one worker per core, saturates the socket's shared
+# memory path. ~4k rows keeps each pass cache-resident: measured
+# +8% single-process and +20% aggregate across 32 workers, and a
+# narrower per-chunk pad width when one long string would otherwise
+# widen the whole batch. Per-row results are bit-identical to the
+# unchunked kernel (all ops are row-local; masks make padding inert).
+_KERNEL_CHUNK = 4096
+
+
+def _in_chunks(core, a, b, *args) -> np.ndarray:
+    n = len(a)
+    if n <= _KERNEL_CHUNK:
+        return core(a, b, *args)
+    out = np.empty(n, dtype=np.float64)
+    for s in range(0, n, _KERNEL_CHUNK):
+        e = min(n, s + _KERNEL_CHUNK)
+        out[s:e] = core(a[s:e], b[s:e], *args)
+    return out
+
+
 def lev_ratio_batch(a, b, max_len: int | None = None) -> np.ndarray:
     """Batch indel ratio = 2*LCS(a,b) / (len(a)+len(b)); 1.0 for two empties.
 
     DP vectorized across the batch: per character of ``a`` one pass
     computing ``dp[i][j] = max(dp[i-1][j-1]+eq, dp[i-1][j], dp[i][j-1])``;
     the left-neighbor term is a running maximum (LCS rows are
-    non-decreasing), i.e. ``np.maximum.accumulate``.
+    non-decreasing), i.e. ``np.maximum.accumulate``. Computed in
+    cache-sized row chunks (``_KERNEL_CHUNK``).
     """
-    a = _clean_batch(a, max_len)
-    b = _clean_batch(b, max_len)
+    return _in_chunks(_lev_ratio_core, _clean_batch(a, max_len), _clean_batch(b, max_len))
+
+
+def _lev_ratio_core(a: list, b: list) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
@@ -129,9 +155,17 @@ def jaro_winkler_batch(a, b, prefix_weight: float = 0.1, max_len: int | None = N
     s1 positions whose recorded order differs from their ascending-j
     rank. jaro = (m/L1 + m/L2 + 1 - t/(2m)) / 3; winkler boost
     jw = min(1, jaro + p*w*(1-jaro)) with p = UNCAPPED common prefix.
+    Computed in cache-sized row chunks (``_KERNEL_CHUNK``).
     """
-    a = _clean_batch(a, max_len)
-    b = _clean_batch(b, max_len)
+    return _in_chunks(
+        _jaro_winkler_core,
+        _clean_batch(a, max_len),
+        _clean_batch(b, max_len),
+        prefix_weight,
+    )
+
+
+def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
