@@ -260,6 +260,34 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("idx_a", "idx_b")
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-evaluation metrics (Christen 2012 ch. 7): reduction
+    ratio / pairs completeness / pairs quality of ColumnsIndex("lang")
+    against a deterministic truth rule (same source, |n_chars diff| <
+    20)."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.metrics import blocking_quality
+
+    docs = _docs(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").alias("idx_a"),
+        F.col("source").alias("__sa"),
+        F.col("n_chars").alias("__na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("idx_b"),
+        F.col("source").alias("__sb"),
+        F.col("n_chars").alias("__nb"),
+    )
+    truth = (
+        a.join(b, (F.col("__sa") == F.col("__sb"))
+               & (F.col("idx_a") < F.col("idx_b"))
+               & (F.abs(F.col("__na") - F.col("__nb")) < 20))
+        .select("idx_a", "idx_b")
+    )
+    return blocking_quality(docs, ColumnsIndex("lang"), "doc_id", truth)
+
+
 def q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_clusters_within_threshold end-to-end (§2.8): blocks are
     cliques by construction (single-valued block keys ⇒ components =
@@ -731,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_elements": q_index_elements,
         "match_candidates": q_match_candidates,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "blocking_quality": q_blocking_quality,
         "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,
         "multiindex_and": q_multiindex_and,
@@ -878,6 +907,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.source = b.source
             WHERE a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
+        """,
+        "blocking_quality": """
+            WITH c AS (
+              SELECT count(*) AS n_cand
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ), m AS (
+              SELECT count(*) AS n_truth,
+                     count(*) FILTER (a.lang = b.lang) AS covered
+              FROM documents a JOIN documents b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) < 20
+            ), n AS (SELECT count(*) AS n_rows FROM documents)
+            SELECT n.n_rows,
+                   c.n_cand AS n_candidates,
+                   m.n_truth,
+                   m.covered AS n_truth_covered,
+                   round(1.0 - c.n_cand / (n.n_rows * (n.n_rows - 1) / 2.0), 6)
+                     AS reduction_ratio,
+                   round(m.covered * 1.0 / m.n_truth, 6) AS pairs_completeness,
+                   round(m.covered * 1.0 / c.n_cand, 6) AS pairs_quality
+            FROM n, c, m
         """,
         "sorted_neighborhood": """
             WITH ranked AS (

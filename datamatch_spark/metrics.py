@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["MetricsSink", "partition_stats"]
+__all__ = ["MetricsSink", "partition_stats", "blocking_quality"]
 
 
 def partition_stats(df: DataFrame) -> DataFrame:
@@ -69,3 +69,61 @@ class MetricsSink:
 
     def blocks(self) -> DataFrame:
         return self._spark.read.parquet(f"{self._path}/blocks")
+
+
+def blocking_quality(
+    df: DataFrame,
+    index,
+    row_key: str,
+    truth_pairs: DataFrame,
+    cfg=None,
+) -> DataFrame:
+    """Standard blocking-evaluation metrics (Christen 2012, ch. 7) for a
+    candidate blocking ``index`` against labeled ground truth.
+
+    ``truth_pairs`` is a DataFrame (idx_a, idx_b) of true-match row-key
+    pairs, idx_a < idx_b. Returns ONE row:
+
+    * ``n_rows``             — |df|
+    * ``n_candidates``       — |C|, candidate pairs the index generates
+    * ``n_truth``            — |M|
+    * ``n_truth_covered``    — |C ∩ M|
+    * ``reduction_ratio``    — 1 − |C| / (n·(n−1)/2): how much of the
+      quadratic comparison space the blocking prunes
+    * ``pairs_completeness`` — |C ∩ M| / |M|: recall of the blocking
+    * ``pairs_quality``      — |C ∩ M| / |C|: precision of the blocking
+
+    Scale: candidates are generated id-only (no record payload), so the
+    blowup rows are (long, long); the intersection is one equi-join on
+    the pair key and every output is a scalar aggregate. The quadratic
+    term n·(n−1)/2 is arithmetic, never materialized.
+    """
+    from .pairing import candidate_pairs
+
+    n = df.count()
+    cand = candidate_pairs(df, index, row_key, [], cfg=cfg).select(
+        "idx_a", "idx_b"
+    )
+    n_cand = cand.count()
+    n_truth = truth_pairs.count()
+    covered = cand.join(
+        truth_pairs.select("idx_a", "idx_b"), on=["idx_a", "idx_b"]
+    ).count()
+    total = n * (n - 1) / 2.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            n,
+            n_cand,
+            n_truth,
+            covered,
+            round(1.0 - (n_cand / total if total else 0.0), 6),
+            round(covered / n_truth, 6) if n_truth else None,
+            round(covered / n_cand, 6) if n_cand else None,
+        )],
+        schema=(
+            "n_rows long, n_candidates long, n_truth long, "
+            "n_truth_covered long, reduction_ratio double, "
+            "pairs_completeness double, pairs_quality double"
+        ),
+    )

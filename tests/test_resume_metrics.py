@@ -142,3 +142,25 @@ def test_minhash_checkpoint_resume(spark, tmp_path):
         ).collect()
     }
     assert first == second == {(2 * k, 2 * k + 1) for k in range(10)}
+
+
+def test_blocking_quality_hand_computed(spark):
+    """4 rows, 2 blocks; truth chosen so all three metrics are exact
+    hand-computable fractions."""
+    from datamatch_spark import ColumnsIndex
+    from datamatch_spark.metrics import blocking_quality
+
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x"), (3, "y")], "row_key long, blk string"
+    )
+    truth = spark.createDataFrame(
+        [(0, 1), (2, 3)], "idx_a long, idx_b long"
+    )
+    row = blocking_quality(df, ColumnsIndex("blk"), "row_key", truth).collect()[0]
+    assert row["n_rows"] == 4
+    assert row["n_candidates"] == 3          # C(3,2) within block x
+    assert row["n_truth"] == 2
+    assert row["n_truth_covered"] == 1       # (0,1) yes; (2,3) crosses blocks
+    assert row["reduction_ratio"] == 0.5     # 1 - 3/6
+    assert row["pairs_completeness"] == 0.5
+    assert abs(row["pairs_quality"] - 1 / 3) < 1e-6
