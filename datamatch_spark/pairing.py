@@ -69,6 +69,15 @@ class PairingConfig:
     # explicit pre-join repartition so the blocked join runs
     # exchange-free. The caller owns the guarantee.
     pre_partitioned: bool = False
+    # estimated hot-row count above which the salted join stops
+    # broadcasting the hot side and instead replicates it per shard
+    # pair, joining on (block_key, __shard_l, __tgt). Under broadcast
+    # the left repartition alone fixes the triangular-target skew; but
+    # a too-big-to-broadcast hot side becomes a SortMergeJoin whose
+    # exchange re-partitions by the JOIN key — (block_key, __tgt) is
+    # triangular again, so the join key itself must carry the shard
+    # pair at the price of one extra replication of the thin hot side.
+    broadcast_hot_rows: int = 1_000_000
 
 
 def keyed_side(
@@ -174,13 +183,34 @@ def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -
     ).repartition(
         _n_parts(side, cfg), F.col(BLOCK_KEY), F.col("__shard_l"), F.col("__tgt")
     )
-    right = tagged.select(
-        F.col(BLOCK_KEY),
-        F.col("__shard").alias("__tgt"),
-        F.col("idx").alias("idx_r"),
-        F.col("rec").alias("rec_r"),
-    )
-    joined = left.join(right, on=[BLOCK_KEY, "__tgt"]).where(
+    # upper bound on hot rows: every hot block has n_shards shards of
+    # at most ~rows_per_shard rows (n_shards = ceil(n / rows_per_shard))
+    est_hot_rows = sum(s for _, s in hot) * cfg.rows_per_shard
+    if est_hot_rows <= cfg.broadcast_hot_rows:
+        right = F.broadcast(
+            tagged.select(
+                F.col(BLOCK_KEY),
+                F.col("__shard").alias("__tgt"),
+                F.col("idx").alias("idx_r"),
+                F.col("rec").alias("rec_r"),
+            )
+        )
+        joined = left.join(right, on=[BLOCK_KEY, "__tgt"])
+    else:
+        # too big to broadcast: replicate each right row to every left
+        # shard l <= its own shard t, and put the SHARD PAIR in the
+        # join key — the SMJ exchange then partitions by uniform cells
+        # instead of triangular targets. Same pair set: left (l, t)
+        # meets right (l, t) exactly when l <= t.
+        right = tagged.select(
+            F.col(BLOCK_KEY),
+            F.explode(F.expr("sequence(0, __shard)")).alias("__shard_l"),
+            F.col("__shard").alias("__tgt"),
+            F.col("idx").alias("idx_r"),
+            F.col("rec").alias("rec_r"),
+        )
+        joined = left.join(right, on=[BLOCK_KEY, "__shard_l", "__tgt"])
+    joined = joined.where(
         (F.col("__shard_l") != F.col("__tgt")) | (F.col("idx_l") < F.col("idx_r"))
     )
     fwd = F.col("idx_l") < F.col("idx_r")

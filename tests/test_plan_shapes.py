@@ -60,3 +60,41 @@ def test_parquet_scan_pushdown(spark):
     plan = _formatted(q)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
     assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_salted_hot_join_no_triangular_partitioning(spark):
+    """Both salted regimes must avoid triangular per-target load (a
+    measured 40x-median straggler): broadcast regime — the hot side is
+    broadcast and the explicit left repartition carries __shard_l;
+    big-hot regime — the JOIN KEY itself carries the shard pair, so
+    even a SortMergeJoin exchange partitions by uniform cells. Both
+    regimes must emit the identical pair set as unsalted."""
+    import re
+
+    rows = [(i, "hot" if i < 80 else f"c{i % 7}") for i in range(120)]
+    df = spark.createDataFrame(rows, "row_key long, blk string")
+
+    def pairs_with(cfg):
+        return candidate_pairs(df, ColumnsIndex("blk"), "row_key", [], cfg=cfg)
+
+    bc = pairs_with(PairingConfig(salt_threshold=20, rows_per_shard=10))
+    plan = _formatted(bc)
+    assert "BroadcastHashJoin" in plan
+    reparts = [
+        m for m in re.findall(r"hashpartitioning\([^)]*\)", plan)
+        if "__tgt" in m
+    ]
+    assert reparts and all("__shard_l" in m for m in reparts), reparts
+
+    big = pairs_with(PairingConfig(salt_threshold=20, rows_per_shard=10,
+                                   broadcast_hot_rows=0))
+    plan_big = _formatted(big)
+    for m in re.findall(r"hashpartitioning\([^)]*__tgt[^)]*\)", plan_big):
+        assert "__shard_l" in m, (m, plan_big)
+
+    want = {
+        (r["idx_a"], r["idx_b"])
+        for r in pairs_with(PairingConfig(salt_enabled=False)).collect()
+    }
+    assert {(r["idx_a"], r["idx_b"]) for r in bc.collect()} == want
+    assert {(r["idx_a"], r["idx_b"]) for r in big.collect()} == want
