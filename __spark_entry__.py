@@ -625,6 +625,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup. n_cells=1 makes the k-means stage
+    a no-op (single cell) so the whole operator — all-pairs cosine →
+    near-dup graph → connected components → min-id representative — is
+    exactly SQL-reproducible (DuckDB list_cosine_similarity + recursive
+    CTE)."""
+    from datamatch_spark.extras.simsearch import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.4, n_cells=1
+    ).withColumn("keep", F.col("keep").cast("boolean"))
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (rows-only; recall vs brute force is asserted
     in tests)."""
@@ -780,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "incremental_link": q_incremental_link,
@@ -839,6 +853,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ev a JOIN ev b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
             WHERE a.end_ts < b.start_ts OR a.start_ts > b.end_ts
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ), edges AS (
+              SELECT src, dst FROM p UNION SELECT dst, src FROM p
+            ), reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+            ), comp AS (
+              SELECT node, min(r) AS component FROM reach GROUP BY node
+            )
+            SELECT e.vec_id,
+                   COALESCE(c.component, e.vec_id) AS group_id,
+                   COALESCE(c.component, e.vec_id) = e.vec_id AS keep
+            FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
         """,
         "cc_components": """
             WITH RECURSIVE pairs AS (

@@ -45,6 +45,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -496,3 +497,63 @@ def embedding_near_dup_pairs(
         .where(F.col("cos") >= threshold)
     )
     return out.select("idx_a", "idx_b", "cos")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    threshold: float = 0.95,
+    sample_size: int = 20_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells over L2-normalized embeddings →
+    exact-cosine near-dup pairs WITHIN each cell → connected components
+    → keep one canonical representative (minimum id) per group.
+
+    Returns ``(id_col, group_id, keep)``: ``group_id`` is the minimum
+    member id of the duplicate group (the row's own id for singletons),
+    ``keep`` marks the representative; filtering ``keep`` yields the
+    deduplicated corpus.
+
+    Composition of existing engine pieces: the IVF coarse quantizer
+    (driver-trained on a seeded bounded sample), one Arrow matmul per
+    batch for cell assignment, the flat-buffer pair scorer (vectors
+    dropped before any pair shuffle), and the hybrid driver-UF /
+    large-star connected-components loop.
+
+    Scale contract: within-cell pairing is O(Σ n_cell²) — size
+    ``n_cells`` so cells stay bounded (SemDeDup uses ~10k cells at 10⁸
+    docs). Near-dups straddling a cell boundary are missed (standard
+    SemDeDup trade-off); for lossless-recall mining use
+    ``embedding_near_dup_pairs(lsh_planes=...)``.
+    """
+    from ..clustering import connected_components
+
+    C = _train_centroids(df, vec_col, n_cells, sample_size, iters, seed)
+    cells = _attach_cells(df, C, 1, id_col, vec_col, "idx_a", "__va")
+    a = cells.select(
+        F.col("__cells")[0].alias("__cell"), F.col("idx_a"), F.col("__va")
+    )
+    b = a.select(
+        F.col("__cell"),
+        F.col("idx_a").alias("idx_b"),
+        F.col("__va").alias("__vb"),
+    )
+    joined = a.join(b, on="__cell").where(F.col("idx_a") < F.col("idx_b"))
+    pairs = _score_pairs_arrow(joined, "idx_a", "idx_b", "__va", "__vb").where(
+        F.col("cos") >= threshold
+    )
+    comp = connected_components(pairs.select("idx_a", "idx_b"))
+    out = df.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), on=id_col, how="left"
+    )
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        group.alias("group_id"),
+        (group == F.col(id_col)).alias("keep"),
+    )

@@ -346,3 +346,44 @@ def test_pair_cosine_matches_column_cosine(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Planted triplets of near-identical vectors collapse to one kept
+    representative (min id); noise vectors stay singletons. Multi-cell
+    path (n_cells=8)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = []
+    vid = 0
+    truth_groups = []
+    for _ in range(15):
+        base = rng.standard_normal(32)
+        ids = []
+        for _ in range(3):
+            rows.append((vid, [float(x) for x in base + 0.01 * rng.standard_normal(32)]))
+            ids.append(vid); vid += 1
+        truth_groups.append(ids)
+    singles = []
+    for _ in range(30):
+        rows.append((vid, [float(x) for x in rng.standard_normal(32)]))
+        singles.append(vid); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["group_id"], r["keep"])
+           for r in S.semantic_dedup(df, threshold=0.95, n_cells=8,
+                                     sample_size=1000).collect()}
+    assert len(out) == vid
+    kept = {i for i, (_, k) in out.items() if k}
+    # every planted triplet whose members share a cell collapses; with
+    # 8 cells over well-separated bases, splits are rare — require most
+    collapsed = sum(
+        1 for ids in truth_groups
+        if len({out[i][0] for i in ids}) == 1 and out[ids[0]][0] == min(ids)
+    )
+    assert collapsed >= 12, collapsed
+    for s in singles:
+        assert out[s] == (s, True)
+    # representatives are exactly the group minima
+    for i, (g, k) in out.items():
+        assert k == (g == i)
