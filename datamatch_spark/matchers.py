@@ -593,27 +593,22 @@ class ThresholdMatcher:
         include_exact_matches: bool = True,
     ) -> None:
         """Reference-API parity (matchers.py:373-416): 3-sheet Excel
-        workbook. Needs an Excel writer engine (openpyxl/xlsxwriter);
-        without one, use :meth:`save_pairs_to_parquet` — same three
-        result sets as tables."""
-        import pandas as pd
-
-        try:
-            writer = pd.ExcelWriter(name)
-        except (ImportError, ModuleNotFoundError) as e:  # pragma: no cover
-            raise ImportError(
-                "no Excel writer engine installed; use save_pairs_to_parquet"
-            ) from e
-        with writer:
-            self.get_sample_pairs(
-                sample_counts, lower_bound, 1.0, step, include_exact_matches
-            ).toPandas().to_excel(writer, sheet_name="Sample pairs", index=False)
-            self.get_all_pairs(
-                lower_bound, 1.0, include_exact_matches
-            ).toPandas().to_excel(writer, sheet_name="All pairs", index=False)
-            self.decision_counts(match_threshold).toPandas().to_excel(
-                writer, sheet_name="Decision", index=False
-            )
+        workbook. Uses pandas' ExcelWriter when an engine
+        (openpyxl/xlsxwriter) is installed, else the built-in stdlib
+        SpreadsheetML writer (:mod:`datamatch_spark.xlsx`). The report
+        slices are driver-sized by contract; big results belong in
+        :meth:`save_pairs_to_parquet`."""
+        sheets = [
+            (
+                "Sample pairs",
+                self.get_sample_pairs(
+                    sample_counts, lower_bound, 1.0, step, include_exact_matches
+                ),
+            ),
+            ("All pairs", self.get_all_pairs(lower_bound, 1.0, include_exact_matches)),
+            ("Decision", self.decision_counts(match_threshold)),
+        ]
+        _write_excel(name, sheets)
 
     def save_clusters_to_excel(
         self,
@@ -624,21 +619,16 @@ class ThresholdMatcher:
     ) -> None:
         """Reference-API parity (matchers.py:426-459): 2-sheet Excel
         workbook; see :meth:`save_pairs_to_excel` re engines."""
-        import pandas as pd
-
-        try:
-            writer = pd.ExcelWriter(name)
-        except (ImportError, ModuleNotFoundError) as e:  # pragma: no cover
-            raise ImportError(
-                "no Excel writer engine installed; use save_clusters_to_parquet"
-            ) from e
-        with writer:
-            self.get_clusters_within_threshold(
-                lower_bound, 1.0, include_exact_matches
-            ).toPandas().to_excel(writer, sheet_name="All clusters", index=False)
-            self.decision_counts(match_threshold).toPandas().to_excel(
-                writer, sheet_name="Decision", index=False
-            )
+        sheets = [
+            (
+                "All clusters",
+                self.get_clusters_within_threshold(
+                    lower_bound, 1.0, include_exact_matches
+                ),
+            ),
+            ("Decision", self.decision_counts(match_threshold)),
+        ]
+        _write_excel(name, sheets)
 
     def save_clusters_to_parquet(
         self,
@@ -655,3 +645,24 @@ class ThresholdMatcher:
         self.decision_counts(match_threshold).write.mode("overwrite").parquet(
             f"{path}/decision"
         )
+
+
+def _write_excel(name: str, sheets: list) -> None:
+    """Write [(sheet_name, DataFrame), ...] to one xlsx: pandas
+    ExcelWriter when an engine exists (richer typing), else the
+    stdlib SpreadsheetML writer."""
+    import pandas as pd
+
+    try:
+        writer = pd.ExcelWriter(name)
+    except (ImportError, ModuleNotFoundError):
+        from .xlsx import write_xlsx
+
+        write_xlsx(
+            name,
+            [(s, df.columns, [tuple(r) for r in df.collect()]) for s, df in sheets],
+        )
+        return
+    with writer:
+        for sheet_name, df in sheets:
+            df.toPandas().to_excel(writer, sheet_name=sheet_name, index=False)

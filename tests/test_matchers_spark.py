@@ -317,3 +317,59 @@ def test_sample_pairs_property_random_scores(spark):
             for key in (ia, ib):
                 want.append((label, mlen - 1 - rank, round(s, 9), key))
     assert sorted(got) == sorted(want)
+
+
+def test_excel_sinks_via_stdlib_writer(spark, tmp_path):
+    """No Excel engine is installed in this container, so the sinks
+    fall back to the stdlib SpreadsheetML writer; read the workbook
+    back by unzipping and parsing the sheet XML."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    rows = [
+        (0, "g1", "freddie"), (1, "g1", "freedie"),
+        (2, "g2", "cherri"), (3, "g2", "cherrie"),
+    ]
+    df = spark.createDataFrame(rows, "row_key long, g string, name string")
+    m = ThresholdMatcher(
+        ColumnsIndex("g"), {"name": JaroWinklerSimilarity()}, df, validate=False
+    )
+    ns = {"x": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+
+    def read_book(path):
+        out = {}
+        with zipfile.ZipFile(path) as z:
+            wb = ET.fromstring(z.read("xl/workbook.xml"))
+            names = [s.get("name") for s in wb.findall(".//x:sheet", ns)]
+            for i, name in enumerate(names, start=1):
+                sheet = ET.fromstring(z.read(f"xl/worksheets/sheet{i}.xml"))
+                rows_out = []
+                for row in sheet.findall(".//x:row", ns):
+                    vals = []
+                    for c in row.findall("x:c", ns):
+                        if c.get("t") == "inlineStr":
+                            vals.append(c.find(".//x:t", ns).text)
+                        else:
+                            v = c.find("x:v", ns)
+                            vals.append(None if v is None else v.text)
+                    rows_out.append(vals)
+                out[name] = rows_out
+        return out
+
+    p1 = str(tmp_path / "pairs.xlsx")
+    m.save_pairs_to_excel(p1, match_threshold=0.9, lower_bound=0.5)
+    book = read_book(p1)
+    assert list(book) == ["Sample pairs", "All pairs", "Decision"]
+    all_pairs = book["All pairs"]
+    want = m.get_all_pairs(0.5, 1.0)
+    assert all_pairs[0] == want.columns
+    assert len(all_pairs) - 1 == want.count()
+    dec = book["Decision"]
+    assert dec[0] == ["match_threshold", "number_of_matched_pairs"]
+    assert float(dec[1][0]) == 0.9
+
+    p2 = str(tmp_path / "clusters.xlsx")
+    m.save_clusters_to_excel(p2, match_threshold=0.9, lower_bound=0.5)
+    book2 = read_book(p2)
+    assert list(book2) == ["All clusters", "Decision"]
+    assert len(book2["All clusters"]) - 1 == m.get_clusters_within_threshold(0.5).count()
