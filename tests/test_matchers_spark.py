@@ -373,3 +373,16 @@ def test_excel_sinks_via_stdlib_writer(spark, tmp_path):
     book2 = read_book(p2)
     assert list(book2) == ["All clusters", "Decision"]
     assert len(book2["All clusters"]) - 1 == m.get_clusters_within_threshold(0.5).count()
+
+
+def test_print_decision_output(spark, capsys):
+    rows = [(0, "g", "aa"), (1, "g", "aa"), (2, "g", "zz")]
+    df = spark.createDataFrame(rows, "row_key long, g string, name string")
+    m = ThresholdMatcher(
+        ColumnsIndex("g"), {"name": StringSimilarity()}, df, validate=False
+    )
+    m.print_decision(0.9)
+    out = capsys.readouterr().out
+    assert "for threshold 0.900:" in out
+    # exactly one pair scores 1.0 (rows 0-1); 2 of 3 rows = 66%
+    assert "1 matched pairs (33% of A, 33% of B)" in out
