@@ -638,6 +638,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("keep", F.col("keep").cast("boolean"))
 
 
+def q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash near-dedup groups (rows-only: banding recall
+    is hash-dependent; the pair stage's exact-Jaccard verification and
+    the CC stage each have their own oracles/tests)."""
+    from datamatch_spark.extras.dedup import minhash_dedup_groups
+
+    docs = _docs(spark, sf_dir).limit(400)
+    return minhash_dedup_groups(docs, "doc_id", threshold=0.8)
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (rows-only; recall vs brute force is asserted
     in tests)."""
@@ -794,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "minhash_groups": q_minhash_groups,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "incremental_link": q_incremental_link,

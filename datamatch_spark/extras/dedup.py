@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_dedup_groups",
     "simhash",
     "simhash_near_pairs",
 ]
@@ -507,4 +508,46 @@ def simhash_near_pairs(
     )
     return ham.where(F.col("hamming") <= max_hamming).select(
         "idx_a", "idx_b", "hamming"
+    )
+
+
+def minhash_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int | None = None,
+    threshold: float = 0.7,
+    est_margin: float = 0.12,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end text near-dedup: MinHash-LSH near-dup pairs →
+    connected components over the near-dup graph → one canonical
+    representative (minimum id) per duplicate group. The text-side
+    sibling of ``simsearch.semantic_dedup``.
+
+    Returns ``(id_col, group_id, keep)``; filter ``keep`` for the
+    deduplicated corpus. Pair recall follows the banding S-curve of
+    ``minhash_lsh_pairs`` (threshold-matched by default); precision is
+    exact Jaccard up to 64-bit hash collisions. Transitivity caveat is
+    inherent to graph dedup: chains of pairwise near-dups merge into
+    one group even when the endpoints are < threshold similar.
+    """
+    from ..clustering import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n=n, n_perm=n_perm, bands=bands,
+        threshold=threshold, est_margin=est_margin,
+        checkpoint_dir=checkpoint_dir,
+    )
+    comp = connected_components(pairs.select("idx_a", "idx_b"))
+    out = df.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), on=id_col, how="left"
+    )
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        group.alias("group_id"),
+        (group == F.col(id_col)).alias("keep"),
     )

@@ -387,3 +387,33 @@ def test_semantic_dedup_planted_groups(spark):
     # representatives are exactly the group minima
     for i, (g, k) in out.items():
         assert k == (g == i)
+
+
+def test_minhash_dedup_groups_planted(spark):
+    """Planted exact-duplicate pairs collapse into groups with the
+    min-id representative kept; distinct docs stay singletons."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "completely different content about spark shuffle partitions and joins",
+        "a third unrelated document mentioning minhash signatures and banding",
+    ]
+    rows = []
+    vid = 0
+    groups = []
+    for t in texts:
+        ids = []
+        for _ in range(2):  # exact dup of each text
+            rows.append((vid, t)); ids.append(vid); vid += 1
+        groups.append(ids)
+    rows.append((vid, "lone single document with entirely distinct words here")); 
+    lone = vid
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from datamatch_spark.extras.dedup import minhash_dedup_groups
+
+    out = {r["doc_id"]: (r["group_id"], r["keep"])
+           for r in minhash_dedup_groups(df, "doc_id", threshold=0.9).collect()}
+    assert len(out) == vid + 1
+    for a, b in groups:
+        assert out[a] == (a, True)
+        assert out[b] == (a, False)
+    assert out[lone] == (lone, True)
