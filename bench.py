@@ -214,6 +214,37 @@ def bench_lsh_ann(spark, sf_dir: str, sf: float):
     return time.time() - t0, n
 
 
+def bench_semantic_dedup(spark, sf_dir: str, sf: float):
+    """SemDeDup over a tiled embedding corpus: copies of a vector are
+    near-identical (one duplicate group per source vector), so group
+    count and kept count are deterministic checks while the timed work
+    (quantizer + cell assign + within-cell scoring + CC) scales with
+    sf."""
+    from datamatch_spark.extras.simsearch import semantic_dedup
+
+    tile = max(10, int(200 * sf))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    big = (
+        emb.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") * tile + F.col("copy")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x + (F.col("copy") % 7).cast("float") * F.lit(0.0001),
+            ).alias("embedding"),
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    n_kept = (
+        semantic_dedup(big, threshold=0.999, n_cells=max(8, tile))
+        .where(F.col("keep"))
+        .count()
+    )
+    return time.time() - t0, n_kept
+
+
 def bench_cc_cluster(spark, matcher):
     t0 = time.time()
     n = matcher.get_cluster_assignments(0.8, 1.0).count()
@@ -373,6 +404,9 @@ def main():
     t_ann, n_ann = bench_lsh_ann(spark, sf_dir, sf)
     queries["lsh_ann"] = round(t_ann, 3)
     _clear_rdd_cache()
+    t_sd, n_sd = bench_semantic_dedup(spark, sf_dir, sf)
+    queries["semantic_dedup"] = round(t_sd, 3)
+    _clear_rdd_cache()
     t_txt, n_txt = bench_text(spark, sf_dir, sf)
     queries["text_pipeline"] = round(t_txt, 3)
 
@@ -392,6 +426,7 @@ def main():
         "minhash_pairs": n_mh,
         "cosine_rows": n_cos,
         "ann_rows": n_ann,
+        "semantic_kept": n_sd,
         "text_rows": n_txt,
     }
     print(json.dumps(result))

@@ -534,19 +534,47 @@ def semantic_dedup(
     from ..clustering import connected_components
 
     C = _train_centroids(df, vec_col, n_cells, sample_size, iters, seed)
-    cells = _attach_cells(df, C, 1, id_col, vec_col, "idx_a", "__va")
+    cells = _attach_cells(df, C, 1, id_col, vec_col, "__id", "__v")
     a = cells.select(
-        F.col("__cells")[0].alias("__cell"), F.col("idx_a"), F.col("__va")
+        F.col("__cells")[0].alias("__cell"), F.col("__id"), F.col("__v")
     )
-    b = a.select(
-        F.col("__cell"),
-        F.col("idx_a").alias("idx_b"),
-        F.col("__va").alias("__vb"),
-    )
-    joined = a.join(b, on="__cell").where(F.col("idx_a") < F.col("idx_b"))
-    pairs = _score_pairs_arrow(joined, "idx_a", "idx_b", "__va", "__vb").where(
-        F.col("cos") >= threshold
-    )
+    # within-cell scoring as ONE blocked Gram matmul per cell
+    # (applyInPandas-family applyInArrow): the shuffle moves each
+    # vector ONCE (grouping), versus a self-join's O(pairs)·dim
+    # payload — the SemDeDup-native formulation. Row-blocked so peak
+    # memory is ~64 MB per task regardless of cell size.
+    id_type = dict(df.dtypes)[id_col]
+    pair_schema = f"idx_a {id_type}, idx_b {id_type}, cos double"
+
+    def cell_pairs(tbl: "pa.Table") -> "pa.Table":
+        m = tbl.num_rows
+        if m < 2:
+            return pa.table(
+                {"idx_a": pa.array([], tbl.column("__id").type),
+                 "idx_b": pa.array([], tbl.column("__id").type),
+                 "cos": pa.array([], pa.float64())}
+            )
+        V = _flat2d(tbl.column("__v"))
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        ids = tbl.column("__id").combine_chunks()
+        rows_per_block = max(64, (64 << 20) // (m * 8))
+        out_i, out_j, out_c = [], [], []
+        for s in range(0, m, rows_per_block):
+            e = min(m, s + rows_per_block)
+            G = Vn[s:e] @ Vn.T
+            bi, bj = np.nonzero(G >= threshold)
+            keep = s + bi < bj  # strict upper triangle in global coords
+            out_i.append((s + bi[keep]).astype(np.int64))
+            out_j.append(bj[keep].astype(np.int64))
+            out_c.append(G[bi[keep], bj[keep]])
+        i = np.concatenate(out_i); j = np.concatenate(out_j)
+        c = np.concatenate(out_c)
+        return pa.table(
+            {"idx_a": ids.take(pa.array(i)), "idx_b": ids.take(pa.array(j)),
+             "cos": pa.array(c, type=pa.float64())}
+        )
+
+    pairs = a.groupBy("__cell").applyInArrow(cell_pairs, schema=pair_schema)
     comp = connected_components(pairs.select("idx_a", "idx_b"))
     out = df.select(id_col).join(
         comp.withColumnRenamed("node", id_col), on=id_col, how="left"
