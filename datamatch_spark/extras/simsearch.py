@@ -430,6 +430,49 @@ def ivf_topk(
     )
 
 
+def _group_near_pairs(grouped: DataFrame, id_type: str, threshold: float) -> DataFrame:
+    """(idx_a, idx_b, cos) with raw cosine >= threshold from
+    ``grouped = (__grp, __id, __v)``: ONE blocked Gram matmul per group
+    (``applyInArrow``) — vectors shuffle once for the grouping instead
+    of riding every pair row; peak task memory ~64 MB regardless of
+    group size. ``idx_a < idx_b`` normalized JVM-side."""
+    pair_schema = f"idx_a {id_type}, idx_b {id_type}, cos double"
+
+    def group_pairs(tbl: "pa.Table") -> "pa.Table":
+        m = tbl.num_rows
+        id_t = tbl.column("__id").type
+        if m < 2:
+            return pa.table(
+                {"idx_a": pa.array([], id_t), "idx_b": pa.array([], id_t),
+                 "cos": pa.array([], pa.float64())}
+            )
+        V = _flat2d(tbl.column("__v"))
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        ids = tbl.column("__id").combine_chunks()
+        rows_per_block = max(64, (64 << 20) // (m * 8))
+        out_i, out_j, out_c = [], [], []
+        for s in range(0, m, rows_per_block):
+            e = min(m, s + rows_per_block)
+            G = Vn[s:e] @ Vn.T
+            bi, bj = np.nonzero(G >= threshold)
+            keep = s + bi < bj  # strict upper triangle in global coords
+            out_i.append((s + bi[keep]).astype(np.int64))
+            out_j.append(bj[keep].astype(np.int64))
+            out_c.append(G[bi[keep], bj[keep]])
+        i = np.concatenate(out_i); j = np.concatenate(out_j)
+        return pa.table(
+            {"idx_a": ids.take(pa.array(i)), "idx_b": ids.take(pa.array(j)),
+             "cos": pa.array(np.concatenate(out_c), type=pa.float64())}
+        )
+
+    raw = grouped.groupBy("__grp").applyInArrow(group_pairs, schema=pair_schema)
+    return raw.select(
+        F.least("idx_a", "idx_b").alias("idx_a"),
+        F.greatest("idx_a", "idx_b").alias("idx_b"),
+        "cos",
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -479,18 +522,31 @@ def embedding_near_dup_pairs(
             .dropDuplicates(["idx_a", "idx_b"])
             .select("idx_a", "idx_b", "cos")
         )
+    if block_col:
+        grouped = df.select(
+            F.col(block_col).alias("__grp"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+        # prefilter 1e-6 below threshold so the round-to-6dp-then-
+        # compare output semantics are preserved exactly
+        raw = _group_near_pairs(
+            grouped, dict(df.dtypes)[id_col], threshold - 1e-6
+        )
+        return (
+            raw.withColumn("cos", F.round("cos", 6))
+            .where(F.col("cos") >= threshold)
+            .select("idx_a", "idx_b", "cos")
+        )
     a = df.select(
         F.col(id_col).alias("idx_a"),
         F.col(vec_col).alias("__va"),
-        *( [F.col(block_col)] if block_col else [] ),
     )
     b = df.select(
         F.col(id_col).alias("idx_b"),
         F.col(vec_col).alias("__vb"),
-        *( [F.col(block_col)] if block_col else [] ),
     )
-    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
-    joined = joined.where(F.col("idx_a") < F.col("idx_b"))
+    joined = a.crossJoin(b).where(F.col("idx_a") < F.col("idx_b"))
     out = (
         _score_pairs_arrow(joined, "idx_a", "idx_b", "__va", "__vb")
         .withColumn("cos", F.round("cos", 6))
@@ -535,46 +591,12 @@ def semantic_dedup(
 
     C = _train_centroids(df, vec_col, n_cells, sample_size, iters, seed)
     cells = _attach_cells(df, C, 1, id_col, vec_col, "__id", "__v")
-    a = cells.select(
-        F.col("__cells")[0].alias("__cell"), F.col("__id"), F.col("__v")
+    grouped = cells.select(
+        F.col("__cells")[0].alias("__grp"), F.col("__id"), F.col("__v")
     )
-    # within-cell scoring as ONE blocked Gram matmul per cell
-    # (applyInPandas-family applyInArrow): the shuffle moves each
-    # vector ONCE (grouping), versus a self-join's O(pairs)·dim
-    # payload — the SemDeDup-native formulation. Row-blocked so peak
-    # memory is ~64 MB per task regardless of cell size.
-    id_type = dict(df.dtypes)[id_col]
-    pair_schema = f"idx_a {id_type}, idx_b {id_type}, cos double"
-
-    def cell_pairs(tbl: "pa.Table") -> "pa.Table":
-        m = tbl.num_rows
-        if m < 2:
-            return pa.table(
-                {"idx_a": pa.array([], tbl.column("__id").type),
-                 "idx_b": pa.array([], tbl.column("__id").type),
-                 "cos": pa.array([], pa.float64())}
-            )
-        V = _flat2d(tbl.column("__v"))
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-        ids = tbl.column("__id").combine_chunks()
-        rows_per_block = max(64, (64 << 20) // (m * 8))
-        out_i, out_j, out_c = [], [], []
-        for s in range(0, m, rows_per_block):
-            e = min(m, s + rows_per_block)
-            G = Vn[s:e] @ Vn.T
-            bi, bj = np.nonzero(G >= threshold)
-            keep = s + bi < bj  # strict upper triangle in global coords
-            out_i.append((s + bi[keep]).astype(np.int64))
-            out_j.append(bj[keep].astype(np.int64))
-            out_c.append(G[bi[keep], bj[keep]])
-        i = np.concatenate(out_i); j = np.concatenate(out_j)
-        c = np.concatenate(out_c)
-        return pa.table(
-            {"idx_a": ids.take(pa.array(i)), "idx_b": ids.take(pa.array(j)),
-             "cos": pa.array(c, type=pa.float64())}
-        )
-
-    pairs = a.groupBy("__cell").applyInArrow(cell_pairs, schema=pair_schema)
+    # within-cell scoring as ONE blocked Gram matmul per cell — the
+    # SemDeDup-native formulation; see _group_near_pairs
+    pairs = _group_near_pairs(grouped, dict(df.dtypes)[id_col], threshold)
     comp = connected_components(pairs.select("idx_a", "idx_b"))
     out = df.select(id_col).join(
         comp.withColumnRenamed("node", id_col), on=id_col, how="left"
