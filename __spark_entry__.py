@@ -260,6 +260,21 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("idx_a", "idx_b")
 
 
+def q_qgram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-gram fuzzy blocking (Christen 2012 §4.4): candidates share ANY
+    3-gram of the composite key source#n_chars."""
+    from datamatch_spark.indices import QGramIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    # F.concat (not concat_ws): NULL in either column nulls the key,
+    # matching the oracle's NOT NULL filter / never-pairs semantics
+    docs = _docs(spark, sf_dir).withColumn(
+        "qk", F.concat(F.col("source"), F.lit("#"), F.col("n_chars").cast("string"))
+    )
+    pairs = candidate_pairs(docs, QGramIndex("qk", q=3), "doc_id", [])
+    return pairs.select("idx_a", "idx_b")
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-evaluation metrics (Christen 2012 ch. 7): reduction
     ratio / pairs completeness / pairs quality of ColumnsIndex("lang")
@@ -782,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_elements": q_index_elements,
         "match_candidates": q_match_candidates,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "qgram_candidates": q_qgram_candidates,
         "blocking_quality": q_blocking_quality,
         "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,
@@ -952,6 +968,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.source = b.source
             WHERE a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
+        """,
+        "qgram_candidates": """
+            WITH k AS (
+              SELECT doc_id,
+                     lower(source || '#' || CAST(n_chars AS VARCHAR)) AS qk
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            ), g AS (
+              SELECT DISTINCT doc_id, substring(qk, i, 3) AS gm
+              FROM k, UNNEST(range(1, greatest(1, length(qk) - 2) + 1)) AS t(i)
+            )
+            SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
         """,
         "blocking_quality": """
             WITH c AS (

@@ -13,6 +13,7 @@ from .indices import (
     ColumnsIndex,
     MultiIndex,
     NoopIndex,
+    QGramIndex,
     SortedNeighborhoodIndex,
 )
 from .matchers import ThresholdMatcher
@@ -41,6 +42,7 @@ __all__ = [
     "NoopIndex",
     "ColumnsIndex",
     "MultiIndex",
+    "QGramIndex",
     "SortedNeighborhoodIndex",
     "BaseIndex",
     "JaroWinklerSimilarity",

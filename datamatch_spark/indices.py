@@ -36,6 +36,7 @@ __all__ = [
     "NoopIndex",
     "ColumnsIndex",
     "MultiIndex",
+    "QGramIndex",
     "SortedNeighborhoodIndex",
     "BLOCK_KEY",
 ]
@@ -218,6 +219,55 @@ class MultiIndex(BaseIndex):
             parts.append(F.lit(_TUPLE_SEP))
             parts.append(F.col(f"__bk_{i}"))
         return out.select(F.col(row_key), F.concat(*parts).alias(BLOCK_KEY))
+
+
+class QGramIndex(BaseIndex):
+    """Q-gram fuzzy blocking (Christen 2012 §4.4): a row lands in one
+    bucket per distinct character q-gram of its (lowercased) key
+    column, so two rows become candidates iff their keys share ANY
+    q-gram — robust to typos that break exact-equality blocking
+    (every single-character edit preserves all q-grams further than
+    q−1 positions away).
+
+    Multi-bucket by construction (pair dedup handled by pairing.py).
+    Candidate volume is governed by q-gram document frequency; common
+    q-grams of a skewed corpus are exactly the hot-block case the
+    salted join handles. Keys shorter than ``q`` get the whole string
+    as their single gram (so short keys still block); NULL keys never
+    pair (reference NaN semantics, indices.py:129-132).
+    """
+
+    multi_bucket = True
+
+    def __init__(self, col: str, q: int = 3) -> None:
+        if q < 1:
+            raise ValueError("q must be >= 1")
+        self._col = col
+        self._q = int(q)
+
+    def required_columns(self) -> set[str]:
+        return {self._col}
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        if self._col not in df.columns:
+            raise KeyError(self._col)
+        q = self._q
+        src = f"lower(cast(`{self._col}` as string))"
+        # sequence over 1-based gram start positions; greatest(1, ...)
+        # keeps sub-q-length keys as one whole-string gram
+        grams = F.expr(
+            f"transform(sequence(1, greatest(1, length({src}) - {q - 1})), "
+            f"i -> substring({src}, i, {q}))"
+        )
+        return (
+            df.select(F.col(row_key), F.explode(grams).alias("__g"))
+            .where(F.col("__g").isNotNull() & (F.length("__g") > 0))
+            .select(
+                F.col(row_key),
+                F.concat(F.lit("q:"), _escape_seps(F.col("__g"))).alias(BLOCK_KEY),
+            )
+            .dropDuplicates([row_key, BLOCK_KEY])
+        )
 
 
 class SortedNeighborhoodIndex(BaseIndex):

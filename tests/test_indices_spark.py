@@ -215,3 +215,56 @@ class TestSortedNeighborhood:
         got = self._pairs(df, idx)
         # window-2 over num order 10,11,30,31 -> (0,1),(1,2),(2,3); cat adds (0,2)
         assert got == {(0, 1), (1, 2), (2, 3), (0, 2)}
+
+
+class TestQGram:
+    def _pairs(self, df, idx):
+        from datamatch_spark.pairing import candidate_pairs
+
+        return {
+            (r["idx_a"], r["idx_b"])
+            for r in candidate_pairs(df, idx, "row_key", []).collect()
+        }
+
+    def test_pairs_match_bruteforce_shared_gram(self, spark):
+        from datamatch_spark import QGramIndex
+
+        names = ["smith", "smyth", "smithe", "jones", "jonas", "ng", "n", None]
+        rows = list(enumerate(names))
+        df = spark.createDataFrame(rows, "row_key long, name string")
+
+        def grams(s, q=3):
+            s = s.lower()
+            if len(s) < q:
+                return {s}
+            return {s[i:i + q] for i in range(len(s) - q + 1)}
+
+        want = {
+            (i, j)
+            for i, a in rows for j, b in rows
+            if i < j and a is not None and b is not None
+            and grams(a) & grams(b)
+        }
+        got = self._pairs(df, QGramIndex("name", q=3))
+        assert got == want
+        # typo robustness: smith/smyth share "th"? no — they share no
+        # 3-gram? smith: smi,mit,ith; smyth: smy,myt,yth -> disjoint;
+        # smith/smithe share smi,mit,ith -> paired
+        assert (0, 2) in got
+
+    def test_short_and_null_keys(self, spark):
+        from datamatch_spark import QGramIndex
+
+        df = spark.createDataFrame(
+            [(0, "ab"), (1, "ab"), (2, None), (3, "xy")],
+            "row_key long, name string",
+        )
+        got = self._pairs(df, QGramIndex("name", q=3))
+        assert got == {(0, 1)}  # whole-string gram for short keys; null drops
+
+    def test_q_validation(self):
+        from datamatch_spark import QGramIndex
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            QGramIndex("name", q=0)
