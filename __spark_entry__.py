@@ -275,6 +275,20 @@ def q_qgram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("idx_a", "idx_b")
 
 
+def q_phonetic_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic (Soundex) blocking (§ Christen 4.3; rows-only — DuckDB
+    has no built-in soundex; the index is cross-checked in pytest
+    against an independent pure-Python Soundex reimplementation)."""
+    from datamatch_spark.indices import PhoneticIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w0", F.split(F.col("text"), " ").getItem(0)
+    )
+    pairs = candidate_pairs(docs.limit(200), PhoneticIndex("w0"), "doc_id", [])
+    return pairs.select("idx_a", "idx_b")
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-evaluation metrics (Christen 2012 ch. 7): reduction
     ratio / pairs completeness / pairs quality of ColumnsIndex("lang")
@@ -798,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_candidates": q_match_candidates,
         "sorted_neighborhood": q_sorted_neighborhood,
         "qgram_candidates": q_qgram_candidates,
+        "phonetic_candidates": q_phonetic_candidates,
         "blocking_quality": q_blocking_quality,
         "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,

@@ -13,6 +13,7 @@ from .indices import (
     ColumnsIndex,
     MultiIndex,
     NoopIndex,
+    PhoneticIndex,
     QGramIndex,
     SortedNeighborhoodIndex,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "NoopIndex",
     "ColumnsIndex",
     "MultiIndex",
+    "PhoneticIndex",
     "QGramIndex",
     "SortedNeighborhoodIndex",
     "BaseIndex",

@@ -36,6 +36,7 @@ __all__ = [
     "NoopIndex",
     "ColumnsIndex",
     "MultiIndex",
+    "PhoneticIndex",
     "QGramIndex",
     "SortedNeighborhoodIndex",
     "BLOCK_KEY",
@@ -219,6 +220,35 @@ class MultiIndex(BaseIndex):
             parts.append(F.lit(_TUPLE_SEP))
             parts.append(F.col(f"__bk_{i}"))
         return out.select(F.col(row_key), F.concat(*parts).alias(BLOCK_KEY))
+
+
+class PhoneticIndex(BaseIndex):
+    """Phonetic blocking (Christen 2012 §4.3): rows bucket on the
+    Soundex code of a name column, so sound-alike spellings
+    (smith/smyth, meyer/myer) become candidates. Uses Spark's built-in
+    ``soundex`` (JVM-side, codegen'd — American Soundex, first letter +
+    3 digits). NULL/empty keys never pair; non-alphabetic-leading
+    values pass through soundex unchanged (Spark semantics) and block
+    on themselves.
+    """
+
+    def __init__(self, col: str) -> None:
+        self._col = col
+
+    def required_columns(self) -> set[str]:
+        return {self._col}
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        if self._col not in df.columns:
+            raise KeyError(self._col)
+        code = F.soundex(F.upper(F.col(self._col).cast("string")))
+        return df.select(
+            F.col(row_key),
+            F.when(
+                code.isNotNull() & (F.length(code) > 0),
+                F.concat(F.lit("p:"), _escape_seps(code)),
+            ).alias(BLOCK_KEY),
+        ).where(F.col(BLOCK_KEY).isNotNull())
 
 
 class QGramIndex(BaseIndex):

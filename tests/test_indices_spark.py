@@ -268,3 +268,67 @@ class TestQGram:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             QGramIndex("name", q=0)
+
+
+class TestPhonetic:
+    def _pairs(self, df, idx):
+        from datamatch_spark.pairing import candidate_pairs
+
+        return {
+            (r["idx_a"], r["idx_b"])
+            for r in candidate_pairs(df, idx, "row_key", []).collect()
+        }
+
+    @staticmethod
+    def _soundex(s):
+        """Independent American Soundex reimplementation (first letter +
+        3 digits; adjacent same-code letters collapse; h/w transparent
+        between same-code consonants; vowels break runs)."""
+        codes = {}
+        for group, d in [("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                         ("l", "4"), ("mn", "5"), ("r", "6")]:
+            for ch in group:
+                codes[ch] = d
+        s = s.lower()
+        if not s or not s[0].isalpha():
+            return s.upper()
+        out = s[0].upper()
+        prev = codes.get(s[0], "")
+        for ch in s[1:]:
+            d = codes.get(ch, "")
+            if d and d != prev:
+                out += d
+                if len(out) == 4:
+                    break
+            if ch not in "hw":
+                prev = d
+        return (out + "000")[:4]
+
+    def test_pairs_match_bruteforce_soundex(self, spark):
+        from datamatch_spark import PhoneticIndex
+
+        names = ["smith", "smyth", "meyer", "myer", "jones", "johnson",
+                 "robert", "rupert", None]
+        rows = list(enumerate(names))
+        df = spark.createDataFrame(rows, "row_key long, name string")
+        want = {
+            (i, j)
+            for i, a in rows for j, b in rows
+            if i < j and a is not None and b is not None
+            and self._soundex(a) == self._soundex(b)
+        }
+        got = self._pairs(df, PhoneticIndex("name"))
+        assert got == want
+        assert (0, 1) in got  # smith ~ smyth
+        assert (2, 3) in got  # meyer ~ myer
+        assert (6, 7) in got  # robert ~ rupert (classic soundex pair)
+
+    def test_or_composition_with_equality(self, spark):
+        from datamatch_spark import ColumnsIndex, MultiIndex, PhoneticIndex
+
+        rows = [(0, "smith", "x"), (1, "smyth", "y"), (2, "abc", "y")]
+        df = spark.createDataFrame(rows, "row_key long, name string, g string")
+        got = self._pairs(
+            df, MultiIndex([PhoneticIndex("name"), ColumnsIndex("g")])
+        )
+        assert got == {(0, 1), (1, 2)}
