@@ -34,6 +34,7 @@ __all__ = [
     "shingle_stats",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "auto_bands",
     "minhash_lsh_pairs",
     "minhash_dedup_groups",
     "simhash",
@@ -292,6 +293,43 @@ def _sig_bands_udf(n_perm: int, bands: int):
     return sig_bands_udf
 
 
+def auto_bands(n_perm: int, threshold: float) -> int:
+    """Smallest band count b (a divisor of n_perm, rows per band
+    r = n_perm/b >= 2) whose S-curve midpoint (1/b)^(1/r) <= threshold.
+
+    The midpoint is decreasing in b, so the smallest qualifying b is
+    the one that protects recall at ``threshold`` with the fewest
+    sub-threshold candidates flooding the verify stage. Raises when no
+    divisor qualifies — one band of the full signature (the old silent
+    fallback) demands an exact signature match and collapses recall to
+    near-exact duplicates regardless of the requested threshold."""
+    candidates = [
+        b
+        for b in range(2, n_perm // 2 + 1)
+        if n_perm % b == 0 and (1.0 / b) ** (b / n_perm) <= threshold
+    ]
+    if not candidates:
+        divisors = [b for b in range(2, n_perm // 2 + 1) if n_perm % b == 0]
+        if divisors:
+            reachable = min((1.0 / b) ** (b / n_perm) for b in divisors)
+            hint = (
+                f"the lowest reachable S-curve midpoint for n_perm={n_perm} "
+                f"is {reachable:.3f}; raise threshold, raise n_perm, or pass "
+                "bands= explicitly"
+            )
+        else:
+            hint = (
+                f"n_perm={n_perm} has no divisor b with n_perm/b >= 2; use a "
+                "composite n_perm (e.g. a power of two) or pass bands= "
+                "explicitly"
+            )
+        raise ValueError(
+            f"no usable band count for n_perm={n_perm}, "
+            f"threshold={threshold}: {hint}"
+        )
+    return min(candidates)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -308,10 +346,17 @@ def minhash_lsh_pairs(
     Jaccard for verification (precision-exact up to 64-bit hash
     collisions).
 
-    ``bands`` defaults to the largest power-of-two band count whose
-    S-curve midpoint (1/b)^(r/n_perm-ish) sits at/under ``threshold`` —
-    mismatched banding floods verification with sub-threshold
-    candidates (the classic LSH cost cliff). The estimate prefilter
+    ``bands`` defaults to the SMALLEST divisor b of ``n_perm`` (rows
+    per band r = n_perm/b >= 2) whose S-curve midpoint (1/b)^(1/r)
+    sits at/under ``threshold``: the midpoint falls as b grows, so the
+    smallest qualifying b keeps recall at the threshold usable
+    (P(cand) = 1-(1-s^r)^b >= 1-1/e at s=threshold, climbing steeply
+    above it) while flooding verification
+    with the fewest sub-threshold candidates (the classic LSH cost
+    cliff). If no divisor qualifies (e.g. prime ``n_perm``, or a
+    threshold so low that even b=n_perm/2 sits above it) a ValueError
+    names usable alternatives rather than silently degrading to one
+    full-signature band. The estimate prefilter
     (fraction of equal signature components >= threshold-est_margin)
     kills most false candidates with 64 long comparisons before the
     set-intersection pass; at 64 perms the estimate's σ ≈ 0.04, so the
@@ -324,18 +369,7 @@ def minhash_lsh_pairs(
     job skips signature computation; default is an in-memory
     localCheckpoint."""
     if bands is None:
-        bands = 2
-        while True:
-            nb = bands * 2
-            r = n_perm // nb
-            # nb must divide n_perm exactly (a non-dividing band count
-            # would drop trailing signature components — _sig_bands_udf
-            # rejects it), hence the n_perm % nb check.
-            if r < 2 or n_perm % nb != 0 or (1.0 / nb) ** (1.0 / r) > threshold:
-                break
-            bands = nb
-        if n_perm % bands != 0:
-            bands = 1
+        bands = auto_bands(n_perm, threshold)
     sig_bands_udf = _sig_bands_udf(n_perm, bands)
 
     # one materialized per-doc frame carries everything downstream

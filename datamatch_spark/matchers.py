@@ -167,17 +167,21 @@ class ThresholdMatcher:
             from .bucketing import bucketed_candidate_pairs
 
             spark = self._dfa.sparkSession
-            rec_fields = set(
-                spark.table(self._keyed_tables[0])
-                .schema["rec"].dataType.fieldNames()
-            )
-            missing = set(needed) - rec_fields
-            if missing:
-                raise ValueError(
-                    f"bucketed keyed table {self._keyed_tables[0]!r} lacks "
-                    f"columns {sorted(missing)} required by the scorer/"
-                    f"filters/variator; re-save it with those columns"
+            # every keyed table must carry the needed rec fields — in
+            # match mode a gap in the SECOND table would otherwise
+            # surface later as an opaque AnalysisException deep in the
+            # pair join instead of this loud, actionable error.
+            for tbl in self._keyed_tables:
+                rec_fields = set(
+                    spark.table(tbl).schema["rec"].dataType.fieldNames()
                 )
+                missing = set(needed) - rec_fields
+                if missing:
+                    raise ValueError(
+                        f"bucketed keyed table {tbl!r} lacks columns "
+                        f"{sorted(missing)} required by the scorer/"
+                        f"filters/variator; re-save it with those columns"
+                    )
             pairs = bucketed_candidate_pairs(spark, *self._keyed_tables)
         else:
             pairs = candidate_pairs(

@@ -78,6 +78,13 @@ class PairingConfig:
     # triangular again, so the join key itself must carry the shard
     # pair at the price of one extra replication of the thin hot side.
     broadcast_hot_rows: int = 1_000_000
+    # BYTE cap on the same decision: rows alone mislead with wide rec
+    # structs (1M rows of long text is multi-GB — past Spark's
+    # broadcast limit and into executor OOM territory even where the
+    # row count looks safe). Estimated as rows × a static per-row
+    # width from the rec schema (see _est_row_bytes); whichever of the
+    # row/byte caps is hit first disables the broadcast.
+    broadcast_hot_bytes: int = 256 << 20
 
 
 def keyed_side(
@@ -107,6 +114,34 @@ def block_statistics(side: DataFrame, dedup: bool) -> DataFrame:
         else F.col("n_rows") * F.col("n_rows")
     )
     return counts.withColumn("n_pairs", pair_cnt.cast("long"))
+
+
+def _est_row_bytes(dt) -> int:
+    """Static per-row width estimate (bytes) for a Catalyst data type,
+    in the spirit of Catalyst's ``defaultSize`` but with variable-width
+    types costed pessimistically (string 48, binary 128, containers at
+    a nominal 16 elements) — this guards a broadcast decision, so
+    over-estimating degrades to a still-correct SortMergeJoin while
+    under-estimating risks OOM."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return sum(_est_row_bytes(f.dataType) for f in dt.fields) + 8
+    if isinstance(dt, T.ArrayType):
+        return 16 * _est_row_bytes(dt.elementType) + 8
+    if isinstance(dt, T.MapType):
+        return 16 * (_est_row_bytes(dt.keyType) + _est_row_bytes(dt.valueType)) + 8
+    if isinstance(dt, T.StringType):
+        return 48
+    if isinstance(dt, T.BinaryType):
+        return 128
+    if isinstance(dt, (T.ByteType, T.BooleanType)):
+        return 1
+    if isinstance(dt, T.ShortType):
+        return 2
+    if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+        return 4
+    return 8  # long / double / decimal / timestamp / anything else
 
 
 def _hot_blocks(side: DataFrame, cfg: PairingConfig):
@@ -186,7 +221,8 @@ def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -
     # upper bound on hot rows: every hot block has n_shards shards of
     # at most ~rows_per_shard rows (n_shards = ceil(n / rows_per_shard))
     est_hot_rows = sum(s for _, s in hot) * cfg.rows_per_shard
-    if est_hot_rows <= cfg.broadcast_hot_rows:
+    est_hot_bytes = est_hot_rows * _est_row_bytes(side.schema["rec"].dataType)
+    if est_hot_rows <= cfg.broadcast_hot_rows and est_hot_bytes <= cfg.broadcast_hot_bytes:
         right = F.broadcast(
             tagged.select(
                 F.col(BLOCK_KEY),

@@ -37,6 +37,29 @@ _ROOT_RELS = (
 )
 
 
+_SHEET_NAME_FORBIDDEN = set('[]:*?/\\')
+
+
+def _validate_sheet_name(name: str) -> str:
+    """Enforce Excel's sheet-name rules (ECMA-376 §18.2.19 plus
+    Excel's UI constraints): non-empty, <= 31 chars, none of
+    []:*?/\\, and no leading/trailing apostrophe. Raising here beats
+    writing a workbook.xml Excel will refuse to open."""
+    if not name:
+        raise ValueError("sheet name must be non-empty")
+    if len(name) > 31:
+        raise ValueError(f"sheet name {name!r} exceeds Excel's 31-char limit")
+    bad = _SHEET_NAME_FORBIDDEN & set(name)
+    if bad:
+        raise ValueError(
+            f"sheet name {name!r} contains characters Excel forbids: "
+            f"{''.join(sorted(bad))}"
+        )
+    if name.startswith("'") or name.endswith("'"):
+        raise ValueError(f"sheet name {name!r} may not start or end with '")
+    return name
+
+
 def _col_ref(i: int) -> str:
     """0-based column index -> A, B, ..., Z, AA, ..."""
     out = ""
@@ -95,8 +118,11 @@ def write_xlsx(path: str, sheets: list) -> None:
             'ContentType="application/vnd.openxmlformats-officedocument.'
             'spreadsheetml.worksheet+xml"/>'
         )
+        # attribute context: escape() leaves double quotes alone by
+        # default, which would truncate the attribute value
+        safe = escape(_validate_sheet_name(name), {'"': "&quot;"})
         wb_sheets.append(
-            f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+            f'<sheet name="{safe}" sheetId="{i}" r:id="rId{i}"/>'
         )
         wb_rels.append(
             f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.'

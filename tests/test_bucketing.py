@@ -154,3 +154,32 @@ def test_matcher_accepts_bucketed_keyed_tables(spark, warehouse):
             row_key="id", validate=False, defer=True, keyed_tables="keyed_m",
         )._build_scored()
     spark.sql("DROP TABLE keyed_m")
+
+
+def test_matcher_validates_all_keyed_tables(spark, warehouse):
+    """Match mode: a needed rec column missing from the SECOND keyed
+    table must raise the loud ValueError up front, not surface later
+    as an opaque AnalysisException inside the pair join."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ThresholdMatcher
+
+    rows_a = [(i, f"g{i % 5}", float(i)) for i in range(50)]
+    rows_b = [(i + 1000, f"g{i % 5}", float(i)) for i in range(50)]
+    dfa = spark.createDataFrame(rows_a, "id long, g string, v double")
+    dfb = spark.createDataFrame(rows_b, "id long, g string, v double")
+    idx = ColumnsIndex("g")
+    sa = keyed_side(dfa, idx, "id", ["v"], "idx", "rec")
+    sb = keyed_side(dfb, idx, "id", ["g"], "idx", "rec")  # rec lacks v
+    spark.sql("DROP TABLE IF EXISTS keyed_va")
+    spark.sql("DROP TABLE IF EXISTS keyed_vb")
+    save_bucketed_keyed_side(sa, "keyed_va", n_buckets=4, path=f"{warehouse}/kva")
+    save_bucketed_keyed_side(sb, "keyed_vb", n_buckets=4, path=f"{warehouse}/kvb")
+    try:
+        with pytest.raises(ValueError, match="keyed_vb.*lacks"):
+            ThresholdMatcher(
+                idx, {"v": AbsoluteNumericalSimilarity(10)}, dfa, dfb=dfb,
+                row_key="id", validate=False, defer=True,
+                keyed_tables=("keyed_va", "keyed_vb"),
+            )._build_scored()
+    finally:
+        spark.sql("DROP TABLE keyed_va")
+        spark.sql("DROP TABLE keyed_vb")

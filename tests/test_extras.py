@@ -417,3 +417,35 @@ def test_minhash_dedup_groups_planted(spark):
         assert out[a] == (a, True)
         assert out[b] == (a, False)
     assert out[lone] == (lone, True)
+
+
+def test_auto_bands_selection():
+    """auto_bands picks the smallest divisor whose S-curve midpoint is
+    at/under the threshold (recall protected, candidate flood
+    minimized), and raises — never silently degrades to one band —
+    when no divisor qualifies."""
+    assert D.auto_bands(64, 0.5) == 16   # midpoint(16,4) = 0.5
+    assert D.auto_bands(64, 0.9) == 8    # midpoint(8,8) ~= 0.77
+    assert D.auto_bands(63, 0.7) == 21   # odd n_perm: divisors 3,7,9,21
+    with pytest.raises(ValueError, match="no usable band count"):
+        D.auto_bands(61, 0.7)  # prime n_perm
+    with pytest.raises(ValueError, match="no usable band count"):
+        D.auto_bands(4, 0.1)  # threshold below the reachable midpoint
+
+
+def test_auto_bands_recall_at_threshold():
+    """The selected banding keeps candidate probability high for pairs
+    AT the threshold — the property the old power-of-two walk (which
+    settled on bands=2 ~= exact-signature match) violated."""
+    for n_perm, threshold in [(64, 0.5), (64, 0.7), (64, 0.9), (128, 0.8)]:
+        b = D.auto_bands(n_perm, threshold)
+        r = n_perm // b
+        # midpoint <= threshold guarantees P(candidate) at s=threshold
+        # of at least 1-(1-1/b)^b >= 1-1/e; the old walk's bands=2
+        # choice gave e.g. 2e-5 at (64, 0.7)
+        p_cand = 1.0 - (1.0 - threshold ** r) ** b
+        assert p_cand >= 0.6, (n_perm, threshold, b, p_cand)
+        # and well above threshold (exact-dup end) recall is ~certain
+        hi = min(1.0, threshold + 0.15)
+        p_hi = 1.0 - (1.0 - hi ** r) ** b
+        assert p_hi >= 0.95, (n_perm, threshold, b, p_hi)

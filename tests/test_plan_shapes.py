@@ -98,3 +98,44 @@ def test_salted_hot_join_no_triangular_partitioning(spark):
     }
     assert {(r["idx_a"], r["idx_b"]) for r in bc.collect()} == want
     assert {(r["idx_a"], r["idx_b"]) for r in big.collect()} == want
+
+
+def test_wide_rec_disables_hot_broadcast(spark):
+    """The broadcast-vs-replicate decision is byte-aware: a wide rec
+    struct (long text columns) must flip the salted join into the
+    shard-pair SMJ regime even when the ROW count looks broadcastable
+    — 1M wide rows can be multi-GB. Pair set stays identical."""
+    from datamatch_spark.pairing import _est_row_bytes
+
+    rows = [
+        (i, "hot" if i < 80 else f"c{i % 7}", "x" * 50)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "row_key long, blk string, text string")
+
+    def pairs_with(cfg):
+        return candidate_pairs(df, ColumnsIndex("blk"), "row_key", ["text"], cfg=cfg)
+
+    # row cap generous, byte cap tiny -> no broadcast of the hot side;
+    # the join key must carry the shard pair (no triangular targets)
+    cfg = PairingConfig(salt_threshold=20, rows_per_shard=10,
+                        broadcast_hot_rows=10**9, broadcast_hot_bytes=64)
+    plan = _formatted(pairs_with(cfg))
+    import re
+    tgt_joins = re.findall(r"hashpartitioning\([^)]*__tgt[^)]*\)", plan)
+    assert tgt_joins and all("__shard_l" in m for m in tgt_joins), plan
+
+    want = {
+        (r["idx_a"], r["idx_b"])
+        for r in pairs_with(PairingConfig(salt_enabled=False)).collect()
+    }
+    got = {(r["idx_a"], r["idx_b"]) for r in pairs_with(cfg).collect()}
+    assert got == want
+
+    # static width estimate: struct<text:string> ~ 48+8; sanity-check
+    # the estimator orders types correctly
+    from pyspark.sql import types as T
+    assert _est_row_bytes(T.StringType()) > _est_row_bytes(T.LongType())
+    wide = T.StructType([T.StructField("t", T.StringType())] * 20)
+    narrow = T.StructType([T.StructField("v", T.IntegerType())])
+    assert _est_row_bytes(wide) > 10 * _est_row_bytes(narrow)
