@@ -261,17 +261,21 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_qgram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q-gram fuzzy blocking (Christen 2012 §4.4): candidates share ANY
-    3-gram of the composite key source#n_chars."""
+    """Q-gram fuzzy blocking (Christen 2012 §4.4) over a VARIED key —
+    the first token of ``text`` (~30 distinct words) — with the
+    ``max_df=30`` stop-gram cap active: candidates share at least one
+    NON-stop 3-gram. Both halves of the operator are exercised and
+    oracle-checked: selectivity (the result is far below C(n,2) —
+    blocking actually prunes) and posting-list pruning (grams in more
+    than 30 docs, e.g. the 'mer' shared by customer/merge, drop on
+    both sides)."""
     from datamatch_spark.indices import QGramIndex
     from datamatch_spark.pairing import candidate_pairs
 
-    # F.concat (not concat_ws): NULL in either column nulls the key,
-    # matching the oracle's NOT NULL filter / never-pairs semantics
     docs = _docs(spark, sf_dir).withColumn(
-        "qk", F.concat(F.col("source"), F.lit("#"), F.col("n_chars").cast("string"))
+        "w0", F.split(F.col("text"), " ").getItem(0)
     )
-    pairs = candidate_pairs(docs, QGramIndex("qk", q=3), "doc_id", [])
+    pairs = candidate_pairs(docs, QGramIndex("w0", q=3, max_df=30), "doc_id", [])
     return pairs.select("idx_a", "idx_b")
 
 
@@ -285,7 +289,12 @@ def q_phonetic_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "w0", F.split(F.col("text"), " ").getItem(0)
     )
-    pairs = candidate_pairs(docs.limit(200), PhoneticIndex("w0"), "doc_id", [])
+    # doc_id predicate, NOT .limit(): limit's row choice is partition-
+    # order-dependent in general; a key predicate is deterministic by
+    # construction across any re-partitioning of the read
+    pairs = candidate_pairs(
+        docs.where(F.col("doc_id") < 200), PhoneticIndex("w0"), "doc_id", []
+    )
     return pairs.select("idx_a", "idx_b")
 
 
@@ -986,16 +995,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "qgram_candidates": """
             WITH k AS (
-              SELECT doc_id,
-                     lower(source || '#' || CAST(n_chars AS VARCHAR)) AS qk
+              SELECT doc_id, lower(split_part(text, ' ', 1)) AS qk
               FROM documents
-              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+              WHERE text IS NOT NULL AND length(split_part(text, ' ', 1)) > 0
             ), g AS (
               SELECT DISTINCT doc_id, substring(qk, i, 3) AS gm
               FROM k, UNNEST(range(1, greatest(1, length(qk) - 2) + 1)) AS t(i)
+            ), kept AS (
+              SELECT gm FROM g GROUP BY gm HAVING count(*) <= 30
             )
             SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
             FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
+            WHERE a.gm IN (SELECT gm FROM kept)
         """,
         "blocking_quality": """
             WITH c AS (

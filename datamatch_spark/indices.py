@@ -260,27 +260,50 @@ class QGramIndex(BaseIndex):
     q−1 positions away).
 
     Multi-bucket by construction (pair dedup handled by pairing.py).
-    Candidate volume is governed by q-gram document frequency; common
-    q-grams of a skewed corpus are exactly the hot-block case the
-    salted join handles. Keys shorter than ``q`` get the whole string
-    as their single gram (so short keys still block); NULL keys never
-    pair (reference NaN semantics, indices.py:129-132).
+    Keys shorter than ``q`` get the whole string as their single gram
+    (so short keys still block); NULL keys never pair (reference NaN
+    semantics, indices.py:129-132).
+
+    Stop-gram cap — the scale guard: a q-gram present in most of the
+    corpus ("the", "ing", a constant key prefix) makes its bucket ~the
+    whole dataset, and even a perfectly salted join then FAITHFULLY
+    enumerates ~N²/2 pairs. Grams whose document frequency exceeds
+    ``max_df`` (absolute) — or, when ``max_df`` is None,
+    ``max(50, max_df_frac · N)`` computed without a driver round-trip
+    (the floor keeps small fixtures un-pruned) — are dropped from the
+    index, the standard posting-list pruning of ``ngram_jaccard_pairs``
+    (extras/dedup.py). The trade: a pair whose ONLY shared grams are
+    stop-grams is lost; typo tolerance via rare grams is untouched
+    (a stop-gram, being corpus-wide, carries no blocking information
+    anyway). Pass ``max_df=None, max_df_frac=None`` for the uncapped
+    exhaustive behavior; ``stop_grams(df, row_key)`` reports what a
+    given cap would drop, for the metrics sink.
     """
 
     multi_bucket = True
 
-    def __init__(self, col: str, q: int = 3) -> None:
+    def __init__(
+        self,
+        col: str,
+        q: int = 3,
+        max_df: int | None = None,
+        max_df_frac: float | None = 0.1,
+    ) -> None:
         if q < 1:
             raise ValueError("q must be >= 1")
+        if max_df is not None and max_df < 1:
+            raise ValueError("max_df must be >= 1")
+        if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+            raise ValueError("max_df_frac must be in (0, 1]")
         self._col = col
         self._q = int(q)
+        self._max_df = max_df
+        self._max_df_frac = max_df_frac
 
     def required_columns(self) -> set[str]:
         return {self._col}
 
-    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
-        if self._col not in df.columns:
-            raise KeyError(self._col)
+    def _all_keys(self, df: DataFrame, row_key: str) -> DataFrame:
         q = self._q
         src = f"lower(cast(`{self._col}` as string))"
         # sequence over 1-based gram start positions; greatest(1, ...)
@@ -298,6 +321,53 @@ class QGramIndex(BaseIndex):
             )
             .dropDuplicates([row_key, BLOCK_KEY])
         )
+
+    def _hot_grams(self, df: DataFrame, keys: DataFrame) -> DataFrame | None:
+        """(BLOCK_KEY, __df) of grams OVER the document-frequency cap,
+        or None when uncapped. All lazy — the fractional cap joins a
+        1-row count aggregate instead of collecting N to the driver."""
+        if self._max_df is None and self._max_df_frac is None:
+            return None
+        dfreq = keys.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__df"))
+        if self._max_df is not None:
+            return dfreq.where(F.col("__df") > self._max_df)
+        n = df.agg(F.count(F.lit(1)).alias("__n"))
+        return (
+            dfreq.join(F.broadcast(n))
+            .where(
+                F.col("__df")
+                > F.greatest(
+                    F.lit(50),
+                    F.ceil(F.col("__n") * F.lit(self._max_df_frac)),
+                )
+            )
+            .select(BLOCK_KEY, "__df")
+        )
+
+    def stop_grams(self, df: DataFrame, row_key: str) -> DataFrame:
+        """(block_key, df) of the grams the configured cap drops —
+        the observability half of posting-list pruning (mirror of
+        ``shingle_stats``); empty frame when uncapped."""
+        keys = self._all_keys(df, row_key)
+        hot = self._hot_grams(df, keys)
+        if hot is None:
+            return keys.select(
+                F.col(BLOCK_KEY), F.lit(0).alias("__df")
+            ).limit(0)
+        return hot
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        if self._col not in df.columns:
+            raise KeyError(self._col)
+        keys = self._all_keys(df, row_key)
+        hot = self._hot_grams(df, keys)
+        if hot is not None:
+            # hot grams are few by construction (each has > cap rows),
+            # so the anti-join side broadcasts
+            keys = keys.join(
+                F.broadcast(hot.select(BLOCK_KEY)), on=BLOCK_KEY, how="left_anti"
+            )
+        return keys
 
 
 class SortedNeighborhoodIndex(BaseIndex):

@@ -109,3 +109,26 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert df.columns[0] == "cluster_idx"
+
+
+def test_phonetic_query_deterministic_across_partitioning(spark):
+    """q_phonetic_candidates samples via a doc_id predicate (not
+    .limit), so its result is identical however the read is split."""
+    base = QUERIES["phonetic_candidates"](spark, SF_DIR)
+    want = {(r["idx_a"], r["idx_b"]) for r in base.collect()}
+
+    import __spark_entry__ as e
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(17)
+    from datamatch_spark.indices import PhoneticIndex
+    from datamatch_spark.pairing import candidate_pairs
+    from pyspark.sql import functions as F
+
+    rp = candidate_pairs(
+        docs.withColumn("w0", F.split(F.col("text"), " ").getItem(0))
+        .where(F.col("doc_id") < 200),
+        PhoneticIndex("w0"),
+        "doc_id",
+        [],
+    )
+    got = {(r["idx_a"], r["idx_b"]) for r in rp.collect()}
+    assert got == want and len(want) > 0

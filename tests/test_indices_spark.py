@@ -332,3 +332,53 @@ class TestPhonetic:
             df, MultiIndex([PhoneticIndex("name"), ColumnsIndex("g")])
         )
         assert got == {(0, 1), (1, 2)}
+
+
+class TestQGramStopGrams:
+    def _pairs(self, df, idx):
+        from datamatch_spark.pairing import candidate_pairs
+
+        return {
+            (r["idx_a"], r["idx_b"])
+            for r in candidate_pairs(df, idx, "row_key", []).collect()
+        }
+
+    def test_stop_gram_cap_keeps_candidates_linear(self, spark):
+        """A constant key prefix ('src...') makes one gram corpus-wide;
+        uncapped that faithfully reproduces the full C(n,2) cross
+        product — the 100x-scale killer. With max_df the stop-grams
+        drop and candidate volume collapses to the rare-gram pairs,
+        while a planted typo pair sharing a RARE gram survives."""
+        from datamatch_spark import QGramIndex
+
+        n = 300
+        rows = [(i, f"src{i:04d}") for i in range(n)]
+        # planted near-dup: same rare suffix grams, different ids
+        rows += [(n, "srczz77"), (n + 1, "srczz77x")]
+        df = spark.createDataFrame(rows, "row_key long, name string")
+
+        uncapped = self._pairs(df, QGramIndex("name", q=3, max_df=None, max_df_frac=None))
+        total = (n + 2) * (n + 1) // 2
+        assert len(uncapped) == total  # every key shares the 'src' gram
+
+        capped = self._pairs(df, QGramIndex("name", q=3, max_df=30))
+        assert len(capped) < total * 0.2, len(capped)
+        assert (n, n + 1) in capped  # rare-gram typo pair survives
+
+        # default fractional cap: 10% of 302 rows = 31 -> floor(50)
+        # governs, and the corpus-wide grams (df ~302 > 50) still drop
+        default_cap = self._pairs(df, QGramIndex("name", q=3))
+        assert len(default_cap) < total * 0.2
+        assert (n, n + 1) in default_cap
+
+    def test_stop_grams_report(self, spark):
+        from datamatch_spark import QGramIndex
+
+        rows = [(i, f"pre{i:03d}") for i in range(60)]
+        df = spark.createDataFrame(rows, "row_key long, name string")
+        idx = QGramIndex("name", q=3, max_df=30)
+        hot = {r[0]: r["__df"] for r in idx.stop_grams(df, "row_key").collect()}
+        assert "q:pre" in hot and hot["q:pre"] == 60
+        # uncapped index reports nothing
+        none_idx = QGramIndex("name", q=3, max_df=None, max_df_frac=None)
+        assert none_idx.stop_grams(df, "row_key").count() == 0
