@@ -260,6 +260,24 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("idx_a", "idx_b")
 
 
+def q_sorted_neighborhood_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-mode (two-dataset) sorted-neighborhood — the linkage case
+    of Hernández-Stolfo 1995: rank the TAGGED UNION of A and B once
+    (ties by (side, doc_id)), candidates are cross-side rows < 5
+    merged-sort positions apart (SortedNeighborhoodIndex.key_df_pair)."""
+    from datamatch_spark.indices import SortedNeighborhoodIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    dfa = docs.where(F.col("doc_id") % 40 < 20)
+    dfb = docs.where(F.col("doc_id") % 40 >= 20)
+    pairs = candidate_pairs(
+        dfa, SortedNeighborhoodIndex(["n_chars"], window=5), "doc_id", [],
+        dfb=dfb,
+    )
+    return pairs.select("idx_a", "idx_b")
+
+
 def q_qgram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-gram fuzzy blocking (Christen 2012 §4.4) over a VARIED key —
     the first token of ``text`` (~30 distinct words) — with the
@@ -820,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_elements": q_index_elements,
         "match_candidates": q_match_candidates,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "sorted_neighborhood_match": q_sorted_neighborhood_match,
         "qgram_candidates": q_qgram_candidates,
         "phonetic_candidates": q_phonetic_candidates,
         "blocking_quality": q_blocking_quality,
@@ -1041,6 +1060,22 @@ def oracle_sql() -> dict[str, str]:
                    GREATEST(a.doc_id, b.doc_id) AS idx_b
             FROM ranked a JOIN ranked b
               ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4
+        """,
+        "sorted_neighborhood_match": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 40 < 20 THEN 0 ELSE 1 END AS side
+              FROM documents
+              WHERE n_chars IS NOT NULL
+            ), ranked AS (
+              SELECT doc_id, side,
+                     row_number() OVER (ORDER BY n_chars, side, doc_id) - 1
+                       AS rnk
+              FROM u
+            )
+            SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM ranked a JOIN ranked b
+              ON a.side = 0 AND b.side = 1 AND abs(a.rnk - b.rnk) <= 4
         """,
         "cluster_report": """
             WITH p AS (

@@ -115,6 +115,17 @@ class BaseIndex(ABC):
         """Return DataFrame[row_key, BLOCK_KEY] with non-null keys."""
         raise NotImplementedError
 
+    def key_df_pair(
+        self, dfa: DataFrame, dfb: DataFrame, row_key: str
+    ) -> tuple[DataFrame, DataFrame] | None:
+        """Match-mode key frames computed JOINTLY over both datasets,
+        for indices whose per-dataset keys are not comparable across
+        datasets (``dedup_only``) but which have a well-defined
+        two-dataset formulation (sorted-neighborhood ranks the tagged
+        union). None (the default) means per-side ``key_df`` is
+        already correct."""
+        return None
+
     def required_columns(self) -> set[str]:
         """Source columns this index reads (for column pruning)."""
         return set()
@@ -197,6 +208,12 @@ class MultiIndex(BaseIndex):
             self.multi_bucket = any(i.multi_bucket for i in self._indices)
         else:
             self.multi_bucket = True
+        # a dedup-only child makes the composite dedup-only: its
+        # per-dataset keys (e.g. SNI ranks) are incomparable across
+        # datasets, and the composition has no joint two-dataset form
+        self.dedup_only = any(
+            getattr(i, "dedup_only", False) for i in self._indices
+        )
 
     def required_columns(self) -> set[str]:
         out: set[str] = set()
@@ -394,8 +411,14 @@ class SortedNeighborhoodIndex(BaseIndex):
     key strings. Rows with a NULL in any sort column never pair
     (reference NaN-key semantics, indices.py:129-132).
 
-    Dedup mode only: ranks computed independently per dataset are not
-    comparable, so match mode (``dfb``) raises in pairing.
+    Match mode (two datasets — the Hernández-Stolfo linkage case)
+    ranks the TAGGED UNION of A and B once (``key_df_pair``; ties
+    broken by (side, row_key)), emits window buckets from the shared
+    rank, and the A×B join restricts pairs to cross-side by
+    construction: a ∈ A and b ∈ B become candidates iff their
+    positions in the merged sort differ by < ``window``. Per-dataset
+    ``key_df`` ranks remain incomparable across datasets, so nesting
+    this index inside a match-mode ``MultiIndex`` still raises.
     """
 
     multi_bucket = True
@@ -410,20 +433,16 @@ class SortedNeighborhoodIndex(BaseIndex):
     def required_columns(self) -> set[str]:
         return set(self._cols)
 
-    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
-        from .ranking import global_rank
-
+    def _select_sortable(self, df: DataFrame, row_key: str) -> DataFrame:
         missing = [c for c in self._cols if c not in df.columns]
         if missing:
             raise KeyError(missing[0])
         sel = df.select(row_key, *self._cols)
         for c in self._cols:
             sel = sel.where(F.col(c).isNotNull())
-        ranked = global_rank(
-            sel,
-            [F.col(c) for c in self._cols] + [F.col(row_key)],
-            "__snr",
-        )
+        return sel
+
+    def _window_buckets(self, ranked: DataFrame, row_key: str) -> DataFrame:
         offsets = F.array(*[F.lit(i) for i in range(self._window)])
         return ranked.select(
             F.col(row_key),
@@ -435,3 +454,40 @@ class SortedNeighborhoodIndex(BaseIndex):
                 F.lit("w:"), (F.col("__snr") + F.col("__off")).cast("string")
             ).alias(BLOCK_KEY),
         )
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        from .ranking import global_rank
+
+        ranked = global_rank(
+            self._select_sortable(df, row_key),
+            [F.col(c) for c in self._cols] + [F.col(row_key)],
+            "__snr",
+        )
+        return self._window_buckets(ranked, row_key)
+
+    def key_df_pair(
+        self, dfa: DataFrame, dfb: DataFrame, row_key: str
+    ) -> tuple[DataFrame, DataFrame]:
+        from .ranking import global_rank
+
+        tagged = self._select_sortable(dfa, row_key).withColumn(
+            "__side", F.lit(0)
+        ).unionByName(
+            self._select_sortable(dfb, row_key).withColumn("__side", F.lit(1))
+        )
+        ranked = global_rank(
+            tagged,
+            [F.col(c) for c in self._cols] + [F.col("__side"), F.col(row_key)],
+            "__snr",
+        )
+        # ONE ranking pass over the union; the union frame is thin
+        # (row_key + sort cols), so the extra localCheckpoint inside
+        # global_rank is small. Buckets from the shared rank make
+        # sorted-neighborhood a plain equality index again.
+        keys_a = self._window_buckets(
+            ranked.where(F.col("__side") == 0), row_key
+        )
+        keys_b = self._window_buckets(
+            ranked.where(F.col("__side") == 1), row_key
+        )
+        return keys_a, keys_b

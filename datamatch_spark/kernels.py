@@ -49,27 +49,60 @@ def unidecode_ascii(s: str) -> str:
     return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
 
 
-def _encode(strs, width: int) -> tuple[np.ndarray, np.ndarray]:
-    """Pad a batch of strings into a uint32 codepoint matrix (n, width).
+def _batch_dtype(*joined: str):
+    """Narrowest codepoint dtype for the given joined batches.
 
-    One bulk UTF-32 encode of the joined batch + a vectorized scatter —
+    The DP kernels stream their (rows × width) code matrices several
+    times per character position, so matrix WIDTH IN BYTES is kernel
+    memory bandwidth: uint8 for ASCII-only batches (the common case
+    after ``unidecode_ascii``) cuts that traffic 4× vs uint32, uint16
+    covers the BMP (detected as "UTF-16 adds no surrogate pairs").
+    ``str.isascii``/``encode`` are C-speed scans, negligible next to
+    the encode itself."""
+    if all(j.isascii() for j in joined):
+        return np.uint8
+    if all(len(j.encode("utf-16-le")) == 2 * len(j) for j in joined):
+        return np.uint16
+    return np.uint32
+
+
+def _encode(strs, width: int, joined: str, dt) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a batch of strings into a codepoint matrix (n, width) of
+    dtype ``dt`` (see ``_batch_dtype``).
+
+    One bulk encode of the joined batch + a vectorized scatter —
     ~10x faster than per-string encode/frombuffer, which dominated the
     kernel profile. Pad value 0 never equals a real codepoint from
     non-empty positions because comparisons are always masked by length.
     """
     n = len(strs)
-    codes = np.zeros((n, width), dtype=np.uint32)
+    codes = np.zeros((n, width), dtype=dt)
     lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
     total = int(lens.sum())
     if total == 0:
         return codes, lens
-    flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+    if dt == np.uint8:
+        flat = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+    elif dt == np.uint16:
+        flat = np.frombuffer(joined.encode("utf-16-le"), dtype=np.uint16)
+    else:
+        flat = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     row_idx = np.repeat(np.arange(n), lens)
     col_idx = np.arange(total, dtype=np.int64) - np.repeat(offsets, lens)
     codes[row_idx, col_idx] = flat
     return codes, lens
+
+
+def _encode_pair(a, b, width: int):
+    """Encode both sides of a pair batch with ONE shared (narrowest
+    common) dtype so comparisons never upcast mid-kernel."""
+    ja, jb = "".join(a), "".join(b)
+    dt = _batch_dtype(ja, jb)
+    A, la = _encode(a, width, ja, dt)
+    B, lb = _encode(b, width, jb, dt)
+    return A, la, B, lb
 
 
 def _clean_batch(strs, max_len: int | None):
@@ -126,10 +159,12 @@ def _lev_ratio_core(a: list, b: list) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.float64)
     width = max(1, max(max((len(s) for s in a), default=0), max((len(s) for s in b), default=0)))
-    A, la = _encode(a, width)
-    B, lb = _encode(b, width)
+    A, la, B, lb = _encode_pair(a, b, width)
     J = np.arange(width)
-    prev = np.zeros((n, width + 1), dtype=np.int32)
+    # LCS values are bounded by width, so int16 halves DP-row traffic
+    # whenever strings are under ~30k chars (always, after max_len)
+    dp_dt = np.int16 if width <= 30000 else np.int32
+    prev = np.zeros((n, width + 1), dtype=dp_dt)
     max_la = int(la.max()) if n else 0
     for i in range(1, max_la + 1):
         eq = (B == A[:, i - 1][:, None]) & (J < lb[:, None])
@@ -170,8 +205,7 @@ def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.float64)
     width = max(1, max(max((len(s) for s in a), default=0), max((len(s) for s in b), default=0))) + 1
-    A, la = _encode(a, width)
-    B, lb = _encode(b, width)
+    A, la, B, lb = _encode_pair(a, b, width)
     swap = la > lb
     S1 = np.where(swap[:, None], B, A)
     S2 = np.where(swap[:, None], A, B)
@@ -179,9 +213,12 @@ def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
     L2 = np.where(swap, la, lb)
     halflen = (L1 + 1) // 2
     J = np.arange(width)
+    # match orders/counts are bounded by width: int16 halves the
+    # traffic of the two (n, width) bookkeeping matrices
+    ord_dt = np.int16 if width <= 30000 else np.int32
     matched = np.zeros((n, width), dtype=bool)
-    order = np.zeros((n, width), dtype=np.int32)
-    m = np.zeros(n, dtype=np.int32)
+    order = np.zeros((n, width), dtype=ord_dt)
+    m = np.zeros(n, dtype=ord_dt)
     max_i = int(L2.max()) if n else 0
     rows_all = np.arange(n)
     for i in range(max_i):
@@ -207,7 +244,7 @@ def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
         matched[rows, fj[rows]] = True
         m[rows] += 1
         order[rows, fj[rows]] = m[rows]
-    rank = np.cumsum(matched, axis=1, dtype=np.int32)
+    rank = np.cumsum(matched, axis=1, dtype=ord_dt)
     t = ((order != rank) & matched).sum(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         jaro = np.where(

@@ -87,6 +87,24 @@ class PairingConfig:
     broadcast_hot_bytes: int = 256 << 20
 
 
+def keyed_side_from_keys(
+    df: DataFrame,
+    keys: DataFrame,
+    row_key: str,
+    needed_cols: list[str],
+    idx_name: str,
+    rec_name: str,
+) -> DataFrame:
+    """(idx, BLOCK_KEY, rec struct) from a precomputed key frame. Only
+    ``needed_cols`` are carried through the shuffle (column pruning by
+    construction)."""
+    recs = df.select(
+        F.col(row_key).alias(idx_name),
+        F.struct(*[F.col(c).alias(c) for c in needed_cols]).alias(rec_name),
+    )
+    return keys.withColumnRenamed(row_key, idx_name).join(recs, on=idx_name)
+
+
 def keyed_side(
     df: DataFrame,
     index: BaseIndex,
@@ -95,14 +113,9 @@ def keyed_side(
     idx_name: str,
     rec_name: str,
 ) -> DataFrame:
-    """(idx, BLOCK_KEY, rec struct) for one side. Only ``needed_cols``
-    are carried through the shuffle (column pruning by construction)."""
+    """(idx, BLOCK_KEY, rec struct) for one side."""
     keys = index.key_df(df, row_key)
-    recs = df.select(
-        F.col(row_key).alias(idx_name),
-        F.struct(*[F.col(c).alias(c) for c in needed_cols]).alias(rec_name),
-    )
-    return keys.withColumnRenamed(row_key, idx_name).join(recs, on=idx_name)
+    return keyed_side_from_keys(df, keys, row_key, needed_cols, idx_name, rec_name)
 
 
 def block_statistics(side: DataFrame, dedup: bool) -> DataFrame:
@@ -318,12 +331,20 @@ def candidate_pairs(
     cfg = cfg or PairingConfig()
     spark = dfa.sparkSession
     dedup = dfb is None
-    if not dedup and getattr(index, "dedup_only", False):
-        raise ValueError(
-            f"{type(index).__name__} keys are only comparable within one "
-            "dataset (global sort ranks); it cannot be used in match mode"
+    pair_keys = None
+    if not dedup:
+        pair_keys = index.key_df_pair(dfa, dfb, row_key)
+        if pair_keys is None and getattr(index, "dedup_only", False):
+            raise ValueError(
+                f"{type(index).__name__} keys are only comparable within one "
+                "dataset (global sort ranks); it cannot be used in match mode"
+            )
+    if pair_keys is not None:
+        side_a = keyed_side_from_keys(
+            dfa, pair_keys[0], row_key, needed_cols, "idx", "rec"
         )
-    side_a = keyed_side(dfa, index, row_key, needed_cols, "idx", "rec")
+    else:
+        side_a = keyed_side(dfa, index, row_key, needed_cols, "idx", "rec")
 
     if dedup:
         hot = _hot_blocks(side_a, cfg) if cfg.salt_enabled else []
@@ -335,7 +356,12 @@ def candidate_pairs(
                 _dedup_pairs_salted(side_a, hot, spark, cfg)
             )
     else:
-        side_b = keyed_side(dfb, index, row_key, needed_cols, "idx", "rec")
+        if pair_keys is not None:
+            side_b = keyed_side_from_keys(
+                dfb, pair_keys[1], row_key, needed_cols, "idx", "rec"
+            )
+        else:
+            side_b = keyed_side(dfb, index, row_key, needed_cols, "idx", "rec")
         if cfg.salt_enabled:
             ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("na"))
             cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("nb"))

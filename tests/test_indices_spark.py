@@ -186,15 +186,56 @@ class TestSortedNeighborhood:
         got = self._pairs(df, SortedNeighborhoodIndex("val", window=3))
         assert got == {(0, 2)}
 
-    def test_match_mode_rejected(self, spark):
+    def test_match_mode_tagged_union(self, spark):
+        """Match mode (Hernández-Stolfo linkage SNI): rank the tagged
+        union of A and B once; a-b become candidates iff their merged
+        sort positions differ by < window. Brute-force cross-check."""
+        import random
+
         from datamatch_spark import SortedNeighborhoodIndex
         from datamatch_spark.pairing import candidate_pairs
 
-        df = spark.createDataFrame([(0, "a")], "row_key long, val string")
+        rnd = random.Random(11)
+        rows_a = [(i, rnd.randint(0, 25)) for i in range(40)]
+        rows_b = [(100 + i, rnd.randint(0, 25)) for i in range(35)]
+        dfa = spark.createDataFrame(rows_a, "row_key long, val long")
+        dfb = spark.createDataFrame(rows_b, "row_key long, val long")
+        for w in (2, 5):
+            got = {
+                (r["idx_a"], r["idx_b"])
+                for r in candidate_pairs(
+                    dfa, SortedNeighborhoodIndex("val", window=w),
+                    "row_key", [], dfb=dfb,
+                ).collect()
+            }
+            union = [(k, v, 0) for k, v in rows_a] + [
+                (k, v, 1) for k, v in rows_b
+            ]
+            order = [
+                (k, s)
+                for k, v, s in sorted(union, key=lambda r: (r[1], r[2], r[0]))
+            ]
+            want = set()
+            for i in range(len(order)):
+                for j in range(i + 1, min(i + w, len(order))):
+                    (ka, sa), (kb, sb) = order[i], order[j]
+                    if sa == 0 and sb == 1:
+                        want.add((ka, kb))
+                    elif sa == 1 and sb == 0:
+                        want.add((kb, ka))
+            assert got == want, (w, len(got), len(want))
+
+    def test_match_mode_nested_in_multiindex_rejected(self, spark):
+        """Per-dataset SNI ranks are incomparable across datasets, so a
+        match-mode MultiIndex containing an SNI must raise (there is no
+        joint two-dataset form for the composition)."""
+        from datamatch_spark import ColumnsIndex, MultiIndex, SortedNeighborhoodIndex
+        from datamatch_spark.pairing import candidate_pairs
+
+        df = spark.createDataFrame([(0, "a", 1)], "row_key long, val string, n long")
+        idx = MultiIndex([SortedNeighborhoodIndex("n"), ColumnsIndex("val")])
         with pytest.raises(ValueError, match="match mode"):
-            candidate_pairs(
-                df, SortedNeighborhoodIndex("val"), "row_key", [], dfb=df
-            )
+            candidate_pairs(df, idx, "row_key", [], dfb=df)
 
     def test_window_lt_2_rejected(self):
         from datamatch_spark import SortedNeighborhoodIndex
