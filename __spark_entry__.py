@@ -44,6 +44,33 @@ def q_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_statistics(side, dedup=True).select("block_key", "n_rows", "n_pairs")
 
 
+def q_block_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matcher's metrics-sink path end-to-end (north rule:
+    per-partition lineage + per-block pair counts written alongside
+    results): run a ThresholdMatcher with a MetricsSink, then read the
+    per-block table BACK from its parquet sink and oracle it against
+    the plain-SQL block statistics."""
+    import tempfile
+
+    from datamatch_spark import AbsoluteNumericalSimilarity, ThresholdMatcher
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.metrics import MetricsSink
+
+    docs = _docs(spark, sf_dir)
+    sink = MetricsSink(spark, tempfile.mkdtemp(prefix="dm_metrics_"))
+    m = ThresholdMatcher(
+        ColumnsIndex(["lang", "source"]),
+        {"n_chars": AbsoluteNumericalSimilarity(50)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+        defer=True,
+        metrics_sink=sink,
+    )
+    m.scored_pairs.count()  # materialize -> sink writes
+    return sink.blocks().select("block_key", "n_rows", "n_pairs")
+
+
 def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup candidate-pair generation (§2.3 DeduplicatePairer)."""
     from datamatch_spark.indices import ColumnsIndex
@@ -825,6 +852,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": q_block_stats,
+        "block_metrics": q_block_metrics,
         "candidate_pairs": q_candidate_pairs,
         "absnum_scored_pairs": q_absnum_scored_pairs,
         "relnum_scored_pairs": q_relnum_scored_pairs,
@@ -875,6 +903,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "block_stats": f"""
+            SELECT 's:' || lang || chr(31) || 's:' || source AS block_key,
+                   count(*) AS n_rows,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs
+            FROM documents GROUP BY 1
+        """,
+        "block_metrics": """
             SELECT 's:' || lang || chr(31) || 's:' || source AS block_key,
                    count(*) AS n_rows,
                    CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs

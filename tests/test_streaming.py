@@ -200,3 +200,50 @@ def test_streaming_near_dup_unique_pairs(spark, tmp_path):
     got = [(r["idx_a"], r["idx_b"]) for r in spark.read.parquet(sink).collect()]
     assert len(got) == len(set(got)), f"duplicate emissions: {got}"
     assert (0, 1) in got and (2, 3) in got
+
+
+def test_streaming_near_dup_bucket_cap_evicts_oldest(spark, tmp_path):
+    """max_bucket_docs under hot-bucket pressure: the per-bucket state
+    keeps only the NEWEST `cap` docs (prior-state entries precede
+    current-trigger appends, so eviction is oldest-first), and the
+    emitted pair list stays duplicate-free across triggers."""
+    from datamatch_spark.streaming import streaming_near_dup_pairs
+
+    text = " ".join(f"w{j}" for j in range(30))  # one identical text
+    src = tmp_path / "in_cap"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_cap")
+    sink = str(tmp_path / "out_cap")
+    schema = "doc_id long, text string"
+
+    def run_batch(ids):
+        spark.createDataFrame([(i, text) for i in ids], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        pairs = streaming_near_dup_pairs(
+            stream, "doc_id", "text", n=2, n_perm=64, bands=8,
+            threshold=0.5, state_ttl_ms=None, max_bucket_docs=4,
+            unique_pairs=True,
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch([0, 1])          # state: [0, 1]
+    run_batch([2, 3, 4, 5])    # state: [0..5] -> cap 4 -> [2, 3, 4, 5]
+    run_batch([100])           # pairs only with the 4 retained docs
+    got = [
+        (r["idx_a"], r["idx_b"]) for r in spark.read.parquet(sink).collect()
+    ]
+    assert len(got) == len(set(got)), f"duplicate emissions: {got}"
+    gs = set(got)
+    assert (0, 1) in gs  # pre-eviction pair from trigger 1
+    assert {(i, 100) for i in (2, 3, 4, 5)} <= gs
+    assert (0, 100) not in gs and (1, 100) not in gs  # evicted oldest
