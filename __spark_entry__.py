@@ -721,6 +721,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("keep", F.col("keep").cast("boolean"))
 
 
+def q_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in the BLOCKED (multi-cell) regime users actually run:
+    4 fixed centroids (the embeddings of vec_id 0-3), cell = argmax
+    cosine, near-dup graph within cells only, CC, min-id
+    representative. With centroids pinned, the whole pipeline is
+    exactly SQL-reproducible including the cell assignment."""
+    from datamatch_spark.extras.simsearch import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    cent = [
+        list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(emb, threshold=0.4, centroids=cent).withColumn(
+        "keep", F.col("keep").cast("boolean")
+    )
+
+
 def q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash near-dedup groups (rows-only: banding recall
     is hash-dependent; the pair stage's exact-Jaccard verification and
@@ -891,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_cells": q_semantic_dedup_cells,
         "minhash_groups": q_minhash_groups,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -977,6 +996,42 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.component, e.vec_id) AS group_id,
                    COALESCE(c.component, e.vec_id) = e.vec_id AS keep
             FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+        """,
+        "semantic_dedup_cells": """
+            WITH RECURSIVE c AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+              FROM embeddings WHERE vec_id < 4
+            ), scored AS (
+              SELECT e.vec_id, c.cid,
+                     list_cosine_similarity(e.embedding::DOUBLE[], c.cemb) AS s
+              FROM embeddings e CROSS JOIN c
+            ), assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid ASC) AS rn
+                FROM scored) WHERE rn = 1
+            ), p AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM embeddings a
+              JOIN assign aa ON aa.vec_id = a.vec_id
+              JOIN embeddings b ON a.vec_id < b.vec_id
+              JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cid = aa.cid
+              WHERE list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ), edges AS (
+              SELECT src, dst FROM p UNION SELECT dst, src FROM p
+            ), reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+            ), comp AS (
+              SELECT node, min(r) AS component FROM reach GROUP BY node
+            )
+            SELECT e.vec_id,
+                   COALESCE(c2.component, e.vec_id) AS group_id,
+                   COALESCE(c2.component, e.vec_id) = e.vec_id AS keep
+            FROM embeddings e LEFT JOIN comp c2 ON c2.node = e.vec_id
         """,
         "cc_components": """
             WITH RECURSIVE pairs AS (

@@ -564,6 +564,7 @@ def semantic_dedup(
     sample_size: int = 20_000,
     iters: int = 8,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells over L2-normalized embeddings →
@@ -581,6 +582,11 @@ def semantic_dedup(
     dropped before any pair shuffle), and the hybrid driver-UF /
     large-star connected-components loop.
 
+    ``centroids``: precomputed cell centroids (2-D array-like)
+    bypass quantizer training — for recurring runs over a stable
+    corpus (train once, reuse) and for external verification (cell
+    assignment becomes a pure argmax against known vectors).
+
     Scale contract: within-cell pairing is O(Σ n_cell²) — size
     ``n_cells`` so cells stay bounded (SemDeDup uses ~10k cells at 10⁸
     docs). Near-dups straddling a cell boundary are missed (standard
@@ -589,7 +595,17 @@ def semantic_dedup(
     """
     from ..clustering import connected_components
 
-    C = _train_centroids(df, vec_col, n_cells, sample_size, iters, seed)
+    if centroids is not None:
+        # precomputed cells: skips quantizer training AND makes the
+        # blocked (multi-cell) regime exactly reproducible by an
+        # external oracle — cell assignment is a pure argmax against
+        # the given vectors; n_cells is ignored (= len(centroids))
+        C = np.asarray(centroids, dtype=np.float64)
+        if C.ndim != 2 or C.shape[0] < 1:
+            raise ValueError("centroids must be a non-empty 2-D array-like")
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    else:
+        C = _train_centroids(df, vec_col, n_cells, sample_size, iters, seed)
     cells = _attach_cells(df, C, 1, id_col, vec_col, "__id", "__v")
     grouped = cells.select(
         F.col("__cells")[0].alias("__grp"), F.col("__id"), F.col("__v")

@@ -449,3 +449,38 @@ def test_auto_bands_recall_at_threshold():
         hi = min(1.0, threshold + 0.15)
         p_hi = 1.0 - (1.0 - hi ** r) ** b
         assert p_hi >= 0.95, (n_perm, threshold, b, p_hi)
+
+
+def test_semantic_dedup_fixed_centroids(spark):
+    """centroids= bypasses quantizer training and reproduces the
+    brute-force blocked computation: near-dups in the same cell group
+    together; near-dups straddling cells are missed (the documented
+    SemDeDup trade-off)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    c0 = np.array([1.0, 0.0, 0.0, 0.0])
+    c1 = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = []
+    # pairs 0/1 and 2/3 near-dup inside cells 0 and 1 respectively;
+    # 4 sits alone in cell 0
+    for i, (base, eps) in enumerate(
+        [(c0, 0.0), (c0, 0.01), (c1, 0.0), (c1, 0.01), (c0, 0.4)]
+    ):
+        v = base + eps * rng.rand(4)
+        if i == 4:
+            v = base + np.array([0.0, 0.9, 0.0, 0.0])  # between cells
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["group_id"], r["keep"])
+        for r in S.semantic_dedup(
+            df, threshold=0.99, centroids=[list(c0), list(c1)]
+        ).collect()
+    }
+    assert got[0] == (0, True) and got[1] == (0, False)
+    assert got[2] == (2, True) and got[3] == (2, False)
+    assert got[4] == (4, True)
+
+    with pytest.raises(ValueError, match="centroids"):
+        S.semantic_dedup(df, centroids=[]).collect()
