@@ -410,6 +410,51 @@ def main():
     t_txt, n_txt = bench_text(spark, sf_dir, sf)
     queries["text_pipeline"] = round(t_txt, 3)
 
+    # ---- sf1 section (VERDICT r3 #6): the same core pipeline at a
+    # 10x data scale, in the same driver-conditions run, so the
+    # recorded bench carries both scale factors. Per-unit-work
+    # throughput ratios >= 0.5 meet the "no query > 2x off the
+    # sf0.1-extrapolated wall" bar. Failure-isolated and env-gated
+    # (SPARK_GRAFT_SF1=0 to skip) so the headline line always prints.
+    sf1 = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf < 1.0:
+        try:
+            sf1_q = {}
+            t1_er, n1_pairs, m1 = bench_er_dedup(spark, 1.0)
+            sf1_q["er_dedup"] = round(t1_er, 3)
+            t1_cc, n1_members = bench_cc_cluster(spark, m1)
+            sf1_q["cc_cluster"] = round(t1_cc, 3)
+            _clear_rdd_cache()
+            t1_sw, n1_sw = bench_er_swap(spark, 1.0)
+            sf1_q["er_swap"] = round(t1_sw, 3)
+            _clear_rdd_cache()
+            t1_mh, n1_mh = bench_minhash(spark, sf_dir, 1.0)
+            sf1_q["minhash_dedup"] = round(t1_mh, 3)
+            _clear_rdd_cache()
+            sf1 = {
+                "sf": 1.0,
+                "queries": sf1_q,
+                "pairs_scored": n1_pairs,
+                "pairs_scored_per_sec": round(n1_pairs / t1_er, 1),
+                "cluster_members": n1_members,
+                "swap_pairs": n1_sw,
+                "minhash_pairs": n1_mh,
+                # (work/s at sf1) / (work/s at the base sf): 1.0 means
+                # perfectly scale-proportional wall clock
+                "throughput_ratio": {
+                    "er_dedup": round((n1_pairs / t1_er) / (n_pairs / t_er), 3),
+                    "cc_cluster": round(
+                        (n1_members / t1_cc) / (n_members / t_cc), 3
+                    ),
+                    "er_swap": round((n1_sw / t1_sw) / (n_sw / t_sw), 3),
+                    "minhash_dedup": round(
+                        (n1_mh / t1_mh) / (n_mh / t_mh), 3
+                    ) if n_mh and n1_mh else None,
+                },
+            }
+        except Exception as e:  # pragma: no cover - defensive
+            sf1 = {"error": f"{type(e).__name__}: {e}"}
+
     total = sum(queries.values())
     result = {
         "metric": "total_bench_seconds",
@@ -429,6 +474,8 @@ def main():
         "semantic_kept": n_sd,
         "text_rows": n_txt,
     }
+    if sf1 is not None:
+        result["sf1"] = sf1
     print(json.dumps(result))
     return 0
 

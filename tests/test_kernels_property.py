@@ -9,7 +9,8 @@ from hypothesis import strategies as st
 
 from datamatch_spark.kernels import jaro_winkler_batch, lev_ratio_batch
 
-ALPHA = "abcde é中"  # small alphabet -> lots of collisions/ties
+ALPHA = "abcde é中𝕊"  # small alphabet -> collisions/ties; spans the
+# uint8 (ASCII) / uint16 (BMP) / uint32 (astral 𝕊) encode paths
 
 
 def _scalar_lev_ratio(a: str, b: str) -> float:
