@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Same-day hardware-ceiling probes for the executor-scaling number.
+
+The er_dedup kernels stream (rows × maxlen) code matrices, so their
+multi-worker scaling is bounded by the box's shared DRAM bandwidth,
+not by the engine. This script measures, pinned exactly like the
+scaling bench (taskset 0-7 vs 0-31):
+
+* aggregate memcpy bandwidth, one process per core, 8 vs 32 cores —
+  the bandwidth ceiling an 8->32 scale-up can possibly reach;
+* cache-resident pure-CPU throughput (small-buffer xor loop), 8 vs 32
+  — what the vCPUs themselves scale to when bandwidth is off the
+  table.
+
+Prints one JSON line; quote its `memcpy_ceiling_eff` next to any
+executor-scaling efficiency measured the same session (host
+noisy-neighbor variance is ±40%, so cross-day comparisons mislead).
+
+Usage: python scripts/ceiling_probe.py [--seconds 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_WORKER = r"""
+import sys, time
+import numpy as np
+mode, seconds = sys.argv[1], float(sys.argv[2])
+if mode == "memcpy":
+    src = np.empty(64 << 20, dtype=np.uint8)  # 64 MB >> LLC
+    dst = np.empty_like(src)
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        np.copyto(dst, src)
+        n += 1
+    el = time.perf_counter() - t0
+    print((n * src.nbytes * 2) / el)  # read+write bytes/sec
+else:
+    buf = np.arange(1 << 14, dtype=np.uint64)  # 128 KB, cache-resident
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        buf ^= np.uint64(0x9E3779B97F4A7C15)
+        n += buf.size
+    el = time.perf_counter() - t0
+    print(n / el)  # ops/sec
+"""
+
+
+def run_level(mode: str, cores: int, seconds: float) -> float:
+    procs = []
+    for c in range(cores):
+        procs.append(
+            subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable, "-c", _WORKER,
+                 mode, str(seconds)],
+                stdout=subprocess.PIPE, text=True,
+            )
+        )
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate()
+        total += float(out.strip().splitlines()[-1])
+    return total
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=3.0)
+    args = ap.parse_args()
+    out = {}
+    for mode in ("memcpy", "cpu"):
+        lo = run_level(mode, 8, args.seconds)
+        hi = run_level(mode, 32, args.seconds)
+        out[mode] = {
+            "8_cores": round(lo / 1e9, 2),
+            "32_cores": round(hi / 1e9, 2),
+            "unit": "GB/s" if mode == "memcpy" else "Gops/s",
+            "ratio_8_to_32": round(hi / lo, 3),
+            "ceiling_eff": round(hi / lo / 4.0, 3),
+        }
+    out["memcpy_ceiling_eff"] = out["memcpy"]["ceiling_eff"]
+    out["cpu_ceiling_eff"] = out["cpu"]["ceiling_eff"]
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

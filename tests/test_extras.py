@@ -420,35 +420,41 @@ def test_minhash_dedup_groups_planted(spark):
 
 
 def test_auto_bands_selection():
-    """auto_bands picks the smallest divisor whose S-curve midpoint is
-    at/under the threshold (recall protected, candidate flood
-    minimized), and raises — never silently degrades to one band —
-    when no divisor qualifies."""
-    assert D.auto_bands(64, 0.5) == 16   # midpoint(16,4) = 0.5
-    assert D.auto_bands(64, 0.9) == 8    # midpoint(8,8) ~= 0.77
-    assert D.auto_bands(63, 0.7) == 21   # odd n_perm: divisors 3,7,9,21
+    """auto_bands minimizes the weighted S-curve FP/FN error over the
+    divisors of n_perm (MMDS §3.4), and raises — never silently
+    degrades to one band — when n_perm has no usable divisor."""
+    assert D.auto_bands(64, 0.5) == 16
+    assert D.auto_bands(64, 0.7) == 8
+    assert D.auto_bands(64, 0.9) == 4   # NOT 8: over-banding floods verify
+    assert D.auto_bands(63, 0.7) == 9   # odd n_perm: divisors 3,7,9,21
     with pytest.raises(ValueError, match="no usable band count"):
         D.auto_bands(61, 0.7)  # prime n_perm
-    with pytest.raises(ValueError, match="no usable band count"):
-        D.auto_bands(4, 0.1)  # threshold below the reachable midpoint
 
 
-def test_auto_bands_recall_at_threshold():
-    """The selected banding keeps candidate probability high for pairs
-    AT the threshold — the property the old power-of-two walk (which
-    settled on bands=2 ~= exact-signature match) violated."""
-    for n_perm, threshold in [(64, 0.5), (64, 0.7), (64, 0.9), (128, 0.8)]:
-        b = D.auto_bands(n_perm, threshold)
+def test_auto_bands_is_error_optimal():
+    """The chosen band count has minimal weighted error among ALL
+    usable divisors (independent re-integration on a different grid),
+    and raising fn_weight never decreases the band count (more bands =
+    more recall)."""
+    import numpy as np
+
+    def err(n_perm, b, t, wfp, wfn):
         r = n_perm // b
-        # midpoint <= threshold guarantees P(candidate) at s=threshold
-        # of at least 1-(1-1/b)^b >= 1-1/e; the old walk's bands=2
-        # choice gave e.g. 2e-5 at (64, 0.7)
-        p_cand = 1.0 - (1.0 - threshold ** r) ** b
-        assert p_cand >= 0.6, (n_perm, threshold, b, p_cand)
-        # and well above threshold (exact-dup end) recall is ~certain
-        hi = min(1.0, threshold + 0.15)
-        p_hi = 1.0 - (1.0 - hi ** r) ** b
-        assert p_hi >= 0.95, (n_perm, threshold, b, p_hi)
+        s = np.linspace(0.0, 1.0, 2001)
+        p = 1.0 - (1.0 - s**r) ** b
+        fp = np.trapz(p[s < t], s[s < t])
+        fn = np.trapz(1.0 - p[s >= t], s[s >= t])
+        return wfp * fp + wfn * fn
+
+    for n_perm, t in [(64, 0.5), (64, 0.8), (64, 0.9), (128, 0.8), (63, 0.7)]:
+        b = D.auto_bands(n_perm, t)
+        divisors = [x for x in range(2, n_perm // 2 + 1) if n_perm % x == 0]
+        best = min(divisors, key=lambda x: err(n_perm, x, t, 0.5, 0.5))
+        assert b == best, (n_perm, t, b, best)
+    for t in (0.5, 0.7, 0.9):
+        balanced = D.auto_bands(64, t)
+        recallish = D.auto_bands(64, t, fp_weight=0.1, fn_weight=0.9)
+        assert recallish >= balanced
 
 
 def test_semantic_dedup_fixed_centroids(spark):
