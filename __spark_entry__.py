@@ -447,6 +447,41 @@ def q_sample_pairs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_swap_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swap variator max-over-variants with PURE-NUMERIC similarities
+    (§2.7): exactly SQL-expressible, so the variator semantics — max
+    RMS score over the valid variant combos, swap skipped when the two
+    values are equal — get a hard oracle (the JW-based swap query stays
+    rows-only). Uses the shared-similarity permutation identity: with
+    one similarity for both fields, combo(a-swapped, b-plain) equals
+    combo(a-plain, b-swapped) and combo(both) equals combo(none), so
+    the oracle needs only greatest(c00, c01) under the validity
+    guard."""
+    from datamatch_spark import (
+        AbsoluteNumericalSimilarity,
+        ColumnsIndex,
+        Swap,
+        ThresholdMatcher,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("p", F.col("n_chars").cast("double"))
+        .withColumn("q", ((F.col("doc_id") * 7) % 500).cast("double"))
+    )
+    m = ThresholdMatcher(
+        ColumnsIndex("lang"),
+        {"p": AbsoluteNumericalSimilarity(60), "q": AbsoluteNumericalSimilarity(60)},
+        docs,
+        row_key="doc_id",
+        validate=False,
+        variator=Swap("p", "q"),
+    )
+    return m.get_index_pairs_within_thresholds(0.7, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
 def q_date_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DateSimilarity over orders (§2.5; rows-only — stage 3 uses the
     indel-ratio kernel, which DuckDB SQL cannot reproduce)."""
@@ -891,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,
         "multiindex_and": q_multiindex_and,
+        "swap_numeric": q_swap_numeric,
         "date_scored_pairs": q_date_scored_pairs,
         "date_scored_pairs_sql": q_date_scored_pairs_sql,
         "decision": q_decision,
@@ -1032,6 +1068,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c2.component, e.vec_id) AS group_id,
                    COALESCE(c2.component, e.vec_id) = e.vec_id AS keep
             FROM embeddings e LEFT JOIN comp c2 ON c2.node = e.vec_id
+        """,
+        "swap_numeric": """
+            WITH d AS (
+              SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS p,
+                     CAST((doc_id * 7) % 500 AS DOUBLE) AS q
+              FROM documents
+            ), sims AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     a.p AS ap, a.q AS aq, b.p AS bp, b.q AS bq,
+                     CASE WHEN abs(a.p-b.p) < 60 THEN 1 - abs(a.p-b.p)/60 ELSE 0 END AS s_pp,
+                     CASE WHEN abs(a.q-b.q) < 60 THEN 1 - abs(a.q-b.q)/60 ELSE 0 END AS s_qq,
+                     CASE WHEN abs(a.p-b.q) < 60 THEN 1 - abs(a.p-b.q)/60 ELSE 0 END AS s_pq,
+                     CASE WHEN abs(a.q-b.p) < 60 THEN 1 - abs(a.q-b.p)/60 ELSE 0 END AS s_qp
+              FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ), scored AS (
+              SELECT idx_a, idx_b,
+                     CASE WHEN ap <> aq OR bp <> bq
+                          THEN greatest(sqrt((s_pp*s_pp + s_qq*s_qq)/2),
+                                        sqrt((s_pq*s_pq + s_qp*s_qp)/2))
+                          ELSE sqrt((s_pp*s_pp + s_qq*s_qq)/2) END AS sc
+              FROM sims
+            )
+            SELECT idx_a, idx_b, round(sc, 6) AS sim_score
+            FROM scored WHERE sc >= 0.7 AND sc <= 1.0
         """,
         "cc_components": """
             WITH RECURSIVE pairs AS (
