@@ -149,6 +149,48 @@ def main():
         )
     )
 
+    # 6. match-mode sorted-neighborhood: tagged-union rank, cross-side pairs
+    from datamatch_spark import SortedNeighborhoodIndex
+
+    dfa = docs.where(F.col("doc_id") % 40 < 20)
+    dfb = docs.where(F.col("doc_id") % 40 >= 20)
+    sni_pairs = candidate_pairs(
+        dfa, SortedNeighborhoodIndex(["n_chars"], window=5), "doc_id", [],
+        dfb=dfb,
+    )
+    sections.append(
+        (
+            "Match-mode sorted-neighborhood pairing (tagged-union rank)",
+            "What to check: ONE RangePartitioning exchange (global_rank's "
+            "repartitionByRange over the union — rows never funnel into a "
+            "single-task global window), the rank pass reading the "
+            "localCheckpoint, and the window-bucket pair join running as a "
+            "hash join on the bucket key like any equality index; no "
+            "cartesian product, no full-frame Window without partitioning.",
+            formatted(sni_pairs),
+        )
+    )
+
+    # 7. QGramIndex with the stop-gram cap: pruning stays broadcast-side
+    from datamatch_spark import QGramIndex
+
+    qg_pairs = candidate_pairs(
+        docs.select("doc_id", F.split("text", " ").getItem(0).alias("w0")),
+        QGramIndex("w0", q=3, max_df=30),
+        "doc_id",
+        [],
+    )
+    sections.append(
+        (
+            "Q-gram pairing with the max_df stop-gram cap",
+            "What to check: the hot-gram exclusion is a BroadcastHashJoin "
+            "LeftAnti against the (small by construction) over-cap gram "
+            "set — the document-frequency aggregation never shuffles the "
+            "full key frame twice, and no IN-list literal appears.",
+            formatted(qg_pairs),
+        )
+    )
+
     with open(OUT, "w") as f:
         f.write(
             "# PLANS — physical plans of the key operators\n\n"
