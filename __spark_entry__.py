@@ -343,6 +343,28 @@ def q_phonetic_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("idx_a", "idx_b")
 
 
+def q_qgram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-evaluation metrics for the CAPPED QGramIndex against
+    the same-first-token truth rule: quantifies that the max_df
+    stop-gram cap buys its reduction ratio at ZERO pairs-completeness
+    cost on this corpus (same-token pairs always share a non-stop
+    gram; the dropped 'mer' only carried cross-token customer/merge
+    noise)."""
+    from datamatch_spark.indices import QGramIndex
+    from datamatch_spark.metrics import blocking_quality
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w0", F.split(F.col("text"), " ").getItem(0)
+    )
+    a = docs.select(F.col("doc_id").alias("idx_a"), F.col("w0").alias("__wa"))
+    b = docs.select(F.col("doc_id").alias("idx_b"), F.col("w0").alias("__wb"))
+    truth = a.join(
+        b,
+        (F.col("__wa") == F.col("__wb")) & (F.col("idx_a") < F.col("idx_b")),
+    ).select("idx_a", "idx_b")
+    return blocking_quality(docs, QGramIndex("w0", q=3, max_df=30), "doc_id", truth)
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-evaluation metrics (Christen 2012 ch. 7): reduction
     ratio / pairs completeness / pairs quality of ColumnsIndex("lang")
@@ -923,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qgram_candidates": q_qgram_candidates,
         "phonetic_candidates": q_phonetic_candidates,
         "blocking_quality": q_blocking_quality,
+        "qgram_quality": q_qgram_quality,
         "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,
         "multiindex_and": q_multiindex_and,
@@ -1175,6 +1198,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
             FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
             WHERE a.gm IN (SELECT gm FROM kept)
+        """,
+        "qgram_quality": """
+            WITH k AS (
+              SELECT doc_id, lower(split_part(text, ' ', 1)) AS qk
+              FROM documents
+              WHERE text IS NOT NULL AND length(split_part(text, ' ', 1)) > 0
+            ), g AS (
+              SELECT DISTINCT doc_id, substring(qk, i, 3) AS gm
+              FROM k, UNNEST(range(1, greatest(1, length(qk) - 2) + 1)) AS t(i)
+            ), kept AS (
+              SELECT gm FROM g GROUP BY gm HAVING count(*) <= 30
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
+              FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
+              WHERE a.gm IN (SELECT gm FROM kept)
+            ), truth AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+              FROM k a JOIN k b
+                ON a.qk = b.qk AND a.doc_id < b.doc_id
+            ), nn AS (SELECT count(*) AS n_rows FROM documents),
+            cc AS (SELECT count(*) AS n_cand FROM cand),
+            mm AS (
+              SELECT count(*) AS n_truth,
+                     count(c.idx_a) AS covered
+              FROM truth t
+              LEFT JOIN cand c
+                ON c.idx_a = t.idx_a AND c.idx_b = t.idx_b
+            )
+            SELECT nn.n_rows,
+                   cc.n_cand AS n_candidates,
+                   mm.n_truth,
+                   mm.covered AS n_truth_covered,
+                   round(1.0 - cc.n_cand / (nn.n_rows * (nn.n_rows - 1) / 2.0), 6)
+                     AS reduction_ratio,
+                   round(mm.covered * 1.0 / mm.n_truth, 6) AS pairs_completeness,
+                   round(mm.covered * 1.0 / cc.n_cand, 6) AS pairs_quality
+            FROM nn, cc, mm
         """,
         "blocking_quality": """
             WITH c AS (
