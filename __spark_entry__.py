@@ -1190,14 +1190,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE text IS NOT NULL AND length(split_part(text, ' ', 1)) > 0
             ), g AS (
-              SELECT DISTINCT doc_id, substring(qk, i, 3) AS gm
+              SELECT DISTINCT doc_id, substring(qk, i, 3) AS gm,
+                     length(qk) <= 3 AS whole
               FROM k, UNNEST(range(1, greatest(1, length(qk) - 2) + 1)) AS t(i)
             ), kept AS (
               SELECT gm FROM g GROUP BY gm HAVING count(*) <= 30
+            ), g2 AS (
+              -- whole-string grams of sub-q keys are equality blocks,
+              -- exempt from the stop-gram cap (matches QGramIndex)
+              SELECT doc_id, gm FROM g
+              WHERE whole OR gm IN (SELECT gm FROM kept)
             )
             SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
-            FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
-            WHERE a.gm IN (SELECT gm FROM kept)
+            FROM g2 a JOIN g2 b ON a.gm = b.gm AND a.doc_id < b.doc_id
         """,
         "qgram_quality": """
             WITH k AS (
@@ -1205,14 +1210,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE text IS NOT NULL AND length(split_part(text, ' ', 1)) > 0
             ), g AS (
-              SELECT DISTINCT doc_id, substring(qk, i, 3) AS gm
+              SELECT DISTINCT doc_id, substring(qk, i, 3) AS gm,
+                     length(qk) <= 3 AS whole
               FROM k, UNNEST(range(1, greatest(1, length(qk) - 2) + 1)) AS t(i)
             ), kept AS (
               SELECT gm FROM g GROUP BY gm HAVING count(*) <= 30
+            ), g2 AS (
+              SELECT doc_id, gm FROM g
+              WHERE whole OR gm IN (SELECT gm FROM kept)
             ), cand AS (
               SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
-              FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
-              WHERE a.gm IN (SELECT gm FROM kept)
+              FROM g2 a JOIN g2 b ON a.gm = b.gm AND a.doc_id < b.doc_id
             ), truth AS (
               SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
               FROM k a JOIN k b

@@ -442,14 +442,17 @@ def main():
                 # (work/s at sf1) / (work/s at the base sf): 1.0 means
                 # perfectly scale-proportional wall clock
                 "throughput_ratio": {
-                    "er_dedup": round((n1_pairs / t1_er) / (n_pairs / t_er), 3),
-                    "cc_cluster": round(
-                        (n1_members / t1_cc) / (n_members / t_cc), 3
-                    ),
-                    "er_swap": round((n1_sw / t1_sw) / (n_sw / t_sw), 3),
-                    "minhash_dedup": round(
-                        (n1_mh / t1_mh) / (n_mh / t_mh), 3
-                    ) if n_mh and n1_mh else None,
+                    k: (
+                        round((hi_n / hi_t) / (lo_n / lo_t), 3)
+                        if lo_n and hi_n and lo_t and hi_t
+                        else None
+                    )
+                    for k, lo_n, lo_t, hi_n, hi_t in [
+                        ("er_dedup", n_pairs, t_er, n1_pairs, t1_er),
+                        ("cc_cluster", n_members, t_cc, n1_members, t1_cc),
+                        ("er_swap", n_sw, t_sw, n1_sw, t1_sw),
+                        ("minhash_dedup", n_mh, t_mh, n1_mh, t1_mh),
+                    ]
                 },
             }
         except Exception as e:  # pragma: no cover - defensive

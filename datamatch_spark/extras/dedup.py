@@ -304,8 +304,10 @@ def band_error(n_perm: int, bands: int, threshold: float) -> tuple[float, float]
     s = np.linspace(0.0, 1.0, 501)
     p = 1.0 - (1.0 - s**r) ** bands
     below = s < threshold
-    fp = float(np.trapz(p[below], s[below]))
-    fn = float(np.trapz(1.0 - p[~below], s[~below]))
+    # np.trapz was removed in NumPy 2.0 (renamed trapezoid)
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    fp = float(trapezoid(p[below], s[below]))
+    fn = float(trapezoid(1.0 - p[~below], s[~below]))
     return fp, fn
 
 
@@ -328,6 +330,11 @@ def auto_bands(
     one band of the full signature (the old silent fallback) demands
     an exact signature match and collapses recall to near-exact
     duplicates regardless of the requested threshold."""
+    if fp_weight < 0 or fn_weight < 0 or (fp_weight == 0 and fn_weight == 0):
+        raise ValueError(
+            "fp_weight/fn_weight must be non-negative and not both zero "
+            f"(got {fp_weight}, {fn_weight})"
+        )
     best = None
     for b in range(2, n_perm // 2 + 1):
         if n_perm % b:
@@ -383,6 +390,12 @@ def minhash_lsh_pairs(
     job skips signature computation; default is an in-memory
     localCheckpoint."""
     if bands is None:
+        if not (0.0 <= band_fn_weight <= 1.0):
+            raise ValueError(
+                f"band_fn_weight must be in [0, 1], got {band_fn_weight} "
+                "(it is the FN share of the banding error; its complement "
+                "is the FP share)"
+            )
         bands = auto_bands(
             n_perm, threshold, 1.0 - band_fn_weight, band_fn_weight
         )

@@ -289,12 +289,17 @@ class QGramIndex(BaseIndex):
     ``max(50, max_df_frac · N)`` computed without a driver round-trip
     (the floor keeps small fixtures un-pruned) — are dropped from the
     index, the standard posting-list pruning of ``ngram_jaccard_pairs``
-    (extras/dedup.py). The trade: a pair whose ONLY shared grams are
-    stop-grams is lost; typo tolerance via rare grams is untouched
-    (a stop-gram, being corpus-wide, carries no blocking information
-    anyway). Pass ``max_df=None, max_df_frac=None`` for the uncapped
-    exhaustive behavior; ``stop_grams(df, row_key)`` reports what a
-    given cap would drop, for the metrics sink.
+    (extras/dedup.py). WHOLE-STRING grams of sub-q-length keys are
+    exempt from the cap: for those rows the gram IS the key, so the
+    bucket is plain equality blocking — dropping it would silently
+    un-block frequent short keys (a hot equality block is the salted
+    join's job, not the pruner's). The trade for long keys: a pair
+    whose ONLY shared grams are stop-grams is lost; typo tolerance
+    via rare grams is untouched (a stop-gram, being corpus-wide,
+    carries no blocking information anyway). Pass ``max_df=None,
+    max_df_frac=None`` for the uncapped exhaustive behavior;
+    ``stop_grams(df, row_key)`` reports what a given cap drops, for
+    the metrics sink.
     """
 
     multi_bucket = True
@@ -321,6 +326,11 @@ class QGramIndex(BaseIndex):
         return {self._col}
 
     def _all_keys(self, df: DataFrame, row_key: str) -> DataFrame:
+        """(row_key, BLOCK_KEY, __whole): one row per distinct
+        (row, gram); ``__whole`` marks a sub-q key's whole-string gram
+        (an equality-block occurrence, exempt from the stop-gram cap)."""
+        if self._col not in df.columns:
+            raise KeyError(self._col)
         q = self._q
         src = f"lower(cast(`{self._col}` as string))"
         # sequence over 1-based gram start positions; greatest(1, ...)
@@ -330,11 +340,16 @@ class QGramIndex(BaseIndex):
             f"i -> substring({src}, i, {q}))"
         )
         return (
-            df.select(F.col(row_key), F.explode(grams).alias("__g"))
+            df.select(
+                F.col(row_key),
+                F.explode(grams).alias("__g"),
+                (F.expr(f"length({src})") <= q).alias("__whole"),
+            )
             .where(F.col("__g").isNotNull() & (F.length("__g") > 0))
             .select(
                 F.col(row_key),
                 F.concat(F.lit("q:"), _escape_seps(F.col("__g"))).alias(BLOCK_KEY),
+                F.col("__whole"),
             )
             .dropDuplicates([row_key, BLOCK_KEY])
         )
@@ -364,27 +379,32 @@ class QGramIndex(BaseIndex):
     def stop_grams(self, df: DataFrame, row_key: str) -> DataFrame:
         """(block_key, df) of the grams the configured cap drops —
         the observability half of posting-list pruning (mirror of
-        ``shingle_stats``); empty frame when uncapped."""
+        ``shingle_stats``); empty frame when uncapped. Whole-string
+        occurrences of a listed gram survive in ``key_df`` (equality
+        exemption — see class docstring)."""
         keys = self._all_keys(df, row_key)
         hot = self._hot_grams(df, keys)
         if hot is None:
             return keys.select(
-                F.col(BLOCK_KEY), F.lit(0).alias("__df")
+                F.col(BLOCK_KEY), F.lit(0).cast("long").alias("__df")
             ).limit(0)
         return hot
 
     def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
-        if self._col not in df.columns:
-            raise KeyError(self._col)
         keys = self._all_keys(df, row_key)
         hot = self._hot_grams(df, keys)
         if hot is not None:
             # hot grams are few by construction (each has > cap rows),
-            # so the anti-join side broadcasts
-            keys = keys.join(
+            # so the anti-join side broadcasts. Whole-string (sub-q
+            # key) occurrences are exempt: for them the gram IS the
+            # key, i.e. equality blocking, which pruning must never
+            # silently remove — a frequent short key is a hot BLOCK
+            # (salting's job), not a stop-gram.
+            pruned = keys.where(~F.col("__whole")).join(
                 F.broadcast(hot.select(BLOCK_KEY)), on=BLOCK_KEY, how="left_anti"
             )
-        return keys
+            keys = keys.where(F.col("__whole")).unionByName(pruned)
+        return keys.drop("__whole")
 
 
 class SortedNeighborhoodIndex(BaseIndex):

@@ -111,6 +111,17 @@ def write_xlsx(path: str, sheets: list) -> None:
     """
     if not sheets:
         raise ValueError("at least one sheet required")
+    # Excel compares sheet names case-insensitively; duplicates make a
+    # workbook it reports as corrupt and force-repairs
+    seen: dict = {}
+    for name, _c, _r in sheets:
+        key = str(name).lower()
+        if key in seen:
+            raise ValueError(
+                f"duplicate sheet name {name!r} (collides with "
+                f"{seen[key]!r}; Excel compares case-insensitively)"
+            )
+        seen[key] = name
     overrides, wb_sheets, wb_rels = [], [], []
     for i, (name, _cols, _rows) in enumerate(sheets, start=1):
         overrides.append(

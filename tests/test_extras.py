@@ -442,8 +442,9 @@ def test_auto_bands_is_error_optimal():
         r = n_perm // b
         s = np.linspace(0.0, 1.0, 2001)
         p = 1.0 - (1.0 - s**r) ** b
-        fp = np.trapz(p[s < t], s[s < t])
-        fn = np.trapz(1.0 - p[s >= t], s[s >= t])
+        trapezoid = getattr(np, "trapezoid", None) or np.trapz
+        fp = trapezoid(p[s < t], s[s < t])
+        fn = trapezoid(1.0 - p[s >= t], s[s >= t])
         return wfp * fp + wfn * fn
 
     for n_perm, t in [(64, 0.5), (64, 0.8), (64, 0.9), (128, 0.8), (63, 0.7)]:
@@ -490,3 +491,10 @@ def test_semantic_dedup_fixed_centroids(spark):
 
     with pytest.raises(ValueError, match="centroids"):
         S.semantic_dedup(df, centroids=[]).collect()
+
+
+def test_band_weight_validation(docs):
+    with pytest.raises(ValueError, match="band_fn_weight"):
+        D.minhash_lsh_pairs(docs, "doc_id", band_fn_weight=2.0)
+    with pytest.raises(ValueError, match="non-negative"):
+        D.auto_bands(64, 0.7, fp_weight=-1.0, fn_weight=2.0)

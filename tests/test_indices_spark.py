@@ -423,3 +423,34 @@ class TestQGramStopGrams:
         # uncapped index reports nothing
         none_idx = QGramIndex("name", q=3, max_df=None, max_df_frac=None)
         assert none_idx.stop_grams(df, "row_key").count() == 0
+
+    def test_frequent_short_keys_still_block_under_cap(self, spark):
+        """Whole-string grams of sub-q keys are equality blocks, exempt
+        from the stop-gram cap — frequent short keys must keep pairing
+        (they are a hot BLOCK for the salted join, not a stop-gram),
+        while a hot PROPER gram still drops."""
+        from datamatch_spark import QGramIndex
+
+        rows = [(i, "ab") for i in range(80)]            # frequent short key
+        rows += [(100 + i, f"abc{i:03d}x") for i in range(80)]  # share 'abc'...
+        df = spark.createDataFrame(rows, "row_key long, name string")
+        got = self._pairs(df, QGramIndex("name", q=3, max_df=40))
+        short_pairs = {(i, j) for i in range(80) for j in range(i + 1, 80)}
+        assert short_pairs <= got  # equality blocking survives the cap
+        # hot proper grams ('abc', 'bc0'...) dropped: long keys pair only
+        # via rare suffix grams, far below their cross product
+        long_pairs = {(a, b) for a, b in got if a >= 100}
+        assert len(long_pairs) < 500
+
+    def test_stop_grams_schema_stable(self, spark):
+        """__df is long in both the capped and uncapped branches (the
+        frames must union/append cleanly into one metrics table)."""
+        from datamatch_spark import QGramIndex
+
+        df = spark.createDataFrame([(0, "abcd")], "row_key long, name string")
+        capped = QGramIndex("name", max_df=1).stop_grams(df, "row_key")
+        uncapped = QGramIndex(
+            "name", max_df=None, max_df_frac=None
+        ).stop_grams(df, "row_key")
+        assert capped.schema["__df"].dataType == uncapped.schema["__df"].dataType
+        capped.unionByName(uncapped).collect()

@@ -36,3 +36,9 @@ def test_forbidden_sheet_names_raise(tmp_path):
     # boundary: exactly 31 chars is fine
     write_xlsx(p, [("a" * 31, ["a"], [(1,)])])
     assert _sheet_names(p) == ["a" * 31]
+
+
+def test_duplicate_sheet_names_raise(tmp_path):
+    p = str(tmp_path / "dup.xlsx")
+    with pytest.raises(ValueError, match="duplicate"):
+        write_xlsx(p, [("Results", ["a"], [(1,)]), ("results", ["a"], [(2,)])])
