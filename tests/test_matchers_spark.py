@@ -386,3 +386,31 @@ def test_print_decision_output(spark, capsys):
     assert "for threshold 0.900:" in out
     # exactly one pair scores 1.0 (rows 0-1); 2 of 3 rows = 66%
     assert "1 matched pairs (33% of A, 33% of B)" in out
+
+
+def test_match_mode_sorted_neighborhood_e2e(spark):
+    """ThresholdMatcher accepts SortedNeighborhoodIndex in match mode
+    (tagged-union ranking flows through the matcher facade, greedy 1:1
+    pruning included)."""
+    from datamatch_spark import (
+        AbsoluteNumericalSimilarity,
+        SortedNeighborhoodIndex,
+        ThresholdMatcher,
+    )
+
+    rows_a = [(i, float(10 * i)) for i in range(20)]
+    rows_b = [(100 + i, float(10 * i + 1)) for i in range(20)]
+    dfa = spark.createDataFrame(rows_a, "id long, v double")
+    dfb = spark.createDataFrame(rows_b, "id long, v double")
+    m = ThresholdMatcher(
+        SortedNeighborhoodIndex("v", window=3),
+        {"v": AbsoluteNumericalSimilarity(5)},
+        dfa,
+        dfb=dfb,
+        row_key="id",
+        validate=False,
+    )
+    got = {(r["idx_a"], r["idx_b"]) for r in m.get_index_pairs_within_thresholds(0.5, 1.0).collect()}
+    # each a=10i is adjacent to b=10i+1 in the merged sort; |diff|=1 ->
+    # score 0.8; greedy 1:1 keeps exactly the i<->i matching
+    assert got == {(i, 100 + i) for i in range(20)}
