@@ -300,6 +300,13 @@ class QGramIndex(BaseIndex):
     max_df_frac=None`` for the uncapped exhaustive behavior;
     ``stop_grams(df, row_key)`` reports what a given cap drops, for
     the metrics sink.
+
+    Plan note: the capped index evaluates the gram explode twice (once
+    under the document-frequency aggregate — whose shuffle carries only
+    (gram, count) after map-side partial aggregation — once for the
+    output keys). Deliberate: gram generation is cheap CPU, while the
+    alternative (materializing the key frame to reuse it) would turn a
+    declarative index into an IO-writing side effect per call.
     """
 
     multi_bucket = True
