@@ -160,23 +160,37 @@ def _lev_ratio_core(a: list, b: list) -> np.ndarray:
         return np.zeros(0, dtype=np.float64)
     width = max(1, max(max((len(s) for s in a), default=0), max((len(s) for s in b), default=0)))
     A, la, B, lb = _encode_pair(a, b, width)
+    # rows sorted by len(a) DESCENDING: the rows active at DP step i
+    # (i <= la) are then exactly the prefix [:k], so each step slices
+    # instead of masking — per-batch work drops from n·max(la) to
+    # Σ la, a 2-3× cut on realistically skewed length distributions.
+    # Row results are row-local, so output (scattered back through the
+    # sort order) is bit-identical to the unsorted loop.
+    order = np.argsort(-la, kind="stable")
+    A, B, la, lb = A[order], B[order], la[order], lb[order]
     J = np.arange(width)
+    mask_b = J < lb[:, None]  # invariant across i — hoisted
     # LCS values are bounded by width, so int16 halves DP-row traffic
     # whenever strings are under ~30k chars (always, after max_len)
     dp_dt = np.int16 if width <= 30000 else np.int32
     prev = np.zeros((n, width + 1), dtype=dp_dt)
-    max_la = int(la.max()) if n else 0
+    max_la = int(la[0]) if n else 0
+    neg_la = -la
     for i in range(1, max_la + 1):
-        eq = (B == A[:, i - 1][:, None]) & (J < lb[:, None])
-        cand = np.maximum(prev[:, :width] + eq, prev[:, 1:])
-        cur = np.maximum.accumulate(cand, axis=1)
-        active = i <= la
-        prev[:, 1:] = np.where(active[:, None], cur, prev[:, 1:])
+        k = int(np.searchsorted(neg_la, -i, side="right"))  # rows with la >= i
+        eq = B[:k] == A[:k, i - 1][:, None]
+        eq &= mask_b[:k]
+        cand = prev[:k, :width] + eq
+        np.maximum(cand, prev[:k, 1:], out=cand)
+        np.maximum.accumulate(cand, axis=1, out=cand)
+        prev[:k, 1:] = cand
     lcs = prev[np.arange(n), lb]
     lensum = la + lb
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(lensum > 0, 2.0 * lcs / lensum, 1.0)
-    return ratio.astype(np.float64)
+    out = np.empty(n, dtype=np.float64)
+    out[order] = ratio
+    return out
 
 
 def jaro_winkler_batch(a, b, prefix_weight: float = 0.1, max_len: int | None = None) -> np.ndarray:
@@ -206,6 +220,16 @@ def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
         return np.zeros(0, dtype=np.float64)
     width = max(1, max(max((len(s) for s in a), default=0), max((len(s) for s in b), default=0))) + 1
     A, la, B, lb = _encode_pair(a, b, width)
+    # rows sorted DESCENDING by the step bound min(L2, L1+halflen) —
+    # the rows active at match step i form the prefix [:k], so the
+    # loop slices instead of masking (see _lev_ratio_core); results
+    # scatter back through the permutation, bit-identical.
+    _L1 = np.minimum(la, lb)
+    _L2 = np.maximum(la, lb)
+    perm = np.argsort(
+        -np.minimum(_L2, _L1 + (_L1 + 1) // 2), kind="stable"
+    )
+    A, B, la, lb = A[perm], B[perm], la[perm], lb[perm]
     swap = la > lb
     S1 = np.where(swap[:, None], B, A)
     S2 = np.where(swap[:, None], A, B)
@@ -219,28 +243,28 @@ def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
     matched = np.zeros((n, width), dtype=bool)
     order = np.zeros((n, width), dtype=ord_dt)
     m = np.zeros(n, dtype=ord_dt)
+    # active at step i ⟺ (i < L2) & (i < L1+halflen) ⟺ i < step bound,
+    # and rows are sorted descending by that bound (perm above), so the
+    # active set is always the prefix [:k]
+    neg_bound = -np.minimum(L2, L1 + halflen)
     max_i = int(L2.max()) if n else 0
-    rows_all = np.arange(n)
     for i in range(max_i):
-        active = (i < L2) & (i < L1 + halflen)
-        if not active.any():
-            continue
-        phase1 = i < halflen
-        lo = np.where(phase1, 0, i - halflen)
-        hi = np.where(phase1, np.minimum(i + halflen, L1 - 1), L1 - 1)
-        c = S2[:, i]
-        elig = (
-            (S1 == c[:, None])
-            & ~matched
-            & (J >= lo[:, None])
-            & (J <= hi[:, None])
-            & active[:, None]
-        )
+        k = int(np.searchsorted(neg_bound, -i, side="right"))
+        if k == 0:
+            break
+        phase1 = i < halflen[:k]
+        lo = np.where(phase1, 0, i - halflen[:k])
+        hi = np.where(phase1, np.minimum(i + halflen[:k], L1[:k] - 1), L1[:k] - 1)
+        c = S2[:k, i]
+        elig = S1[:k] == c[:, None]
+        elig &= ~matched[:k]
+        elig &= J >= lo[:, None]
+        elig &= J <= hi[:, None]
         has = elig.any(axis=1)
         if not has.any():
             continue
         fj = elig.argmax(axis=1)
-        rows = rows_all[has]
+        rows = np.nonzero(has)[0]
         matched[rows, fj[rows]] = True
         m[rows] += 1
         order[rows, fj[rows]] = m[rows]
@@ -260,7 +284,9 @@ def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
     jw = np.minimum(1.0, jw)
     both_empty = (la == 0) & (lb == 0)
     jw = np.where(both_empty, 1.0, jw)
-    return jw.astype(np.float64)
+    out = np.empty(n, dtype=np.float64)
+    out[perm] = jw
+    return out
 
 
 def lev_ratio(a: str, b: str) -> float:
