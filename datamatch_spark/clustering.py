@@ -40,12 +40,21 @@ def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Connect every strictly-larger neighbor of each center to the
-    minimum of its closed neighborhood."""
+    minimum of its closed neighborhood.
+
+    ``n_parts``: explicit width for this round's shuffles. Partitioning
+    ``sym`` by the aggregation/join key lets the groupBy and the join
+    reuse it (no extra exchange), and the final dedup repartitions by
+    its exact key set — per-round shuffle width is controlled WITHOUT
+    touching the session-global spark.sql.shuffle.partitions (which
+    would race against concurrent queries on the same session)."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    if n_parts:
+        sym = sym.repartition(n_parts, "u")
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     m = F.least(F.col("u"), F.col("mn"))
     out = (
@@ -54,22 +63,30 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .select(m.alias("u"), F.col("v").alias("v"))
         .where(F.col("u") != F.col("v"))
     )
+    if n_parts:
+        out = out.repartition(n_parts, "u", "v")
     return out.dropDuplicates(["u", "v"])
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Within each center's smaller-or-equal neighborhood, connect all
-    nodes (center included) to the neighborhood minimum."""
+    nodes (center included) to the neighborhood minimum. See
+    ``_large_star`` for the ``n_parts`` contract."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     small = sym.where(F.col("v") < F.col("u"))  # center u, smaller neighbors v
+    if n_parts:
+        small = small.repartition(n_parts, "u")
     mins = small.groupBy("u").agg(F.min("v").alias("mn"))
     withm = small.join(mins, on="u")
     out = withm.select(F.col("mn").alias("u"), F.col("v").alias("v")).unionByName(
         withm.select(F.col("mn").alias("u"), F.col("u").alias("v"))
     )
-    return out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    out = out.where(F.col("u") != F.col("v"))
+    if n_parts:
+        out = out.repartition(n_parts, "u", "v")
+    return out.dropDuplicates(["u", "v"])
 
 
 def connected_components(
@@ -130,27 +147,27 @@ def connected_components(
     # size the per-round shuffles to the edge count — after blocking
     # the graph is usually tiny relative to the pair set, and running
     # each star round at full session parallelism is pure scheduling
-    # overhead (every round is 2 shuffles × many near-empty tasks)
+    # overhead (every round is 2 shuffles × many near-empty tasks).
+    # Width is imposed via EXPLICIT repartitions inside the star
+    # rounds, never by mutating the session-global
+    # spark.sql.shuffle.partitions (which would race against
+    # concurrent queries sharing the session).
     default_par = spark.sparkContext.defaultParallelism
     n_parts = max(2, min(default_par, (sig[0] or 1) // 50_000 + 1))
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
-        if sig[0] and n_parts < default_par:
-            e = e.repartition(n_parts).localCheckpoint()
-        for _ in range(max_iter):
-            e2 = _small_star(_large_star(e)).localCheckpoint()
-            sig2 = _signature(e2)
-            e = e2
-            if sig2 == sig:
-                break
-            sig = sig2
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    star_parts = n_parts if n_parts < default_par else None
+    if sig[0] and star_parts:
+        e = e.repartition(n_parts).localCheckpoint()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e, star_parts), star_parts).localCheckpoint()
+        sig2 = _signature(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     # fixpoint: every edge is (component_root, node)
     labels = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
@@ -310,7 +327,14 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
             .localCheckpoint()
         )
     else:
-        raise RuntimeError(f"greedy_one_to_one did not converge in {max_iter} rounds")
+        raise RuntimeError(
+            f"greedy_one_to_one did not converge in {max_iter} rounds. "
+            "Worst case is one round per pair inside a block of "
+            "ALL-TIED scores (k identical records on each side need k "
+            "rounds); raise max_iter (ThresholdMatcher("
+            "one_to_one_max_iter=...)) or deduplicate exact-equal "
+            "records before matching."
+        )
     if kept is None:
         return pairs.limit(0)
     return kept.drop("__r")

@@ -81,6 +81,7 @@ class ThresholdMatcher:
         score_partitions: int | str | None = None,
         metrics_sink=None,
         keyed_tables: str | tuple[str, str] | None = None,
+        one_to_one_max_iter: int = 100,
     ) -> None:
         self._mode = MODE_DEDUP if dfb is None else MODE_MATCH
         if isinstance(keyed_tables, str):
@@ -103,6 +104,7 @@ class ThresholdMatcher:
         self._cfg = pairing_config or PairingConfig()
         self._checkpoint_dir = checkpoint_dir
         self._score_partitions = score_partitions
+        self._one_to_one_max_iter = int(one_to_one_max_iter)
         self._metrics_sink = metrics_sink
         self._scored: DataFrame | None = None
         self._n_candidate_pairs: int | None = None
@@ -147,8 +149,14 @@ class ThresholdMatcher:
         for f in self._filters:
             req |= f.required_columns()
         req |= self._variator.required_columns()
-        # per-row FuncScorer-style components see the whole record
-        if getattr(self._scorer, "_per_row", False) and not self._scorer.required_columns():
+        # FuncScorer with no declared columns sees the WHOLE record
+        # (per-row AND batch mode — the reference callback receives the
+        # full Series); pruning to one arbitrary column would silently
+        # corrupt user scores
+        if getattr(self._scorer, "wants_full_record", False) or (
+            getattr(self._scorer, "_per_row", False)
+            and not self._scorer.required_columns()
+        ):
             req |= set(self._dfa.columns)
         cols = [c for c in self._dfa.columns if c != self._row_key and c in req]
         if not cols:
@@ -199,14 +207,35 @@ class ThresholdMatcher:
             n_parts = self._score_partitions
             if n_parts == "auto":
                 n_parts = 2 * self._dfa.sparkSession.sparkContext.defaultParallelism
+            elif not isinstance(n_parts, int):
+                # repartition('64') would treat the string as a COLUMN
+                # name and die with an opaque UNRESOLVED_COLUMN
+                raise ValueError(
+                    f"score_partitions must be an int or 'auto', got "
+                    f"{n_parts!r}"
+                )
             pairs = pairs.repartition(n_parts)
         mv = self._variator.max_variants
         from .variators import Swap
 
+        from pyspark.sql import types as _T
+
+        _swap_float = type(self._variator) is Swap and any(
+            isinstance(
+                rec_schema[c].dataType, (_T.FloatType, _T.DoubleType)
+            )
+            for c in (self._variator._col_a, self._variator._col_b)
+            if c in rec_schema.fieldNames()
+        )
         swap_fusable = (
             type(self._variator) is Swap
             and callable(getattr(self._scorer, "compile_swap_max", None))
             and self._scorer.can_swap_fuse()
+            # float swap columns: Arrow->pandas turns NULL into NaN, so
+            # the fused UDF cannot reproduce eqNullSafe's NULL-vs-NaN
+            # distinction in its swap gate; the inline-combo path
+            # evaluates the gate JVM-side with exact semantics
+            and not _swap_float
         )
         if self._variator.is_noop:
             ctx = CompileCtx(df=pairs)
@@ -311,7 +340,9 @@ class ThresholdMatcher:
             if self._scorer.can_refuse:
                 scored = scored.where(F.col("sim_score").isNotNull())
             if self._mode == MODE_MATCH:
-                scored = greedy_one_to_one(scored)
+                scored = greedy_one_to_one(
+                    scored, max_iter=self._one_to_one_max_iter
+                )
                 if self._checkpoint_dir:
                     scored = self._materialize(scored, "scored_pruned")
             self._scored = scored

@@ -112,8 +112,12 @@ class SimSumScorer(BaseScorer):
         sq_terms = []
         for k, simcls in self._fields.items():
             va, vb = ctx.acol(k), ctx.bcol(k)
+            # nanvl: a NaN sim output (custom sims on NaN inputs) must
+            # contribute 0 like the batch path's nan_to_num — a NaN
+            # term would otherwise poison the whole score and sort
+            # ABOVE 1.0 (Spark NaN ordering), corrupting slices
             s = F.when(va.isNull() | vb.isNull(), F.lit(0.0)).otherwise(
-                simcls.expr(va, vb).cast("double")
+                F.nanvl(simcls.expr(va, vb).cast("double"), F.lit(0.0))
             )
             sq_terms.append(s * s)
         total = sq_terms[0]
@@ -325,9 +329,17 @@ class AbsoluteScorer(BaseScorer):
                 return F.lit(None).cast("double")
             raise KeyError(self._column)
         va, vb = ctx.acol(self._column), ctx.bcol(self._column)
-        return F.when(
-            va.isNotNull() & vb.isNotNull() & (va == vb), F.lit(self._score)
-        ).otherwise(F.lit(None).cast("double"))
+        cond = va.isNotNull() & vb.isNotNull() & (va == vb)
+        dt = ctx.record_schema[self._column].dataType
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            # Spark: NaN is not NULL and NaN = NaN is TRUE — without
+            # this guard two missing-as-NaN values (pandas-sourced
+            # float columns) would count as an exact match; the
+            # reference's pd.isnull treats NaN as missing and refuses
+            cond = cond & ~F.isnan(va) & ~F.isnan(vb)
+        return F.when(cond, F.lit(self._score)).otherwise(
+            F.lit(None).cast("double")
+        )
 
 
 class _Composite(BaseScorer):
@@ -389,28 +401,52 @@ class AlterScorer(BaseScorer):
         v = self._values
         if isinstance(v, DataFrame):
             kc, vc = v.columns[:2]
+            # a duplicated key would silently MULTIPLY candidate-pair
+            # rows through the left join (duplicate reports, double
+            # greedy keeps); the table is dimension-sized, so one tiny
+            # eager check is worth the loud error
+            dup = (
+                v.groupBy(kc).count().where(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"AlterScorer values table has duplicate keys in {kc!r}"
+                )
             return v.select(F.col(kc).alias(key_name), F.col(vc).alias(val_name))
         if isinstance(v, dict):
             items = list(v.items())
         else:  # pandas Series
             items = list(pd.Series(v).items())
+        if len({k for k, _ in items}) != len(items):
+            raise ValueError("AlterScorer values has duplicate keys")
         pdf = pd.DataFrame(items, columns=[key_name, val_name])
         return spark.createDataFrame(pdf)
 
     def compile(self, ctx: CompileCtx) -> Column:
         inner = self._scorer.compile(ctx)
-        ka, va = ctx.fresh("alterk_a"), ctx.fresh("alterv_a")
-        kb, vb = ctx.fresh("alterk_b"), ctx.fresh("alterv_b")
-        vdf = self._values_df(ctx, "k", "v")
-        ctx.df = ctx.df.join(
-            F.broadcast(vdf.select(F.col("k").alias(ka), F.col("v").alias(va))),
-            on=F.col(ctx.idx_a) == F.col(ka),
-            how="left",
-        ).join(
-            F.broadcast(vdf.select(F.col("k").alias(kb), F.col("v").alias(vb))),
-            on=F.col(ctx.idx_b) == F.col(kb),
-            how="left",
-        )
+        # the joined value columns depend only on the pair KEYS, never
+        # on the variant combo — cache them on the ctx so the inline
+        # combo-variant path (which compiles the tree once per combo)
+        # joins the values table 2 times total, not 2·mv²
+        cache = getattr(ctx, "_alter_joins", None)
+        if cache is None:
+            cache = {}
+            ctx._alter_joins = cache
+        if id(self) not in cache:
+            ka, va = ctx.fresh("alterk_a"), ctx.fresh("alterv_a")
+            kb, vb = ctx.fresh("alterk_b"), ctx.fresh("alterv_b")
+            vdf = self._values_df(ctx, "k", "v")
+            ctx.df = ctx.df.join(
+                F.broadcast(vdf.select(F.col("k").alias(ka), F.col("v").alias(va))),
+                on=F.col(ctx.idx_a) == F.col(ka),
+                how="left",
+            ).join(
+                F.broadcast(vdf.select(F.col("k").alias(kb), F.col("v").alias(vb))),
+                on=F.col(ctx.idx_b) == F.col(kb),
+                how="left",
+            )
+            cache[id(self)] = (va, vb)
+        va, vb = cache[id(self)]
         cond = F.col(va).isNotNull() & F.col(vb).isNotNull() & (F.col(va) == F.col(vb))
         return F.when(cond, self._alter(inner).cast("double")).otherwise(inner)
 
@@ -432,6 +468,12 @@ class FuncScorer(BaseScorer):
         self._cb = cb
         self._per_row = per_row
         self._columns = set(columns or ())
+
+    @property
+    def wants_full_record(self) -> bool:
+        """With no declared ``columns`` the callback sees the WHOLE
+        record (reference semantics) — the matcher must not prune."""
+        return not self._columns
 
     def required_columns(self) -> set[str]:
         return self._columns

@@ -121,3 +121,40 @@ def test_greedy_one_to_one_adversarial_chain(spark):
     expect = _sequential_greedy(pairs)
     assert got == expect
     assert len(got) == n // 2
+
+
+def test_connected_components_leaves_session_conf_alone(spark):
+    """The star loop must size its shuffles via explicit repartitions,
+    never by mutating session-global spark.sql.shuffle.partitions
+    (which races against concurrent queries)."""
+    from datamatch_spark.clustering import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # force the DISTRIBUTED path (driver_threshold=0)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
+        "idx_a long, idx_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert comp[2] == 0 and comp[6] == 4  # chains 0-1-2-3, 4-5-6-7
+
+
+def test_greedy_one_to_one_max_iter_message(spark):
+    """All-tied k x k blocks need one round per kept pair; the error
+    must name the escape hatches."""
+    from datamatch_spark.clustering import greedy_one_to_one
+
+    k = 5
+    rows = [(a, 100 + b, 1.0) for a in range(k) for b in range(k)]
+    pairs = spark.createDataFrame(rows, "idx_a long, idx_b long, sim_score double")
+    with pytest.raises(RuntimeError, match="one_to_one_max_iter"):
+        greedy_one_to_one(pairs, max_iter=2).count()
+    got = {
+        (r["idx_a"], r["idx_b"])
+        for r in greedy_one_to_one(pairs, max_iter=k + 1).collect()
+    }
+    assert got == {(i, 100 + i) for i in range(k)}  # greedy diagonal

@@ -187,3 +187,119 @@ def test_func_scorer_batch(spark):
     scorer = FuncScorer(batch, columns={"age"})
     schema = "name string, age long"
     assert run_scorer(spark, scorer, schema, ("john", 20), ("jim", 21)) == 0.5
+
+
+def test_absolute_scorer_nan_refuses(spark):
+    """Spark NaN = NaN is TRUE and NaN is not NULL — two missing-as-NaN
+    float values must REFUSE (reference pd.isnull semantics), never
+    count as an exact match."""
+    import math
+
+    from datamatch_spark import AbsoluteScorer, NoopIndex, ThresholdMatcher
+
+    rows = [(0, float("nan")), (1, float("nan")), (2, 7.0), (3, 7.0), (4, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    m = ThresholdMatcher(
+        NoopIndex(), AbsoluteScorer("v", 1.0), df, row_key="id",
+        validate=False, defer=True,
+    )
+    got = {(r["idx_a"], r["idx_b"]) for r in m.scored_pairs.collect()}
+    assert got == {(2, 3)}  # NaN/NaN and NULL/NULL pairs refused
+
+
+def test_func_scorer_batch_sees_full_record(spark):
+    """Batch-mode FuncScorer with no declared columns receives the
+    WHOLE record, not a pruned single column."""
+    from datamatch_spark import FuncScorer, NoopIndex, ThresholdMatcher
+
+    def cb(a, b):
+        assert set(a.columns) == {"x", "y"}, a.columns
+        return (a["x"] == b["x"]).astype(float) * 0.5 + (
+            a["y"] == b["y"]
+        ).astype(float) * 0.5
+
+    rows = [(0, "p", 1), (1, "p", 1), (2, "q", 2)]
+    df = spark.createDataFrame(rows, "id long, x string, y long")
+    m = ThresholdMatcher(
+        NoopIndex(), FuncScorer(cb), df, row_key="id", validate=False,
+        defer=True,
+    )
+    got = {(r["idx_a"], r["idx_b"]): r["sim_score"] for r in m.scored_pairs.collect()}
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 0.0
+
+
+def test_alter_scorer_duplicate_keys_raise(spark):
+    from datamatch_spark import (
+        AbsoluteNumericalSimilarity,
+        AlterScorer,
+        NoopIndex,
+        SimSumScorer,
+        ThresholdMatcher,
+    )
+
+    df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "id long, v double")
+    vals = spark.createDataFrame([(0, "g"), (0, "g"), (1, "h")], "k long, grp string")
+    inner = SimSumScorer({"v": AbsoluteNumericalSimilarity(10)})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        ThresholdMatcher(
+            NoopIndex(), AlterScorer(inner, vals, lambda c: c / 2), df,
+            row_key="id", validate=False, defer=True,
+        )._build_scored()
+    with pytest.raises(ValueError, match="duplicate keys"):
+        import pandas as pd
+        ThresholdMatcher(
+            NoopIndex(),
+            AlterScorer(inner, pd.Series(["g", "g"], index=[0, 0]), lambda c: c),
+            df, row_key="id", validate=False, defer=True,
+        )._build_scored()
+
+
+def test_swap_on_float_columns_uses_exact_null_semantics(spark):
+    """Float swap columns force the inline path (Arrow turns NULL into
+    NaN inside pandas UDFs, so the fused gate cannot reproduce
+    eqNullSafe); NULL-vs-NaN rows must still swap."""
+    from datamatch_spark import (
+        AbsoluteNumericalSimilarity,
+        NoopIndex,
+        Swap,
+        ThresholdMatcher,
+    )
+
+    rows = [
+        (0, 5.0, 50.0),
+        (1, 50.0, 5.0),       # swapped copy of 0 -> max combo = 1.0
+        (2, None, float("nan")),
+        (3, float("nan"), None),
+    ]
+    df = spark.createDataFrame(rows, "id long, p double, q double")
+    m = ThresholdMatcher(
+        NoopIndex(),
+        {"p": AbsoluteNumericalSimilarity(100), "q": AbsoluteNumericalSimilarity(100)},
+        df,
+        row_key="id",
+        validate=False,
+        defer=True,
+        variator=Swap("p", "q"),
+    )
+    scored = m._build_scored()
+    plan = scored._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the inline combo path materializes __va/__vb variant slots; the
+    # (forbidden for float swap cols) swap-fused path has none
+    assert "__va" in plan, plan[:2000]
+    got = {(r["idx_a"], r["idx_b"]): round(r["sim_score"], 6) for r in m.scored_pairs.collect()}
+    assert got[(0, 1)] == 1.0  # swap recovers the exchanged fields
+
+
+def test_score_partitions_string_rejected(spark):
+    from datamatch_spark import AbsoluteNumericalSimilarity, NoopIndex, ThresholdMatcher
+
+    df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="score_partitions"):
+        ThresholdMatcher(
+            NoopIndex(), {"v": AbsoluteNumericalSimilarity(10)}, df,
+            row_key="id", validate=False, defer=True, score_partitions="64",
+        )._build_scored()
