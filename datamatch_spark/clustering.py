@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["connected_components", "split_cliques", "greedy_one_to_one"]
+__all__ = ["connected_components", "split_cliques", "greedy_one_to_one", "groups_from_pairs"]
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -338,3 +338,22 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
     if kept is None:
         return pairs.limit(0)
     return kept.drop("__r")
+
+
+def groups_from_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """(id_col, group_id, keep) from a near-duplicate pair graph: the
+    shared epilogue of ``semantic_dedup`` and ``minhash_dedup_groups``
+    — connected components over the pairs, ``group_id`` = minimum
+    member id (the row's own id for singletons), ``keep`` marks the
+    canonical representative; filter ``keep`` for the deduplicated
+    corpus."""
+    comp = connected_components(pairs.select("idx_a", "idx_b"))
+    out = df.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), on=id_col, how="left"
+    )
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        group.alias("group_id"),
+        (group == F.col(id_col)).alias("keep"),
+    )

@@ -118,18 +118,22 @@ def ngram_jaccard_pairs(
     """(idx_a, idx_b, jaccard) for doc pairs whose distinct word-n-gram
     Jaccard similarity >= threshold. Inverted-index self-join;
     shingles occurring in more than ``max_df`` docs are dropped as
-    stop-shingles (bounds the join blowup; affected pairs can only
-    LOSE intersection mass, so precision is kept by the final exact
-    filter on the pruned universe)."""
+    stop-shingles (bounds the join blowup). Set sizes come from the
+    UNPRUNED shingle sets while the intersection runs on the pruned
+    posting lists, so affected pairs can only LOSE intersection mass —
+    the reported jaccard is a lower bound of the true one and the
+    threshold keeps precision. (Sizing on the pruned sets would shrink
+    the union denominator and INFLATE scores above the true jaccard —
+    two docs agreeing only on kept shingles would report 1.0.)"""
     sh = _ensure_width(df.select(F.col(id_col).alias("__id"), text_col)).select(
         "__id", F.explode(_shingles_expr(text_col, n)).alias("shingle")
     )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_df
         )
         sh = sh.join(hot, on="shingle", how="left_anti")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("__id").alias("idx_a"), "shingle")
     b = sh.select(F.col("__id").alias("idx_b"), "shingle")
     common = (
@@ -194,26 +198,54 @@ def _ensure_width(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(want)
 
 
+# padded-cell budget per signature sub-batch: 32M uint64 cells ≈
+# 256 MB matrix + 32 MB mask. Without it, one long document pads the
+# WHOLE Arrow batch to its width (10k rows × 1M shingles ≈ 80 GB).
+_MINHASH_CELL_BUDGET = 32 << 20
+
+
 def _minhash_matrix(sh: pd.Series, seeds: np.ndarray) -> np.ndarray:
     """(nrows × n_perm) uint64 MinHash signature matrix from a series
     of shingle-hash lists — wrapping-uint64 numpy, no Python per-hash
-    loop (the only loops are per-row padding and per-permutation)."""
+    loop (the only loops are per-row padding and per-permutation).
+
+    Rows are processed in LENGTH-SORTED sub-batches whose padded size
+    stays under ``_MINHASH_CELL_BUDGET``, so a single long outlier
+    document cannot inflate the padding of every other row in the
+    Arrow batch. Per-row signatures are independent — output is
+    identical to the unsplit computation."""
     nrows = len(sh)
     lens = np.fromiter((len(x) for x in sh), dtype=np.int64, count=nrows)
-    maxl = max(int(lens.max()), 1)
-    M = np.zeros((nrows, maxl), dtype=np.uint64)
-    mask = np.zeros((nrows, maxl), dtype=bool)
-    for i, x in enumerate(sh):
-        k = len(x)
-        if k:
-            M[i, :k] = np.asarray(x, dtype=np.int64).astype(np.uint64)
-            mask[i, :k] = True
-    pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+    order = np.argsort(lens, kind="stable")
     sigs = np.empty((nrows, len(seeds)), dtype=np.uint64)
-    for p, seed in enumerate(seeds):
-        h = _splitmix64(M ^ seed)
-        h = np.where(mask, h, pad)
-        sigs[:, p] = h.min(axis=1)
+    pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+    vals = sh.to_numpy()
+    start = 0
+    while start < nrows:
+        end = start + 1
+        # ascending lengths: the slice's pad width is its LAST row's
+        # length; grow while the padded cell count fits the budget
+        while (
+            end < nrows
+            and (end - start + 1) * max(int(lens[order[end]]), 1)
+            <= _MINHASH_CELL_BUDGET
+        ):
+            end += 1
+        idx = order[start:end]
+        maxl = max(int(lens[idx[-1]]), 1)
+        M = np.zeros((len(idx), maxl), dtype=np.uint64)
+        mask = np.zeros((len(idx), maxl), dtype=bool)
+        for row, i in enumerate(idx):
+            x = vals[i]
+            k = len(x)
+            if k:
+                M[row, :k] = np.asarray(x, dtype=np.int64).astype(np.uint64)
+                mask[row, :k] = True
+        for p, seed in enumerate(seeds):
+            h = _splitmix64(M ^ seed)
+            h = np.where(mask, h, pad)
+            sigs[idx, p] = h.min(axis=1)
+        start = end
     return sigs
 
 
@@ -420,8 +452,11 @@ def minhash_lsh_pairs(
     if checkpoint_dir:
         from ..checkpointing import StageManifest
 
+        # the stage key encodes every parameter that shapes the cached
+        # frame — a rerun with different n/n_perm/bands must MISS, not
+        # silently reuse incompatible signatures
         info = StageManifest(checkpoint_dir).materialize(
-            "minhash_info", info, df.sparkSession
+            f"minhash_info_n{n}_p{n_perm}_b{bands}", info, df.sparkSession
         )
     else:
         info = info.localCheckpoint()
@@ -524,15 +559,18 @@ def simhash_near_pairs(
     one of the ``n_chunks`` equal-as-possible bit chunks iff
     d < n_chunks — recall is guaranteed only for
     ``max_hamming <= n_chunks - 1``. The default ``n_chunks =
-    max_hamming + 1`` is therefore lossless; pass a smaller
+    max_hamming + 1`` is therefore lossless for every legal
+    ``max_hamming`` (≤ 63 over a 64-bit hash); pass a smaller
     ``n_chunks`` to trade recall for cheaper candidate generation
     (each chunk carries 64/n_chunks bits, so more chunks ⇒
     exponentially bigger buckets: at corpus scale keep max_hamming
     small — Manku et al. (WWW 2007) use k=3 over 64 bits)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63] for a 64-bit hash")
     if n_chunks is None:
-        n_chunks = min(max_hamming + 1, 16)  # 16 × 4-bit chunks max
-    if not 1 <= n_chunks <= 16:
-        raise ValueError("n_chunks must be in [1, 16]")
+        n_chunks = max_hamming + 1  # lossless by the pigeonhole bound
+    if not 1 <= n_chunks <= 64:
+        raise ValueError("n_chunks must be in [1, 64]")
     base, rem = divmod(64, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
@@ -597,20 +635,11 @@ def minhash_dedup_groups(
     inherent to graph dedup: chains of pairwise near-dups merge into
     one group even when the endpoints are < threshold similar.
     """
-    from ..clustering import connected_components
+    from ..clustering import groups_from_pairs
 
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, n=n, n_perm=n_perm, bands=bands,
         threshold=threshold, est_margin=est_margin,
         checkpoint_dir=checkpoint_dir,
     )
-    comp = connected_components(pairs.select("idx_a", "idx_b"))
-    out = df.select(id_col).join(
-        comp.withColumnRenamed("node", id_col), on=id_col, how="left"
-    )
-    group = F.coalesce(F.col("component"), F.col(id_col))
-    return out.select(
-        F.col(id_col),
-        group.alias("group_id"),
-        (group == F.col(id_col)).alias("keep"),
-    )
+    return groups_from_pairs(df, id_col, pairs)

@@ -152,10 +152,22 @@ def cosine_topk(
     at the local cut. ``mapInArrow``: the corpus matrix comes straight
     off the Arrow flat buffer (no pandas list conversion)."""
     spark = corpus.sparkSession
+    # schema derived from the input frames in BOTH paths — a hardcoded
+    # empty-path type would make per-shard unions fail only on the
+    # shard whose query set came up empty
+    q_id_type = dict(queries.dtypes)[id_col]
+    c_id_type = dict(corpus.dtypes)[id_col]
+    if q_id_type != c_id_type:
+        raise ValueError(
+            f"query id type {q_id_type} != corpus id type {c_id_type}; "
+            "self-match exclusion and neighbor joins need one id domain"
+        )
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id long, neighbor_id long, cos double, rank int"
+        return spark.createDataFrame(
+            [],
+            f"query_id {q_id_type}, neighbor_id {c_id_type}, "
+            "cos double, rank int",
         )
     qids = [r[0] for r in qrows]
     Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
@@ -255,6 +267,19 @@ def _attach_codes(
     return sel.mapInArrow(code, schema=schema)
 
 
+def _probe_codes(code_col: str, n_planes: int):
+    """The code plus its ``n_planes`` 1-bit-flip neighbors — the
+    standard sign-LSH multiprobe array (shared by lsh_topk and
+    embedding_near_dup_pairs)."""
+    return F.array(
+        F.col(code_col),
+        *[
+            F.col(code_col).bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+            for i in range(n_planes)
+        ],
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -276,15 +301,9 @@ def lsh_topk(
     c = _attach_codes(corpus, planes, id_col, vec_col, "neighbor_id", "__cv")
     q = _attach_codes(queries, planes, id_col, vec_col, "query_id", "__qv")
     if multiprobe:
-        probes = F.array(
-            F.col("__code"),
-            *[
-                F.col("__code").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
-                for i in range(n_planes)
-            ],
-        )
         q = q.select(
-            "query_id", "__qv", F.explode(probes).alias("__code")
+            "query_id", "__qv",
+            F.explode(_probe_codes("__code", n_planes)).alias("__code"),
         )
     # Score BEFORE dropDuplicates: multiprobe duplicates are bounded
     # (<= n_planes+1 per pair) and the Arrow cosine is cheap, while
@@ -504,16 +523,10 @@ def embedding_near_dup_pairs(
         a = _attach_codes(df, planes, id_col, vec_col, "idx_a", "__va")
         b = _attach_codes(df, planes, id_col, vec_col, "idx_b", "__vb")
         if multiprobe:
-            probes = F.array(
-                F.col("__code"),
-                *[
-                    F.col("__code").bitwiseXOR(
-                        F.shiftleft(F.lit(1).cast("long"), i)
-                    )
-                    for i in range(lsh_planes)
-                ],
+            a = a.select(
+                "idx_a", "__va",
+                F.explode(_probe_codes("__code", lsh_planes)).alias("__code"),
             )
-            a = a.select("idx_a", "__va", F.explode(probes).alias("__code"))
         joined = a.join(b, on="__code").where(F.col("idx_a") < F.col("idx_b"))
         return (
             _score_pairs_arrow(joined, "idx_a", "idx_b", "__va", "__vb")
@@ -593,7 +606,7 @@ def semantic_dedup(
     SemDeDup trade-off); for lossless-recall mining use
     ``embedding_near_dup_pairs(lsh_planes=...)``.
     """
-    from ..clustering import connected_components
+    from ..clustering import groups_from_pairs
 
     if centroids is not None:
         # precomputed cells: skips quantizer training AND makes the
@@ -612,14 +625,9 @@ def semantic_dedup(
     )
     # within-cell scoring as ONE blocked Gram matmul per cell — the
     # SemDeDup-native formulation; see _group_near_pairs
+    # NOTE boundary semantics: pairs here compare the RAW float64
+    # cosine against ``threshold``; embedding_near_dup_pairs rounds to
+    # 6dp before comparing — a pair within ~1e-6 of the threshold can
+    # differ between the two APIs.
     pairs = _group_near_pairs(grouped, dict(df.dtypes)[id_col], threshold)
-    comp = connected_components(pairs.select("idx_a", "idx_b"))
-    out = df.select(id_col).join(
-        comp.withColumnRenamed("node", id_col), on=id_col, how="left"
-    )
-    group = F.coalesce(F.col("component"), F.col(id_col))
-    return out.select(
-        F.col(id_col),
-        group.alias("group_id"),
-        (group == F.col(id_col)).alias("keep"),
-    )
+    return groups_from_pairs(df, id_col, pairs)

@@ -76,7 +76,14 @@ def typed_key_component(col: Column, dtype: T.DataType) -> Column:
     bytes, so only it pays the escaping.
     """
     if isinstance(dtype, _NUMERIC_TYPES):
-        return F.concat(F.lit("n:"), col.cast("double").cast("string"))
+        d = col.cast("double")
+        # NaN would serialize to the SHARED string 'n:NaN' and survive
+        # the isNotNull key filter — every NaN row would land in one
+        # giant bucket (N² bogus pairs). The reference's NaN dict keys
+        # form singleton buckets, i.e. never pair: map NaN to NULL so
+        # the inner join drops it like a missing key.
+        d = F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
+        return F.concat(F.lit("n:"), d.cast("string"))
     if isinstance(dtype, T.BooleanType):
         return F.concat(F.lit("b:"), col.cast("string"))
     if isinstance(dtype, T.DateType):

@@ -19,7 +19,13 @@ exceeds ``salt_threshold`` are salted:
   replicated to shards ``[shard, s)`` and joined on the target shard —
   a triangular shard-pair enumeration that yields every unordered pair
   exactly once and caps per-task pair output at ~(rows_per_shard)².
-* match: the A side is sharded, the B side replicated to all shards.
+* match: GRID sharding — A is hash-sharded ``sa = ceil(na/rows_per_
+  shard)`` ways and replicated to all ``sb`` B-shards, B sharded
+  ``sb = ceil(nb/rows_per_shard)`` ways and replicated to all ``sa``
+  A-shards; the join key carries the grid CELL, so every task holds
+  ≤ rows_per_shard rows of each side (≤ rows_per_shard² pairs) even
+  when one side dwarfs the other. Replication cost is
+  ~2·pairs/rows_per_shard rows — always small next to the pair output.
 
 Per-block pair-count statistics (the north-rule metrics) come from the
 same block-size aggregation that detects hot keys.
@@ -85,6 +91,14 @@ class PairingConfig:
     # width from the rec schema (see _est_row_bytes); whichever of the
     # row/byte caps is hit first disables the broadcast.
     broadcast_hot_bytes: int = 256 << 20
+    # localCheckpoint the keyed side(s) before use. The salted path
+    # otherwise evaluates each side up to 3× (hot-key collect — key
+    # columns only, recs pruned — plus the cold and hot branches);
+    # recompute is pure CPU on a declarative plan, while caching costs
+    # executor storage for ids+keys+rec structs. Turn on when the
+    # index is expensive to evaluate (QGramIndex explodes grams twice
+    # per evaluation) and the recs are narrow.
+    cache_keyed_side: bool = False
 
 
 def keyed_side_from_keys(
@@ -176,10 +190,11 @@ def _hot_blocks(side: DataFrame, cfg: PairingConfig):
 def _anti_hot(side: DataFrame, hot: list) -> DataFrame:
     """Rows of ``side`` whose block key is NOT hot, via a broadcast
     left-anti join — an IN-list literal of up to max_hot_keys keys
-    would bloat the plan/codegen at real scale."""
+    would bloat the plan/codegen at real scale. ``hot`` tuples lead
+    with the key (dedup: (key, s); match: (key, sa, sb))."""
     spark = side.sparkSession
     hot_df = F.broadcast(
-        spark.createDataFrame([(k,) for k, _ in hot], schema=f"{BLOCK_KEY} string")
+        spark.createDataFrame([(h[0],) for h in hot], schema=f"{BLOCK_KEY} string")
     )
     return side.join(hot_df, on=BLOCK_KEY, how="left_anti")
 
@@ -287,31 +302,42 @@ def _match_pairs_plain(side_a: DataFrame, side_b: DataFrame, cfg: PairingConfig)
 def _match_pairs_salted(
     side_a: DataFrame, side_b: DataFrame, hot: list, spark, cfg: PairingConfig
 ) -> DataFrame:
+    """Grid sharding for hot match blocks: sharding only one side
+    cannot bound per-task output when the OTHER side dwarfs it (one
+    A-shard × all of B is still ~nb pairs in one task — the exact
+    straggler/OOM this machinery exists to prevent). Each hot key
+    carries (sa, sb) = per-side shard counts; a task owns one grid
+    CELL with ≤ rows_per_shard rows of each side. The join key carries
+    the cell, so even an SMJ fallback exchanges uniformly."""
     hot_df = F.broadcast(
-        spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __s int")
+        spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __sa int, __sb int")
     )
     left = (
         side_a.join(hot_df, on=BLOCK_KEY)
-        .withColumn("__shard", F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int"))
+        .withColumn("__ia", F.pmod(F.xxhash64(F.col("idx")), F.col("__sa")).cast("int"))
         .select(
             F.col(BLOCK_KEY),
-            F.col("__shard"),
+            F.col("__ia"),
+            F.explode(F.expr("sequence(0, __sb - 1)")).alias("__ib"),
             F.col("idx").alias("idx_a"),
             F.col("rec").alias("a"),
         )
-        .repartition(_n_parts(side_a, cfg), F.col(BLOCK_KEY), F.col("__shard"))
+        .repartition(
+            _n_parts(side_a, cfg), F.col(BLOCK_KEY), F.col("__ia"), F.col("__ib")
+        )
     )
     right = (
         side_b.join(hot_df, on=BLOCK_KEY)
-        .withColumn("__shard", F.explode(F.expr("sequence(0, __s - 1)")))
+        .withColumn("__ib", F.pmod(F.xxhash64(F.col("idx")), F.col("__sb")).cast("int"))
         .select(
             F.col(BLOCK_KEY),
-            F.col("__shard"),
+            F.explode(F.expr("sequence(0, __sa - 1)")).alias("__ia"),
+            F.col("__ib"),
             F.col("idx").alias("idx_b"),
             F.col("rec").alias("b"),
         )
     )
-    return left.join(right, on=[BLOCK_KEY, "__shard"]).drop("__shard")
+    return left.join(right, on=[BLOCK_KEY, "__ia", "__ib"]).drop("__ia", "__ib")
 
 
 def candidate_pairs(
@@ -345,6 +371,8 @@ def candidate_pairs(
         )
     else:
         side_a = keyed_side(dfa, index, row_key, needed_cols, "idx", "rec")
+    if cfg.cache_keyed_side:
+        side_a = side_a.localCheckpoint()
 
     if dedup:
         hot = _hot_blocks(side_a, cfg) if cfg.salt_enabled else []
@@ -362,6 +390,8 @@ def candidate_pairs(
             )
         else:
             side_b = keyed_side(dfb, index, row_key, needed_cols, "idx", "rec")
+        if cfg.cache_keyed_side:
+            side_b = side_b.localCheckpoint()
         if cfg.salt_enabled:
             ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("na"))
             cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("nb"))
@@ -372,9 +402,13 @@ def candidate_pairs(
                 .limit(cfg.max_hot_keys)
                 .collect()
             )
-            hot = [
-                (r[BLOCK_KEY], max(2, -(-r["na"] // cfg.rows_per_shard))) for r in rows
-            ]
+            hot = []
+            for r in rows:
+                sa = max(1, -(-r["na"] // cfg.rows_per_shard))
+                sb = max(1, -(-r["nb"] // cfg.rows_per_shard))
+                if sa * sb < 2:
+                    sb = 2  # a hot key must split SOMETHING
+                hot.append((r[BLOCK_KEY], sa, sb))
         else:
             hot = []
         if not hot:

@@ -106,3 +106,30 @@ def test_multi_bucket_pairs_deduped(spark):
         df, ColumnsIndex("tags", index_elements=True), "row_key", ["tags"]
     )
     assert pair_ids(pairs) == [(0, 1)]
+
+
+def test_cache_keyed_side_same_pairs(spark):
+    """PairingConfig(cache_keyed_side=True) changes evaluation count,
+    never the pair set."""
+    from datamatch_spark import ColumnsIndex
+    from datamatch_spark.pairing import PairingConfig, candidate_pairs
+
+    rows = [(i, "hot" if i < 60 else f"c{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "row_key long, blk string")
+    base = {
+        (r["idx_a"], r["idx_b"])
+        for r in candidate_pairs(
+            df, ColumnsIndex("blk"), "row_key", [],
+            cfg=PairingConfig(salt_threshold=20, rows_per_shard=10),
+        ).collect()
+    }
+    cached = {
+        (r["idx_a"], r["idx_b"])
+        for r in candidate_pairs(
+            df, ColumnsIndex("blk"), "row_key", [],
+            cfg=PairingConfig(
+                salt_threshold=20, rows_per_shard=10, cache_keyed_side=True
+            ),
+        ).collect()
+    }
+    assert cached == base and base

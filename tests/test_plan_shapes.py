@@ -139,3 +139,33 @@ def test_wide_rec_disables_hot_broadcast(spark):
     wide = T.StructType([T.StructField("t", T.StringType())] * 20)
     narrow = T.StructType([T.StructField("v", T.IntegerType())])
     assert _est_row_bytes(wide) > 10 * _est_row_bytes(narrow)
+
+
+def test_match_salting_grid_shards_both_sides(spark):
+    """Asymmetric hot match block (tiny A side, large B side): sharding
+    only A cannot bound per-task pairs (~nb pairs in one task); the
+    grid puts BOTH shard ids in the join key. Pair set identical to
+    unsalted."""
+    import re
+
+    rows_a = [(i, "hot" if i < 6 else f"c{i % 5}") for i in range(30)]
+    rows_b = [(1000 + i, "hot" if i < 300 else f"c{i % 5}") for i in range(400)]
+    dfa = spark.createDataFrame(rows_a, "row_key long, blk string")
+    dfb = spark.createDataFrame(rows_b, "row_key long, blk string")
+
+    def pairs_with(cfg):
+        return candidate_pairs(
+            dfa, ColumnsIndex("blk"), "row_key", [], dfb=dfb, cfg=cfg
+        )
+
+    cfg = PairingConfig(salt_threshold=10, rows_per_shard=20)
+    salted = pairs_with(cfg)
+    plan = _formatted(salted)
+    grid = re.findall(r"hashpartitioning\([^)]*__ia[^)]*\)", plan)
+    assert grid and all("__ib" in m for m in grid), plan
+    want = {
+        (r["idx_a"], r["idx_b"])
+        for r in pairs_with(PairingConfig(salt_enabled=False)).collect()
+    }
+    got = {(r["idx_a"], r["idx_b"]) for r in salted.collect()}
+    assert got == want and len(want) == 6 * 300 + 24 * 20

@@ -134,7 +134,7 @@ def test_minhash_checkpoint_resume(spark, tmp_path):
         ).collect()
     }
     manifest = json.load(open(os.path.join(ck, "manifest.json")))
-    assert "minhash_info" in manifest["stages"]
+    assert "minhash_info_n2_p64_b16" in manifest["stages"]
     second = {
         (r["idx_a"], r["idx_b"])
         for r in minhash_lsh_pairs(
@@ -164,3 +164,41 @@ def test_blocking_quality_hand_computed(spark):
     assert row["reduction_ratio"] == 0.5     # 1 - 3/6
     assert row["pairs_completeness"] == 0.5
     assert abs(row["pairs_quality"] - 1 / 3) < 1e-6
+
+
+def test_minhash_checkpoint_key_encodes_params(spark, tmp_path):
+    """A rerun with different n_perm must MISS the cached stage, not
+    silently reuse incompatible signatures (which would return zero
+    pairs via the estimate prefilter)."""
+    import os
+
+    from datamatch_spark.extras.dedup import minhash_lsh_pairs
+
+    rows = []
+    for i in range(6):
+        words = " ".join(f"w{(i // 2) * 50 + j}" for j in range(30))
+        if i % 2:
+            words = words.replace(f"w{(i // 2) * 50 + 3}", "zz", 1)
+        rows.append((i, words))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ck = str(tmp_path / "mh2")
+    p64 = {
+        (r["idx_a"], r["idx_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", n=2, n_perm=64, bands=16, threshold=0.5,
+            checkpoint_dir=ck,
+        ).collect()
+    }
+    p128 = {
+        (r["idx_a"], r["idx_b"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", n=2, n_perm=128, bands=16, threshold=0.5,
+            checkpoint_dir=ck,
+        ).collect()
+    }
+    # both parameterizations must find the planted near-dups — the old
+    # shared stage key would feed 64-wide signatures to the 128 run
+    want = {(0, 1), (2, 3), (4, 5)}
+    assert want <= p64 and want <= p128
+    assert os.path.isdir(os.path.join(ck, "minhash_info_n2_p64_b16"))
+    assert os.path.isdir(os.path.join(ck, "minhash_info_n2_p128_b16"))
