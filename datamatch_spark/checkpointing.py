@@ -48,8 +48,13 @@ class StageManifest:
     def stage_path(self, stage: str) -> str:
         return os.path.join(self._root, stage)
 
-    def materialize(self, stage: str, df: DataFrame, spark: SparkSession) -> DataFrame:
-        """Compute-or-reuse: parquet-backed stage output."""
+    def materialize(
+        self, stage: str, df: DataFrame, spark: SparkSession | None = None
+    ) -> DataFrame:
+        """Compute-or-reuse: parquet-backed stage output. ``spark`` is
+        derived from ``df`` when omitted (kept as an optional param
+        for backward compatibility)."""
+        spark = spark or df.sparkSession
         path = self.stage_path(stage)
         if self.is_done(stage):
             return spark.read.parquet(path)

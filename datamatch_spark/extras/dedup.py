@@ -30,6 +30,7 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "shingles_expr",
+    "content_fingerprint",
     "exact_duplicates",
     "shingle_stats",
     "ngram_jaccard_pairs",
@@ -86,10 +87,19 @@ def with_shingle_hashes(
     return out.withColumn(out_col, F.expr(gram)).drop(tmp)
 
 
+def content_fingerprint(text_col: str) -> Column:
+    """Canonical content fingerprint used by BOTH batch
+    ``exact_duplicates`` and ``streaming.streaming_exact_dedup`` — one
+    definition so the two paths can never disagree on what counts as
+    an exact duplicate. NULL text yields a NULL fingerprint (callers
+    decide NULL semantics)."""
+    return F.md5(F.lower(F.col(text_col)))
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """(canonical_id, doc_id) for every doc whose lowercased text hash
     collides with another; canonical = min id in the group."""
-    h = df.select(F.col(id_col), F.md5(F.lower(F.col(text_col))).alias("__h"))
+    h = df.select(F.col(id_col), content_fingerprint(text_col).alias("__h"))
     grp = h.groupBy("__h").agg(
         F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n")
     )

@@ -117,7 +117,7 @@ def blocking_quality(
             n_cand,
             n_truth,
             covered,
-            round(1.0 - (n_cand / total if total else 0.0), 6),
+            round(1.0 - n_cand / total, 6) if total else None,
             round(covered / n_truth, 6) if n_truth else None,
             round(covered / n_cand, 6) if n_cand else None,
         )],

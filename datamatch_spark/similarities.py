@@ -153,8 +153,11 @@ class RelativeNumericalSimilarity(BaseSimilarity):
         self._pc_max = float(pc_max)
 
     def sim(self, a, b) -> float:
-        d = abs(a - b)
-        pc = d / max(abs(a), abs(b)) * 100
+        den = max(abs(a), abs(b))
+        # (0, 0): equal values are identical -> pc 0 -> sim 1 (the
+        # reference's scalar face raises ZeroDivisionError here; all
+        # three faces of this engine define it as a perfect match)
+        pc = abs(a - b) / den * 100 if den else 0.0
         if pc < self._pc_max:
             return 1 - pc / self._pc_max
         return 0
@@ -163,13 +166,21 @@ class RelativeNumericalSimilarity(BaseSimilarity):
         av = pd.to_numeric(a, errors="coerce").to_numpy(dtype=np.float64)
         bv = pd.to_numeric(b, errors="coerce").to_numpy(dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
-            pc = np.abs(av - bv) / np.maximum(np.abs(av), np.abs(bv)) * 100.0
+            den = np.maximum(np.abs(av), np.abs(bv))
+            pc = np.where(den == 0.0, 0.0, np.abs(av - bv) / den * 100.0)
             out = np.where(pc < self._pc_max, 1.0 - pc / self._pc_max, 0.0)
+        # NaN inputs (missing values) still refuse via nan_to_num -> 0
         return np.nan_to_num(out, nan=0.0)
 
     def expr(self, a: Column, b: Column) -> Column:
         ad, bd = a.cast("double"), b.cast("double")
-        pc = F.abs(ad - bd) / F.greatest(F.abs(ad), F.abs(bd)) * 100.0
+        den = F.greatest(F.abs(ad), F.abs(bd))
+        # guarded: a bare division dies with DIVIDE_BY_ZERO under ANSI
+        # mode (the Spark 4 default) the first time a (0, 0) pair is
+        # scored; (0, 0) is defined as identical across all faces
+        pc = F.when(den == 0.0, F.lit(0.0)).otherwise(
+            F.abs(ad - bd) / den * 100.0
+        )
         return F.when(pc < self._pc_max, 1.0 - pc / self._pc_max).otherwise(F.lit(0.0))
 
 
@@ -210,19 +221,33 @@ class DateSimilarity(BaseSimilarity):
 
     def expr(self, a: Column, b: Column) -> Column:
         ad, bd = a.cast("date"), b.cast("date")
-        days = F.abs(F.datediff(ad, bd))
+        # floor of the ABSOLUTE time difference in days — identical to
+        # the batch/scalar faces on timestamps (datediff is a
+        # calendar-DATE diff: 23:00 vs next-day 01:00 would count as a
+        # full day apart and faces would disagree near the threshold)
+        ts_a, ts_b = F.unix_timestamp(a), F.unix_timestamp(b)
+        days = F.floor(F.abs(ts_a - ts_b) / F.lit(86400)).cast("double")
         same_year = F.year(ad) == F.year(bd)
+        stage1 = days < self._d_max
+        stage2 = (
+            same_year
+            & (F.month(ad) == F.dayofmonth(bd))
+            & (F.dayofmonth(ad) == F.month(bd))
+        )
+        stage3 = same_year & (F.dayofmonth(ad) == F.dayofmonth(bd))
+        # pandas UDFs evaluate the whole batch regardless of the
+        # when-guard (the guard masks the RESULT, not the work) — so
+        # the guard goes on the UDF's INPUT: non-stage-3 rows feed
+        # NULL, which the kernel's length-sorted prefix slicing skips
+        # at ~zero cost
+        s3 = stage1 | stage2
         ratio = _ratio_udf(translit=False)(
-            F.date_format(ad, "yyyyMMdd"), F.date_format(bd, "yyyyMMdd")
+            F.when(~s3 & stage3, F.date_format(ad, "yyyyMMdd")),
+            F.when(~s3 & stage3, F.date_format(bd, "yyyyMMdd")),
         )
         return (
-            F.when(days < self._d_max, 1.0 - days.cast("double") / self._d_max)
-            .when(
-                same_year
-                & (F.month(ad) == F.dayofmonth(bd))
-                & (F.dayofmonth(ad) == F.month(bd)),
-                F.lit(0.5),
-            )
-            .when(same_year & (F.dayofmonth(ad) == F.dayofmonth(bd)), ratio)
+            F.when(stage1, 1.0 - days / self._d_max)
+            .when(stage2, F.lit(0.5))
+            .when(stage3, ratio)
             .otherwise(F.lit(0.0))
         )

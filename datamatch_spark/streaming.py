@@ -55,9 +55,20 @@ def streaming_exact_dedup(
     emitted again — the standard streaming-dedup contract). Without
     it, state grows with the number of distinct documents: exact
     global dedup, only for bounded backfills.
+
+    NULL-text documents all pass through: the fingerprint for a NULL
+    text falls back to a per-row unique value (dropDuplicates treats
+    NULL keys as EQUAL, which would silently swallow every null-text
+    document after the first — e.g. extraction failures).
     """
+    from .extras.dedup import content_fingerprint
+
     out = stream.withColumn(
-        "__fp", F.md5(F.lower(F.col(text_col)))
+        "__fp",
+        F.coalesce(
+            content_fingerprint(text_col),
+            F.concat(F.lit("null:"), F.uuid()),
+        ),
     )
     if event_time_col is not None:
         out = out.withWatermark(event_time_col, delay)
@@ -178,11 +189,21 @@ def streaming_near_dup_pairs(
         # trigger). Within-chunk comparisons slice the fixed matrix.
         chunks: list[np.ndarray] = []
         chunk_ids: list[list[int]] = []
+        known = set(ids)
         for pdf in pdf_iter:
-            m = len(pdf)
-            if m == 0:
+            if len(pdf) == 0:
                 continue
+            # at-least-once sources redeliver: a doc id already in
+            # state (or earlier in this trigger) must not be appended
+            # again — duplicate entries emit duplicate pairs and burn
+            # the max_bucket_docs cap on copies
+            fresh = [i for i, d in enumerate(pdf["__id"]) if int(d) not in known]
+            if not fresh:
+                continue
+            pdf = pdf.iloc[fresh].reset_index(drop=True)
+            m = len(pdf)
             cids = [int(d) for d in pdf["__id"]]
+            known.update(cids)
             V = np.asarray(pdf["__sig"].tolist(), dtype=np.int64).reshape(
                 m, n_perm
             )
@@ -267,6 +288,16 @@ def incremental_link_batch(
         return batch.sparkSession.createDataFrame(
             [], "idx_a long, idx_b long, sim_score double"
         )
+    if pairing_config is None:
+        from .pairing import PairingConfig
+
+        # default OFF per micro-batch: hot-key detection aggregates the
+        # WHOLE reference keyed side and collects to the driver — per
+        # 5-second trigger that is a full reference scan before the
+        # tiny batch join. Deployment handles reference skew by
+        # bucketing/salting at WRITE time; pass an explicit config to
+        # re-enable runtime salting for a known-skewed reference.
+        pairing_config = PairingConfig(salt_enabled=False)
     m = ThresholdMatcher(
         index,
         scorer,

@@ -100,3 +100,27 @@ def test_ratio_reference_dp():
         a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
         b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
         assert abs(lev_ratio(a, b) - slow_ratio(a, b)) < 1e-12
+
+
+def test_date_similarity_faces_agree_on_timestamps():
+    """expr vs batch/scalar on TIMESTAMPS: day distance is
+    floor(|a-b| / 1 day), not the calendar-date diff (23:00 vs
+    next-day 01:00 is 0 whole days apart)."""
+    import pandas as pd
+
+    from datamatch_spark.similarities import DateSimilarity
+
+    ds = DateSimilarity(30)
+    a = pd.Series(pd.to_datetime(["2020-01-01 23:00:00", "2020-01-01 23:00:00"]))
+    b = pd.Series(pd.to_datetime(["2020-01-02 01:00:00", "2020-01-31 01:00:00"]))
+    got = [round(x, 4) for x in ds.batch(a, b)]
+    assert got == [1.0, 0.0333]
+
+
+def test_relative_similarity_zero_zero_identical():
+    from datamatch_spark.similarities import RelativeNumericalSimilarity
+
+    rs = RelativeNumericalSimilarity(50)
+    assert rs.sim(0.0, 0.0) == 1.0
+    import pandas as pd
+    assert list(rs.batch(pd.Series([0.0, 10.0]), pd.Series([0.0, 11.0])).round(4)) == [1.0, 0.8182]

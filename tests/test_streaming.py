@@ -247,3 +247,79 @@ def test_streaming_near_dup_bucket_cap_evicts_oldest(spark, tmp_path):
     assert (0, 1) in gs  # pre-eviction pair from trigger 1
     assert {(i, 100) for i in (2, 3, 4, 5)} <= gs
     assert (0, 100) not in gs and (1, 100) not in gs  # evicted oldest
+
+
+def test_streaming_exact_dedup_null_texts_pass_through(spark, tmp_path):
+    """NULL-text documents must all survive (dropDuplicates treats
+    NULL keys as equal — without the per-row fallback fingerprint,
+    every null-text doc after the first silently disappears)."""
+    from datamatch_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "in_null"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(0, "same text"), (1, None), (2, None), (3, "same text"), (4, None)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_null"))
+        .option("checkpointLocation", str(tmp_path / "ck_null"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out_null")).collect()
+    )
+    # one of the two 'same text' docs dedups away; ALL null docs stay
+    assert len(got) == 4 and {1, 2, 4} <= set(got)
+
+
+def test_streaming_near_dup_redelivery_is_idempotent(spark, tmp_path):
+    """At-least-once redelivery: a doc id already in bucket state must
+    not be appended again (duplicate state emits duplicate pairs and
+    burns the bucket cap on copies)."""
+    from datamatch_spark.streaming import streaming_near_dup_pairs
+
+    text = " ".join(f"w{j}" for j in range(30))
+    src = tmp_path / "in_rd"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck_rd")
+    sink = str(tmp_path / "out_rd")
+    schema = "doc_id long, text string"
+
+    def run_batch(ids):
+        spark.createDataFrame([(i, text) for i in ids], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        pairs = streaming_near_dup_pairs(
+            stream, "doc_id", "text", n=2, n_perm=64, bands=8,
+            threshold=0.5, state_ttl_ms=None,
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch([0, 1])
+    run_batch([0, 1, 2])  # 0 and 1 redelivered alongside new doc 2
+    got = [
+        (r["idx_a"], r["idx_b"]) for r in spark.read.parquet(sink).collect()
+    ]
+    # redelivered copies must not re-pair 0-1, and 2 pairs each of 0,1
+    # exactly once per band-dedup contract: per-band set semantics
+    from collections import Counter
+    per_pair = Counter(got)
+    assert per_pair[(0, 1)] <= 8  # once per band at most (no state dup)
+    assert (0, 2) in per_pair and (1, 2) in per_pair
+    assert max(per_pair.values()) <= 8
