@@ -196,23 +196,31 @@ def bench_er_swap(spark, sf: float):
     return time.time() - t0, n
 
 
-def bench_lsh_ann(spark, sf_dir: str, sf: float):
-    from datamatch_spark.extras.simsearch import lsh_topk
 
-    tile = max(10, int(1000 * sf))
+
+def _tiled_embeddings(spark, sf_dir: str, tile: int, mod: int):
+    """Tile the embeddings table ``tile``x with a tiny per-copy
+    perturbation (copies sharing ``copy %% mod`` stay near-identical)
+    — the shared corpus builder for the vector benches."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    big = (
+    return (
         emb.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
         .select(
             (F.col("vec_id") * tile + F.col("copy")).alias("vec_id"),
             F.transform(
                 F.col("embedding"),
-                lambda x: x + (F.col("copy") % 13).cast("float") * F.lit(0.0001),
+                lambda x: x + (F.col("copy") % mod).cast("float") * F.lit(0.0001),
             ).alias("embedding"),
         )
         .repartition(64)
         .localCheckpoint()
     )
+
+def bench_lsh_ann(spark, sf_dir: str, sf: float):
+    from datamatch_spark.extras.simsearch import lsh_topk
+
+    tile = max(10, int(1000 * sf))
+    big = _tiled_embeddings(spark, sf_dir, tile, 13)
     queries = big.where(F.col("vec_id") % tile == 0).limit(100).localCheckpoint()
     t0 = time.time()
     n = lsh_topk(big, queries, k=5, n_planes=16).count()
@@ -228,19 +236,7 @@ def bench_semantic_dedup(spark, sf_dir: str, sf: float):
     from datamatch_spark.extras.simsearch import semantic_dedup
 
     tile = max(10, int(200 * sf))
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    big = (
-        emb.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
-        .select(
-            (F.col("vec_id") * tile + F.col("copy")).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x: x + (F.col("copy") % 7).cast("float") * F.lit(0.0001),
-            ).alias("embedding"),
-        )
-        .repartition(64)
-        .localCheckpoint()
-    )
+    big = _tiled_embeddings(spark, sf_dir, tile, 7)
     t0 = time.time()
     n_kept = (
         semantic_dedup(big, threshold=0.999, n_cells=max(8, tile))
@@ -289,19 +285,7 @@ def bench_cosine(spark, sf_dir: str, sf: float):
     from datamatch_spark.extras.simsearch import cosine_topk
 
     tile = max(10, int(1000 * sf))
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    big = (
-        emb.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
-        .select(
-            (F.col("vec_id") * tile + F.col("copy")).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x: x + (F.col("copy") % 13).cast("float") * F.lit(0.0001),
-            ).alias("embedding"),
-        )
-        .repartition(64)
-        .localCheckpoint()
-    )
+    big = _tiled_embeddings(spark, sf_dir, tile, 13)
     queries = big.where(F.col("vec_id") % tile == 0).limit(100).localCheckpoint()
     t0 = time.time()
     n = cosine_topk(big, queries, k=5).count()

@@ -130,9 +130,18 @@ def _typo_inner(s: str, h: int) -> str:
 
 
 def _flat_doc_clean(i: int, cfg: CorpusConfig) -> dict:
-    """Clique-profile doc: unique per-entity base names, light
-    perturbations -> all member pairs score >= ~0.8, no cross-entity
-    bridges; greedy split order cannot change the outcome."""
+    """Clique-profile doc: per-entity base names, light perturbations
+    -> all member pairs score >= ~0.8.
+
+    UNIQUENESS BOUND: the (last, first) base tuple cycles every
+    len(_LAST)*len(_FIRST) = 2000 entities, so the strict
+    "no cross-entity bridges -> order-insensitive clustering"
+    invariant holds only below 2000 entities — the F1-gate corpora
+    (test_reference_parity, a few hundred docs) sit well inside it.
+    Bench-scale corpora (>> 2000 entities) can occasionally bridge
+    same-name entities whose dobs land close; throughput benches
+    tolerate that (nothing asserts cliqueness there), but do NOT use
+    bench-scale clean corpora for exact-cluster golden tests."""
     k = cfg.members_per_entity
     entity = i // k
     rank = i % k
@@ -201,7 +210,7 @@ def _flat_doc(i: int, cfg: CorpusConfig) -> dict:
                 last = _typo(last, mh >> 8)
             if (mh >> 4) % 3 == 0:
                 first = _typo(first, mh >> 16)
-            dob = dob + timedelta(days=(mh >> 24) % (cfg.date_d_max - 5))
+            dob = dob + timedelta(days=(mh >> 24) % max(1, cfg.date_d_max - 5))
     hot = (eh >> 48) % 100 < cfg.hot_pct
     blk = "hot" if hot else f"{last[:1]}{dob.year % 10}"
     return {
@@ -316,9 +325,12 @@ def project_fields(docs: DataFrame, kinds: list[str] | None = None) -> DataFrame
 
 def spans_preserved(inp: DataFrame, out: DataFrame, key: str = "doc_id") -> bool:
     """True iff every output row's spans equal the input row's spans
-    (kind, text, media_ref, order)."""
+    (kind, text, media_ref, order). FULL-outer join: a dropped input
+    row or an output row with a rewritten/unknown key is a violation
+    too — an inner join would silently skip exactly the rows a broken
+    pipeline corrupts."""
     left = inp.select(F.col(key), F.col("spans").alias("__spans_in"))
-    joined = out.select(F.col(key), "spans").join(left, on=key)
+    joined = out.select(F.col(key), "spans").join(left, on=key, how="full")
     bad = joined.where(
         ~F.col("spans").eqNullSafe(F.col("__spans_in"))
     ).limit(1).count()

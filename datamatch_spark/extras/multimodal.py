@@ -81,13 +81,17 @@ def _decode_ppm(data: bytes, dim: int):
     img = px.reshape(h, w, 3).astype(np.float32) / 255.0
     chan = img.reshape(-1, 3)
     feats = [chan.mean(axis=0), chan.std(axis=0)]
-    # 2x2 block means (coarse layout signature)
+    # 2x2 block means (coarse layout signature); a 1-pixel-tall/wide
+    # image makes the second row/column slice EMPTY (mean -> NaN,
+    # silently poisoning downstream cosine/dedup) — empty blocks fall
+    # back to the whole-image mean
     hh, wh = max(1, h // 2), max(1, w // 2)
-    blocks = [
-        img[i * hh : (i + 1) * hh or None, j * wh : (j + 1) * wh or None].mean()
-        for i in range(2)
-        for j in range(2)
-    ]
+    whole = float(img.mean())
+    blocks = []
+    for i in range(2):
+        for j in range(2):
+            blk = img[i * hh : (i + 1) * hh or None, j * wh : (j + 1) * wh or None]
+            blocks.append(float(blk.mean()) if blk.size else whole)
     vec = np.concatenate([np.concatenate(feats), np.asarray(blocks, np.float32)])
     out = np.zeros(dim, dtype=np.float32)
     out[: min(dim, len(vec))] = vec[:dim]
@@ -101,14 +105,25 @@ def _decode_wav(data: bytes, dim: int):
         rate = wv.getframerate()
         width = wv.getsampwidth()
         raw = wv.readframes(n)
-    dtype = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    scale = float(2 ** (8 * width - 1))
-    x = x / scale
+    # 8-bit PCM WAV is UNSIGNED (midpoint 0x80) per the format spec;
+    # reading it as int8 maps silence (0x80) to -128 -> full-scale
+    # garbage features. 16/32-bit PCM are signed little-endian.
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        x = x / 128.0
+    else:
+        dtype = {2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        x = x / float(2 ** (8 * width - 1))
     if len(x) == 0:
         vec = np.zeros(4, dtype=np.float32)
     else:
-        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        # np.diff of a single sample is empty -> mean NaN; 0 crossings
+        zc = (
+            float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+            if len(x) > 1
+            else 0.0
+        )
         vec = np.asarray(
             [np.sqrt(np.mean(x * x)), np.abs(x).max(), x.mean(), zc],
             dtype=np.float32,
@@ -172,6 +187,11 @@ def decode_media(media: DataFrame, codec: str = "fake", dim: int = 8) -> DataFra
         )
     if codec not in ("fake", "ppm", "wav"):
         raise ValueError(f"unknown codec {codec!r}")
+    if not 1 <= dim <= 16:
+        # the fake codec derives features from a blake2b digest of
+        # 4*dim bytes (cap 64); validate HERE rather than dying deep
+        # inside a Python worker with an opaque digest_size error
+        raise ValueError(f"dim must be in [1, 16], got {dim}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

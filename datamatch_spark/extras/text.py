@@ -74,7 +74,8 @@ def with_quality(df: DataFrame, col: str = "text") -> DataFrame:
 
 def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     """Marker-token language heuristic: count marker hits per language,
-    argmax (ties + zero hits -> 'und')."""
+    argmax; zero hits -> 'und'; ties break to the alphabetically
+    first language (deterministic, mirrored by the DuckDB oracle)."""
     t = tokens(F.lower(F.col(col)))
     hit_cols = {}
     for lang, markers in LANG_MARKERS.items():

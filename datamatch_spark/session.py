@@ -68,7 +68,9 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         if master.startswith("local["):
-            inner = master[len("local[") : -1]
+            # 'local[N,maxFailures]' is a legal Spark master form —
+            # only the first field is the core count
+            inner = master[len("local[") : -1].split(",")[0]
             shuffle_partitions = cpus if inner == "*" else max(int(inner), 1)
         else:
             shuffle_partitions = 200
