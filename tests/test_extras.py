@@ -498,3 +498,46 @@ def test_band_weight_validation(docs):
         D.minhash_lsh_pairs(docs, "doc_id", band_fn_weight=2.0)
     with pytest.raises(ValueError, match="non-negative"):
         D.auto_bands(64, 0.7, fp_weight=-1.0, fn_weight=2.0)
+
+
+def test_wav_8bit_unsigned_and_edge_cases():
+    """8-bit PCM WAV is unsigned (midpoint 0x80): silence must decode
+    to ~zero features, not full-scale garbage; 1-frame audio must not
+    produce NaN zero-crossing."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav8(samples_u8, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(1)
+            wv.setframerate(rate)
+            wv.writeframes(bytes(samples_u8))
+        return buf.getvalue()
+
+    n, rate, feats = M._decode_wav(wav8([0x80] * 1000), 4)
+    assert n == 1000 and abs(feats[0]) < 1e-6 and abs(feats[2]) < 1e-6
+    # 1-frame: finite features, zero crossings
+    n1, _, f1 = M._decode_wav(wav8([0xFF]), 4)
+    assert n1 == 1 and all(np.isfinite(f1)) and f1[3] == 0.0
+
+
+def test_ppm_one_pixel_dim_no_nan():
+    import numpy as np
+
+    img = np.full((1, 4, 3), 100, dtype=np.uint8)
+    w, h, feats = M._decode_ppm(M.encode_ppm(img), 10)
+    assert (w, h) == (4, 1) and all(np.isfinite(feats))
+    tall = np.full((4, 1, 3), 100, dtype=np.uint8)
+    w2, h2, f2 = M._decode_ppm(M.encode_ppm(tall), 10)
+    assert (w2, h2) == (1, 4) and all(np.isfinite(f2))
+
+
+def test_decode_media_dim_validated(spark):
+    docs = generate_documents(spark, CorpusConfig(n_docs=5, seed=5))
+    media = M.media_table_from_docs(docs)
+    with pytest.raises(ValueError, match="dim"):
+        M.decode_media(media, dim=17)
