@@ -84,6 +84,14 @@ def main() -> int:
         }
     out["memcpy_ceiling_eff"] = out["memcpy"]["ceiling_eff"]
     out["cpu_ceiling_eff"] = out["cpu"]["ceiling_eff"]
+    # sanity: on a starved host a leg can return nonsense (observed
+    # 0.14 GB/s single-leg readings -> "ceiling eff" of 176). Flag
+    # readings no one should pair with a bench result.
+    out["valid"] = (
+        out["memcpy"]["8_cores"] >= 5.0
+        and out["memcpy"]["32_cores"] >= 5.0
+        and out["memcpy"]["ratio_8_to_32"] <= 4.0
+    )
     print(json.dumps(out))
     return 0
 
