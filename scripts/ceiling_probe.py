@@ -87,8 +87,11 @@ def main() -> int:
     # sanity: on a starved host a leg can return nonsense (observed
     # 0.14 GB/s single-leg readings -> "ceiling eff" of 176). Flag
     # readings no one should pair with a bench result.
+    # the 8-core leg must also be PLAUSIBLE in absolute terms (>= 40
+    # GB/s for any healthy 8-core memcpy): a starved low leg flatters
+    # the ratio without the bus actually having capacity
     out["valid"] = (
-        out["memcpy"]["8_cores"] >= 5.0
+        out["memcpy"]["8_cores"] >= 40.0
         and out["memcpy"]["32_cores"] >= 5.0
         and out["memcpy"]["ratio_8_to_32"] <= 4.0
     )
