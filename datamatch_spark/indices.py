@@ -25,11 +25,14 @@ Key semantics preserved from the reference:
 
 from __future__ import annotations
 
+import logging
 from abc import ABC, abstractmethod
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "BaseIndex",
@@ -137,6 +140,12 @@ class BaseIndex(ABC):
         """Source columns this index reads (for column pruning)."""
         return set()
 
+    def iter_leaves(self):
+        """Yield the leaf indices of the (possibly composite) tree —
+        the metrics sink walks this to find indices with per-index
+        observability hooks (e.g. ``QGramIndex.stop_grams``)."""
+        yield self
+
 
 class NoopIndex(BaseIndex):
     """Single bucket — the full cross product. Test/small data only; at
@@ -227,6 +236,10 @@ class MultiIndex(BaseIndex):
         for i in self._indices:
             out |= i.required_columns()
         return out
+
+    def iter_leaves(self):
+        for i in self._indices:
+            yield from i.iter_leaves()
 
     def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
         kdfs = [ix.key_df(df, row_key) for ix in self._indices]
@@ -408,6 +421,23 @@ class QGramIndex(BaseIndex):
         keys = self._all_keys(df, row_key)
         hot = self._hot_grams(df, keys)
         if hot is not None:
+            # the recall trade must be visible by default: a pair
+            # whose ONLY shared grams exceed the cap is silently not
+            # a candidate (ADVICE r4)
+            cap = (
+                f"max_df={self._max_df}"
+                if self._max_df is not None
+                else f"max_df_frac={self._max_df_frac} (floor 50)"
+            )
+            logger.warning(
+                "QGramIndex(col=%r, q=%d) prunes q-grams over %s; pairs "
+                "sharing only stop-grams are not blocked. Pass "
+                "max_df=None, max_df_frac=None for exhaustive blocking; "
+                "stop_grams(df, row_key) lists what the cap drops.",
+                self._col,
+                self._q,
+                cap,
+            )
             # hot grams are few by construction (each has > cap rows),
             # so the anti-join side broadcasts. Whole-string (sub-q
             # key) occurrences are exempt: for them the gram IS the

@@ -249,7 +249,10 @@ def _jaro_winkler_core(a: list, b: list, prefix_weight: float) -> np.ndarray:
     neg_bound = -np.minimum(L2, L1 + halflen)
     max_i = int(L2.max()) if n else 0
     for i in range(max_i):
-        k = int(np.searchsorted(neg_bound, -i, side="right"))
+        # side='left': strictly bound > i (side='right' would also
+        # admit bound == i rows, whose window math then relies on the
+        # pad value 0 never matching — false for embedded NULs)
+        k = int(np.searchsorted(neg_bound, -i, side="left"))
         if k == 0:
             break
         phase1 = i < halflen[:k]

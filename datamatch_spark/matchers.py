@@ -368,6 +368,22 @@ class ThresholdMatcher:
                 self._metrics_sink.record_blocks(
                     "blocking", block_statistics(side, dedup=self._dfb is None)
                 )
+                # capped q-gram leaves: write the grams the cap DROPS
+                # (the blocking-recall trade) alongside the block stats
+                # so the prune is visible in the lineage, not only in
+                # an opt-in method call (ADVICE r4)
+                from .indices import BLOCK_KEY as _BK
+
+                for leaf in self._index.iter_leaves():
+                    sg = getattr(leaf, "stop_grams", None)
+                    if sg is None:
+                        continue
+                    dropped = sg(self._dfa, self._row_key).select(
+                        F.col(_BK),
+                        F.col("__df").alias("n_rows"),
+                        F.lit(None).cast("long").alias("n_pairs"),
+                    )
+                    self._metrics_sink.record_blocks("stop_grams", dropped)
         return self._scored
 
     @property

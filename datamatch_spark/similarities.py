@@ -224,8 +224,15 @@ class DateSimilarity(BaseSimilarity):
         # floor of the ABSOLUTE time difference in days — identical to
         # the batch/scalar faces on timestamps (datediff is a
         # calendar-DATE diff: 23:00 vs next-day 01:00 would count as a
-        # full day apart and faces would disagree near the threshold)
-        ts_a, ts_b = F.unix_timestamp(a), F.unix_timestamp(b)
+        # full day apart and faces would disagree near the threshold).
+        # unix_timestamp over a cast, not the raw column: on a
+        # string-typed date column ('2000-10-11') raw unix_timestamp
+        # demands the full 'yyyy-MM-dd HH:mm:ss' pattern — ANSI throws
+        # CANNOT_PARSE_TIMESTAMP, non-ANSI yields silent NULLs — while
+        # cast('timestamp') accepts date-only strings and preserves
+        # time-of-day for timestamp strings/columns
+        ts_a = F.unix_timestamp(a.cast("timestamp"))
+        ts_b = F.unix_timestamp(b.cast("timestamp"))
         days = F.floor(F.abs(ts_a - ts_b) / F.lit(86400)).cast("double")
         same_year = F.year(ad) == F.year(bd)
         stage1 = days < self._d_max

@@ -47,6 +47,7 @@ def streaming_exact_dedup(
     text_col: str = "text",
     event_time_col: str | None = None,
     delay: str = "10 minutes",
+    id_col: str | None = "doc_id",
 ) -> DataFrame:
     """Keep the first arrival of each distinct (lowercased) text.
 
@@ -59,16 +60,28 @@ def streaming_exact_dedup(
     NULL-text documents all pass through: the fingerprint for a NULL
     text falls back to a per-row unique value (dropDuplicates treats
     NULL keys as EQUAL, which would silently swallow every null-text
-    document after the first — e.g. extraction failures).
+    document after the first — e.g. extraction failures). The
+    fallback is derived DETERMINISTICALLY from ``id_col`` when that
+    column exists: a task retry / micro-batch replay then re-derives
+    the same key and the dedup state suppresses the replayed copy
+    (exactly-once per fingerprint). Only when no id column is
+    available does it degrade to ``F.uuid()`` — which weakens
+    null-text rows to at-least-once under replay (ADVICE r4).
     """
     from .extras.dedup import content_fingerprint
 
+    if id_col is not None and id_col in stream.columns:
+        # inner coalesce: a NULL id must not collapse the whole concat
+        # to NULL (dropDuplicates treats NULL keys as equal)
+        null_fp = F.concat(
+            F.lit("null:"),
+            F.coalesce(F.col(id_col).cast("string"), F.uuid()),
+        )
+    else:
+        null_fp = F.concat(F.lit("null:"), F.uuid())
     out = stream.withColumn(
         "__fp",
-        F.coalesce(
-            content_fingerprint(text_col),
-            F.concat(F.lit("null:"), F.uuid()),
-        ),
+        F.coalesce(content_fingerprint(text_col), null_fp),
     )
     if event_time_col is not None:
         out = out.withWatermark(event_time_col, delay)

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Session-long healthy-window watcher for the executor-scaling number.
+
+Every ``--interval`` seconds: run ``ceiling_probe.py`` and append its
+JSON (with a timestamp) to ``scripts/probe_log_r05.jsonl``. When a
+probe is BOTH healthy (``valid`` and ``memcpy_ceiling_eff >= 0.5``)
+AND the host is idle (1-min loadavg below ``--max-load``, so the
+builder's own pytest/bench runs don't contaminate the measurement),
+fire one pinned ``executor_scaling_bench.py --pin --warmup`` round and
+append its stdout to ``scripts/scaling_fire_r05.jsonl``. At most
+``--max-fires`` fires, >= ``--cooldown`` s apart.
+
+Rationale (VERDICT r4 "Next round" #2): the >= 0.8 north-rule scaling
+target has only ever been measured in bandwidth-starved windows; the
+watcher's job is to catch the rare healthy one and pair the engine
+number with a same-minute hardware ceiling.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+PROBE_LOG = os.path.join(HERE, "probe_log_r05.jsonl")
+FIRE_LOG = os.path.join(HERE, "scaling_fire_r05.jsonl")
+
+
+def probe(seconds: float) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "ceiling_probe.py"),
+         "--seconds", str(seconds)],
+        capture_output=True, text=True, timeout=300,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interval", type=float, default=480.0)
+    ap.add_argument("--probe-seconds", type=float, default=2.0)
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--max-load", type=float, default=4.0)
+    ap.add_argument("--max-fires", type=int, default=3)
+    ap.add_argument("--cooldown", type=float, default=2400.0)
+    args = ap.parse_args()
+
+    fires, last_fire = 0, 0.0
+    while True:
+        ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+        try:
+            p = probe(args.probe_seconds)
+        except Exception as e:  # noqa: BLE001 - keep the watcher alive
+            p = {"error": f"{type(e).__name__}: {e}"}
+        load1 = os.getloadavg()[0]
+        p["ts"], p["load1"] = ts, round(load1, 2)
+        with open(PROBE_LOG, "a") as f:
+            f.write(json.dumps(p) + "\n")
+        healthy = (
+            p.get("valid")
+            and p.get("memcpy_ceiling_eff", 0) >= args.threshold
+            and load1 < args.max_load
+        )
+        if healthy and fires < args.max_fires and \
+                time.time() - last_fire >= args.cooldown:
+            fires += 1
+            last_fire = time.time()
+            rec = {"ts": ts, "trigger_probe": p}
+            try:
+                out = subprocess.run(
+                    [sys.executable,
+                     os.path.join(HERE, "executor_scaling_bench.py"),
+                     "--pin", "--warmup", "--repeats", "2"],
+                    capture_output=True, text=True, timeout=3600,
+                    cwd=os.path.dirname(HERE),
+                )
+                rec["stdout"] = out.stdout.strip().splitlines()
+                # pair with a same-minute closing probe
+                rec["closing_probe"] = probe(args.probe_seconds)
+            except Exception as e:  # noqa: BLE001
+                rec["error"] = f"{type(e).__name__}: {e}"
+            with open(FIRE_LOG, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        time.sleep(args.interval)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -412,6 +412,28 @@ class TestQGramStopGrams:
         assert len(default_cap) < total * 0.2
         assert (n, n + 1) in default_cap
 
+    def test_capped_qgram_warns_by_default(self, spark, caplog):
+        """ADVICE r4: the default cap is a silent recall trade unless
+        it announces itself — key_df with an active cap logs a warning
+        naming the cap and the stop_grams escape hatch; the uncapped
+        index stays quiet."""
+        import logging
+
+        from datamatch_spark import QGramIndex
+
+        df = spark.createDataFrame(
+            [(i, f"name{i:03d}") for i in range(10)], "row_key long, name string"
+        )
+        with caplog.at_level(logging.WARNING, logger="datamatch_spark.indices"):
+            QGramIndex("name", q=3).key_df(df, "row_key")
+        assert any("stop_grams" in r.message for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="datamatch_spark.indices"):
+            QGramIndex("name", q=3, max_df=None, max_df_frac=None).key_df(
+                df, "row_key"
+            )
+        assert not caplog.records
+
     def test_stop_grams_report(self, spark):
         from datamatch_spark import QGramIndex
 

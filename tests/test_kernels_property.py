@@ -9,7 +9,7 @@ from hypothesis import strategies as st
 
 from datamatch_spark.kernels import jaro_winkler_batch, lev_ratio_batch
 
-ALPHA = "abcde é中𝕊"  # small alphabet -> collisions/ties; spans the
+ALPHA = "abcde é中𝕊\x00"  # small alphabet -> collisions/ties; spans the
 # uint8 (ASCII) / uint16 (BMP) / uint32 (astral 𝕊) encode paths
 
 
@@ -94,6 +94,20 @@ def test_jaro_winkler_batch_matches_scalar_reference(pairs):
     got = jaro_winkler_batch(a, b)
     for i, (x, y) in enumerate(pairs):
         assert abs(got[i] - _scalar_jw(x, y)) < 1e-12, (x, y)
+
+
+def test_jw_embedded_nul_no_spurious_pad_match():
+    # ADVICE r4: the prefix slice must exclude rows whose step bound
+    # EQUALS i (side='left'); with side='right' the inactive row reads
+    # S2's pad value 0 at step i and an embedded NUL in s1 at the
+    # still-eligible window position records a spurious match
+    # (observed: 0.667 instead of 0.0 for this batch). The longer
+    # second row keeps the loop alive past the first row's bound.
+    a = ["a\x00", "abcde"]
+    b = ["cd", "abcde"]
+    got = jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert abs(got[i] - _scalar_jw(x, y)) < 1e-12, (x, y, got[i])
 
 
 def test_scalar_reference_reproduces_golden_witnesses():

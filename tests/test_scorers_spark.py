@@ -89,6 +89,34 @@ def test_date_expr_all_branches(spark):
         assert abs(got - want) < TOL, (a, b, got, want)
 
 
+def test_date_expr_string_typed_columns(spark):
+    # ADVICE r4 (high): STRING-typed date columns ('2000-10-11') must
+    # score like DateType — raw unix_timestamp would throw
+    # CANNOT_PARSE_TIMESTAMP under ANSI (Spark 4 default) or silently
+    # NULL every stage-1 pair with ANSI off
+    cases = [
+        ("2000-10-11", "2000-10-11", 1.0),
+        ("2000-10-11", "2000-10-05", 0.8),
+        ("2000-10-11", "2000-11-05", 0.16666666666666663),
+        ("2000-10-11", "2001-03-15", 0.0),
+        ("2000-09-11", "2000-11-09", 0.5),
+        ("2000-03-20", "2000-08-20", 0.875),
+    ]
+    for a, b, want in cases:
+        got = run_sim(spark, DateSimilarity(30), "string", a, b)
+        assert abs(got - want) < TOL, (a, b, got, want)
+    # timestamp STRINGS keep time-of-day: 29.96 days apart floors to
+    # 29 days -> stage 1 (a calendar datediff would say 30 -> 0.0)
+    got = run_sim(
+        spark,
+        DateSimilarity(30),
+        "string",
+        "2000-10-01 00:30:00",
+        "2000-10-30 23:30:00",
+    )
+    assert abs(got - (1.0 - 29.0 / 30.0)) < TOL
+
+
 # ------------------------------------------------------------- scorers
 
 

@@ -279,6 +279,28 @@ def test_streaming_exact_dedup_null_texts_pass_through(spark, tmp_path):
     assert len(got) == 4 and {1, 2, 4} <= set(got)
 
 
+def test_streaming_exact_dedup_null_fp_deterministic_on_replay(spark):
+    """ADVICE r4: the null-text fallback fingerprint must be
+    DETERMINISTIC (derived from the id column) so a micro-batch
+    replay / task retry re-derives the same key and dedup state
+    suppresses the replayed copy — uuid() would mint a fresh key per
+    attempt, weakening null texts to at-least-once."""
+    from datamatch_spark.streaming import streaming_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    out = streaming_exact_dedup(df.unionAll(df))  # replayed batch
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 2]
+    # without an id column the fallback degrades to per-row uuid
+    # (documented at-least-once) but null rows still all pass through
+    no_id = streaming_exact_dedup(
+        spark.createDataFrame([(None,), (None,)], "text string")
+    )
+    assert no_id.count() == 2
+
+
 def test_streaming_near_dup_redelivery_is_idempotent(spark, tmp_path):
     """At-least-once redelivery: a doc id already in bucket state must
     not be appended again (duplicate state emits duplicate pairs and
