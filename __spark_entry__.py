@@ -325,9 +325,11 @@ def q_qgram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_phonetic_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phonetic (Soundex) blocking (§ Christen 4.3; rows-only — DuckDB
-    has no built-in soundex; the index is cross-checked in pytest
-    against an independent pure-Python Soundex reimplementation)."""
+    """Phonetic (Soundex) blocking (Christen §4.3). Hard oracle: DuckDB
+    has no built-in soundex, so ``oracle_sql()`` carries a pure-SQL
+    American Soundex (``_duckdb_soundex``) replicating Spark's exact
+    semantics; the index is ALSO cross-checked in pytest against an
+    independent pure-Python Soundex reimplementation."""
     from datamatch_spark.indices import PhoneticIndex
     from datamatch_spark.pairing import candidate_pairs
 
@@ -978,6 +980,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _duckdb_soundex(col: str) -> str:
+    """American Soundex as a pure DuckDB expression, replicating Spark's
+    ``soundex`` (UTF8String.soundex) exactly: first char kept (pass-through
+    of the WHOLE string when it isn't A-Z), H/W ignored WITHOUT resetting
+    the last code (string removal preserves that), vowels/non-letters map
+    to '0' (reset separators), adjacent duplicate codes collapse, then
+    separators drop and the result pads/truncates to 4. DuckDB's RE2 has
+    no pattern backreferences, so run-collapse is one regexp per digit.
+    Parity-tested against Spark soundex in tests/test_entry.py."""
+    m = "'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301202'"
+    first = f"substr({col},1,1)"
+    fcode = (
+        f"CASE WHEN {first} IN ('H','W') THEN '7' "
+        f"ELSE translate({first}, {m}) END"
+    )
+    rest = (
+        f"translate(replace(replace(regexp_replace(substr({col},2), "
+        f"'[^A-Z]', '0', 'g'), 'H',''),'W',''), {m})"
+    )
+    seq = f"({fcode} || {rest})"
+    for d in "01234567":
+        seq = f"regexp_replace({seq}, '{d}{d}+', '{d}', 'g')"
+    digits = f"replace(substr({seq}, 2), '0','')"
+    return (
+        f"CASE WHEN {first} BETWEEN 'A' AND 'Z' "
+        f"THEN substr({first} || {digits} || '000', 1, 4) "
+        f"ELSE {col} END"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "block_stats": f"""
@@ -1183,6 +1215,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.lang = b.lang AND a.source = b.source
             WHERE a.doc_id % 40 < 20 AND b.doc_id % 40 >= 20
+        """,
+        "phonetic_candidates": f"""
+            WITH k AS (
+              SELECT doc_id, upper(split_part(text, ' ', 1)) AS u
+              FROM documents WHERE doc_id < 200
+            ), sx AS (
+              SELECT doc_id, {_duckdb_soundex('u')} AS code FROM k
+            ), keyed AS (
+              SELECT doc_id, code FROM sx
+              WHERE code IS NOT NULL AND length(code) > 0
+            )
+            SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM keyed a JOIN keyed b
+              ON a.code = b.code AND a.doc_id < b.doc_id
         """,
         "qgram_candidates": """
             WITH k AS (

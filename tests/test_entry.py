@@ -111,6 +111,33 @@ def test_entry_smoke(spark):
     assert df.columns[0] == "cluster_idx"
 
 
+def test_duckdb_soundex_matches_spark_on_edge_cases(spark):
+    """The oracle's pure-SQL Soundex must replicate Spark's soundex
+    byte-for-byte on the hard cases: H/W ignored without code reset
+    (ASHCRAFT, BHB, SCHWARZ), first-letter code dedup (PFISTER),
+    non-letter separators (O'BRIEN, X1Y2Z3), pass-through for
+    non-A-Z-leading values (123ABC, É), vowel runs, empties."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "ROBERT", "RUPERT", "ASHCRAFT", "ASHCROFT", "TYMCZAK", "PFISTER",
+        "HONEYMAN", "A", "AA", "HW", "WH", "123ABC", "O'BRIEN", "MCDONALD",
+        "LLOYD", "JACKSON", "", "H", "W", "BHB", "SCHWARZ", "X1Y2Z3",
+        "AEIOU", "C3PO", "ÉCLAIR",
+    ]
+    sp = {
+        r["u"]: r["s"]
+        for r in spark.createDataFrame([(c,) for c in cases], "u string")
+        .select("u", F.soundex("u").alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    expr = entry_mod._duckdb_soundex("u")
+    for c in cases:
+        got = con.execute(f"SELECT {expr} FROM (SELECT ? AS u)", [c]).fetchone()[0]
+        assert got == sp[c], (c, got, sp[c])
+
+
 def test_phonetic_query_deterministic_across_partitioning(spark):
     """q_phonetic_candidates samples via a doc_id predicate (not
     .limit), so its result is identical however the read is split."""
