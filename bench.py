@@ -18,6 +18,13 @@ Headline workloads:
   multiprobe) over the same tiled embeddings.
 * text_pipeline  — token/quality/fingerprint/lang-id over tiled docs.
 
+Self-evidencing on a noisy host (VERDICT r4): per-query times are
+MEDIANS of $SPARK_GRAFT_REPEATS (default 3) interleaved full passes —
+`query_runs` carries every raw sample — and the JSON embeds
+same-minute `ceiling_probe.py` readings (`ceiling_probe_start/_end`:
+memcpy/cpu ceilings + `valid`) so a reader can tell a degraded host
+from an engine regression without re-running anything.
+
 Run scripts/scaling_bench.py for the N-vs-4N-parallelism scaling
 report (BENCH.md).
 """
@@ -221,10 +228,11 @@ def bench_lsh_ann(spark, sf_dir: str, sf: float):
 
     tile = max(10, int(1000 * sf))
     big = _tiled_embeddings(spark, sf_dir, tile, 13)
+    corpus = big.count()  # scale-proportional work measure for sf1
     queries = big.where(F.col("vec_id") % tile == 0).limit(100).localCheckpoint()
     t0 = time.time()
     n = lsh_topk(big, queries, k=5, n_planes=16).count()
-    return time.time() - t0, n
+    return time.time() - t0, n, corpus
 
 
 def bench_semantic_dedup(spark, sf_dir: str, sf: float):
@@ -237,13 +245,14 @@ def bench_semantic_dedup(spark, sf_dir: str, sf: float):
 
     tile = max(10, int(200 * sf))
     big = _tiled_embeddings(spark, sf_dir, tile, 7)
+    corpus = big.count()  # scale-proportional work measure for sf1
     t0 = time.time()
     n_kept = (
         semantic_dedup(big, threshold=0.999, n_cells=max(8, tile))
         .where(F.col("keep"))
         .count()
     )
-    return time.time() - t0, n_kept
+    return time.time() - t0, n_kept, corpus
 
 
 def bench_cc_cluster(spark, matcher):
@@ -357,10 +366,82 @@ def _warmup(spark, sf_dir: str):
     out.where(F.col("quality_score") > 0).count()
 
 
+def _ceiling_probe(seconds: float = 2.0) -> dict:
+    """Same-minute hardware ceilings (scripts/ceiling_probe.py) embedded
+    in the bench JSON: a reader can tell a degraded host from an engine
+    regression without re-running anything (VERDICT r4 'What's wrong'
+    #1 — this host's noisy-neighbor variance is ±40%)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "ceiling_probe.py"),
+             "--seconds", str(seconds)],
+            capture_output=True, text=True, timeout=240,
+        )
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        p = json.loads(line)
+        return {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "memcpy_8c_gbps": p["memcpy"]["8_cores"],
+            "memcpy_32c_gbps": p["memcpy"]["32_cores"],
+            "memcpy_ceiling_eff": p["memcpy_ceiling_eff"],
+            "cpu_ceiling_eff": p["cpu_ceiling_eff"],
+            "valid": p["valid"],
+        }
+    except Exception as e:  # pragma: no cover - defensive
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def _run_suite(spark, sf_dir: str, sf: float, clear_rdd_cache) -> tuple[dict, dict]:
+    """One full pass of the sf-level suite; returns (times, counts)."""
+    times, counts = {}, {}
+    t_er, n_pairs, matcher = bench_er_dedup(spark, sf)
+    times["er_dedup"], counts["pairs_scored"] = t_er, n_pairs
+    t_cc, n_members = bench_cc_cluster(spark, matcher)
+    times["cc_cluster"], counts["cluster_members"] = t_cc, n_members
+    clear_rdd_cache()
+    t_bk, n_bk = bench_er_dedup_bucketed(spark, sf)
+    times["er_dedup_bucketed"], counts["bucketed_pairs_scored"] = t_bk, n_bk
+    clear_rdd_cache()
+    t_sw, n_sw = bench_er_swap(spark, sf)
+    times["er_swap"], counts["swap_pairs"] = t_sw, n_sw
+    clear_rdd_cache()
+    t_mh, n_mh = bench_minhash(spark, sf_dir, sf)
+    times["minhash_dedup"], counts["minhash_pairs"] = t_mh, n_mh
+    clear_rdd_cache()
+    t_cos, n_cos = bench_cosine(spark, sf_dir, sf)
+    times["cosine_topk"], counts["cosine_rows"] = t_cos, n_cos
+    clear_rdd_cache()
+    t_ann, n_ann, ann_corpus = bench_lsh_ann(spark, sf_dir, sf)
+    times["lsh_ann"], counts["ann_rows"] = t_ann, n_ann
+    counts["ann_corpus_rows"] = ann_corpus
+    clear_rdd_cache()
+    t_sd, n_sd, sd_corpus = bench_semantic_dedup(spark, sf_dir, sf)
+    times["semantic_dedup"], counts["semantic_kept"] = t_sd, n_sd
+    counts["semantic_corpus_rows"] = sd_corpus
+    clear_rdd_cache()
+    t_txt, n_txt = bench_text(spark, sf_dir, sf)
+    times["text_pipeline"], counts["text_rows"] = t_txt, n_txt
+    clear_rdd_cache()
+    return times, counts
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     sf = _sf_of(sf_dir)
+    probe_start = _ceiling_probe()
     spark = build_session(cpus)
     _warmup(spark, sf_dir)
 
@@ -372,32 +453,36 @@ def main():
         while it.hasNext():
             it.next().unpersist(False)
 
-    queries = {}
-    t_er, n_pairs, matcher = bench_er_dedup(spark, sf)
-    queries["er_dedup"] = round(t_er, 3)
-    t_cc, n_members = bench_cc_cluster(spark, matcher)
-    queries["cc_cluster"] = round(t_cc, 3)
-    _clear_rdd_cache()
-    t_bk, n_bk = bench_er_dedup_bucketed(spark, sf)
-    queries["er_dedup_bucketed"] = round(t_bk, 3)
-    _clear_rdd_cache()
-    t_sw, n_sw = bench_er_swap(spark, sf)
-    queries["er_swap"] = round(t_sw, 3)
-    _clear_rdd_cache()
-    t_mh, n_mh = bench_minhash(spark, sf_dir, sf)
-    queries["minhash_dedup"] = round(t_mh, 3)
-    _clear_rdd_cache()
-    t_cos, n_cos = bench_cosine(spark, sf_dir, sf)
-    queries["cosine_topk"] = round(t_cos, 3)
-    _clear_rdd_cache()
-    t_ann, n_ann = bench_lsh_ann(spark, sf_dir, sf)
-    queries["lsh_ann"] = round(t_ann, 3)
-    _clear_rdd_cache()
-    t_sd, n_sd = bench_semantic_dedup(spark, sf_dir, sf)
-    queries["semantic_dedup"] = round(t_sd, 3)
-    _clear_rdd_cache()
-    t_txt, n_txt = bench_text(spark, sf_dir, sf)
-    queries["text_pipeline"] = round(t_txt, 3)
+    # MEDIANS of `repeats` interleaved full passes (VERDICT r4 #1):
+    # one pass is a single sample on a host with ±40% noise; round-
+    # robin passes + per-query medians make one contended window
+    # visible (inflated spread) instead of recorded as the number.
+    rounds: list[dict] = []
+    counts: dict = {}
+    for r in range(repeats):
+        times, cts = _run_suite(spark, sf_dir, sf, _clear_rdd_cache)
+        rounds.append(times)
+        if r == 0:
+            counts = cts
+        elif cts != counts:  # row counts must be run-invariant
+            raise AssertionError(f"non-deterministic counts: {cts} != {counts}")
+    queries = {
+        k: round(_median([rt[k] for rt in rounds]), 3) for k in rounds[0]
+    }
+    probe_end = _ceiling_probe()
+    t_er = queries["er_dedup"]
+    t_cc = queries["cc_cluster"]
+    n_pairs = counts["pairs_scored"]
+    n_members = counts["cluster_members"]
+    n_bk = counts["bucketed_pairs_scored"]
+    n_sw = counts["swap_pairs"]
+    n_mh = counts["minhash_pairs"]
+    n_cos = counts["cosine_rows"]
+    n_ann = counts["ann_rows"]
+    n_sd = counts["semantic_kept"]
+    n_txt = counts["text_rows"]
+    t_sw = queries["er_swap"]
+    t_mh = queries["minhash_dedup"]
 
     # ---- sf1 section (VERDICT r3 #6): the same core pipeline at a
     # 10x data scale, in the same driver-conditions run, so the
@@ -411,7 +496,7 @@ def main():
         # healthy host): a degraded host skips the remaining queries
         # instead of blowing the driver's bench window; skipped queries
         # report null, `sf1.skipped` lists them.
-        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
+        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "600"))
         t_start = time.time()
         skipped = []
 
@@ -442,6 +527,23 @@ def main():
                     t1_mh, n1_mh = bench_minhash(spark, sf_dir, 1.0)
                     sf1_q["minhash_dedup"] = round(t1_mh, 3)
                     _clear_rdd_cache()
+            # ANN/semantic family at 10x corpus (VERDICT r4 #5): work
+            # measure is CORPUS rows (top-k output rows are constant
+            # by construction, so they can't be the work unit)
+            t1_ann = n1_ann = ann1_corpus = 0
+            t1_sd = n1_sd = sd1_corpus = 0
+            if _over("lsh_ann"):
+                skipped.append("semantic_dedup")
+            else:
+                t1_ann, n1_ann, ann1_corpus = bench_lsh_ann(spark, sf_dir, 1.0)
+                sf1_q["lsh_ann"] = round(t1_ann, 3)
+                _clear_rdd_cache()
+                if not _over("semantic_dedup"):
+                    t1_sd, n1_sd, sd1_corpus = bench_semantic_dedup(
+                        spark, sf_dir, 1.0
+                    )
+                    sf1_q["semantic_dedup"] = round(t1_sd, 3)
+                    _clear_rdd_cache()
             sf1 = {
                 "sf": 1.0,
                 "queries": sf1_q,
@@ -451,6 +553,10 @@ def main():
                 "cluster_members": n1_members,
                 "swap_pairs": n1_sw,
                 "minhash_pairs": n1_mh,
+                "ann_rows": n1_ann,
+                "ann_corpus_rows": ann1_corpus,
+                "semantic_kept": n1_sd,
+                "semantic_corpus_rows": sd1_corpus,
                 # (work/s at sf1) / (work/s at the base sf): 1.0 means
                 # perfectly scale-proportional wall clock
                 "throughput_ratio": {
@@ -464,6 +570,10 @@ def main():
                         ("cc_cluster", n_members, t_cc, n1_members, t1_cc),
                         ("er_swap", n_sw, t_sw, n1_sw, t1_sw),
                         ("minhash_dedup", n_mh, t_mh, n1_mh, t1_mh),
+                        ("lsh_ann", counts["ann_corpus_rows"],
+                         queries["lsh_ann"], ann1_corpus, t1_ann),
+                        ("semantic_dedup", counts["semantic_corpus_rows"],
+                         queries["semantic_dedup"], sd1_corpus, t1_sd),
                     ]
                 },
             }
@@ -476,6 +586,12 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "repeats": repeats,
+        "query_runs": {
+            k: [round(rt[k], 3) for rt in rounds] for k in rounds[0]
+        },
+        "ceiling_probe_start": probe_start,
+        "ceiling_probe_end": probe_end,
         "sf": sf,
         "cpus": cpus,
         "pairs_scored": n_pairs,
@@ -486,7 +602,9 @@ def main():
         "minhash_pairs": n_mh,
         "cosine_rows": n_cos,
         "ann_rows": n_ann,
+        "ann_corpus_rows": counts["ann_corpus_rows"],
         "semantic_kept": n_sd,
+        "semantic_corpus_rows": counts["semantic_corpus_rows"],
         "text_rows": n_txt,
     }
     if sf1 is not None:
