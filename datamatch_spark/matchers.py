@@ -218,24 +218,14 @@ class ThresholdMatcher:
         mv = self._variator.max_variants
         from .variators import Swap
 
-        from pyspark.sql import types as _T
-
-        _swap_float = type(self._variator) is Swap and any(
-            isinstance(
-                rec_schema[c].dataType, (_T.FloatType, _T.DoubleType)
-            )
-            for c in (self._variator._col_a, self._variator._col_b)
-            if c in rec_schema.fieldNames()
-        )
+        # float swap columns included: the fused UDF's swap gate is
+        # computed JVM-side (~eqNullSafe boolean inputs), so the
+        # Arrow NULL-vs-NaN ambiguity that used to force those pairs
+        # onto the 4x inline-combo path is gone (VERDICT r4 #4)
         swap_fusable = (
             type(self._variator) is Swap
             and callable(getattr(self._scorer, "compile_swap_max", None))
             and self._scorer.can_swap_fuse()
-            # float swap columns: Arrow->pandas turns NULL into NaN, so
-            # the fused UDF cannot reproduce eqNullSafe's NULL-vs-NaN
-            # distinction in its swap gate; the inline-combo path
-            # evaluates the gate JVM-side with exact semantics
-            and not _swap_float
         )
         if self._variator.is_noop:
             ctx = CompileCtx(df=pairs)

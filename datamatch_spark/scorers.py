@@ -184,7 +184,13 @@ class SimSumScorer(BaseScorer):
         * combo validity mirrors Swap's null-safe-unequal gate
           (reference variators.py:32-59) and invalid combos are
           excluded like greatest() ignores the guard NULLs; NaN scores
-          win comparisons (np.maximum) matching Spark's greatest.
+          win comparisons (np.maximum) matching Spark's greatest;
+        * the swap gates are computed JVM-SIDE (``~eqNullSafe``) and fed
+          to the UDF as boolean columns: Arrow->pandas turns a float
+          NULL into NaN, so a pandas-side gate could not distinguish
+          NULL vs NaN (NULL <=> NaN is false — a swap — while
+          NaN <=> NaN is true — no swap). This keeps float swap
+          columns on the fused path (VERDICT r4 #4).
 
         Works when x/y themselves are scored or not: an unscored
         swapped column still flips the swap gate and feeds no kernel.
@@ -214,12 +220,6 @@ class SimSumScorer(BaseScorer):
             and vars(sim_x) == vars(sim_y)
         )
 
-        def nullsafe_neq(u: pd.Series, v: pd.Series) -> "np.ndarray":
-            na_u, na_v = u.isna().to_numpy(), v.isna().to_numpy()
-            eq_vals = pd.Series(u.to_numpy() == v.to_numpy()).fillna(False).to_numpy()
-            eq = (na_u & na_v) | (~na_u & ~na_v & eq_vals)
-            return ~eq
-
         def masked_sim(sim, a: pd.Series, b: pd.Series, mask: "np.ndarray"):
             if mask.all():  # ~100% swap rate: skip the subset copies
                 nullm = (a.isna() | b.isna()).to_numpy()
@@ -238,11 +238,12 @@ class SimSumScorer(BaseScorer):
         @pandas_udf("double")
         def swap_fused(*cols: pd.Series) -> pd.Series:
             ax, ay, bx, by = cols[0], cols[1], cols[2], cols[3]
-            inv = cols[4:]
+            inv = cols[6:]
             n = len(ax)
             ones = np.ones(n, dtype=bool)
-            swap_a = nullsafe_neq(ax, ay)
-            swap_b = nullsafe_neq(bx, by)
+            # JVM-computed ~eqNullSafe gates (never null)
+            swap_a = np.asarray(cols[4], dtype=bool)
+            swap_b = np.asarray(cols[5], dtype=bool)
             # combo validity: (i, j) needs variant i on a / j on b
             valid = {
                 (0, 0): ones,
@@ -301,6 +302,8 @@ class SimSumScorer(BaseScorer):
             ctx.acol(col_y),
             ctx.bcol(col_x),
             ctx.bcol(col_y),
+            ~ctx.acol(col_x).eqNullSafe(ctx.acol(col_y)),
+            ~ctx.bcol(col_x).eqNullSafe(ctx.bcol(col_y)),
         ]
         for k, _ in items:
             if k not in (col_x, col_y):

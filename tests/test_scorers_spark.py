@@ -282,44 +282,77 @@ def test_alter_scorer_duplicate_keys_raise(spark):
         )._build_scored()
 
 
-def test_swap_on_float_columns_uses_exact_null_semantics(spark):
-    """Float swap columns force the inline path (Arrow turns NULL into
-    NaN inside pandas UDFs, so the fused gate cannot reproduce
-    eqNullSafe); NULL-vs-NaN rows must still swap."""
+def test_swap_on_float_columns_fused_with_exact_null_semantics(spark):
+    """VERDICT r4 #4: float swap columns stay on the FUSED path — the
+    swap gate is computed JVM-side (~eqNullSafe boolean UDF inputs), so
+    the Arrow NULL-vs-NaN ambiguity no longer forces the 4x inline
+    path. Plan shape: ONE ArrowEvalPython, no __va/__vb variant slots;
+    scores bit-identical to the inline-combo path on NULL-vs-NaN,
+    NaN-vs-NaN, and plain swap rows."""
     from datamatch_spark import (
         AbsoluteNumericalSimilarity,
+        JaroWinklerSimilarity,
         NoopIndex,
+        SimSumScorer,
         Swap,
         ThresholdMatcher,
     )
 
     rows = [
-        (0, 5.0, 50.0),
-        (1, 50.0, 5.0),       # swapped copy of 0 -> max combo = 1.0
-        (2, None, float("nan")),
-        (3, float("nan"), None),
+        (0, 5.0, 50.0, "ann"),
+        (1, 50.0, 5.0, "ann"),      # swapped copy of 0 -> max combo = 1.0
+        (2, None, float("nan"), "bob"),   # NULL<=>NaN false -> swaps
+        (3, float("nan"), None, "bob"),
+        (4, float("nan"), float("nan"), "cal"),  # NaN<=>NaN true -> no swap
+        (5, 7.0, 7.0, "cal"),       # equal -> no swap
     ]
-    df = spark.createDataFrame(rows, "id long, p double, q double")
-    m = ThresholdMatcher(
-        NoopIndex(),
-        {"p": AbsoluteNumericalSimilarity(100), "q": AbsoluteNumericalSimilarity(100)},
-        df,
-        row_key="id",
-        validate=False,
-        defer=True,
-        variator=Swap("p", "q"),
-    )
-    scored = m._build_scored()
+    schema = "id long, p double, q double, name string"
+    sims = {
+        "p": AbsoluteNumericalSimilarity(100),
+        "q": AbsoluteNumericalSimilarity(100),
+        "name": JaroWinklerSimilarity(),
+    }
+    df = spark.createDataFrame(rows, schema)
+
+    def build(scorer):
+        return ThresholdMatcher(
+            NoopIndex(), scorer, df, row_key="id", validate=False,
+            defer=True, variator=Swap("p", "q"),
+        )
+
+    m_fused = build(SimSumScorer(sims))
+    scored = m_fused._build_scored()
     plan = scored._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
-    # the inline combo path materializes __va/__vb variant slots; the
-    # (forbidden for float swap cols) swap-fused path has none
-    assert "__va" in plan, plan[:2000]
-    got = {(r["idx_a"], r["idx_b"]): round(r["sim_score"], 6) for r in m.scored_pairs.collect()}
-    assert got[(0, 1)] == 1.0  # swap recovers the exchanged fields
+    assert "__va" not in plan, plan[:2000]
+    # formatted explain prints each node in the tree AND a "(n) Node"
+    # detail header; count the headers -> exactly one Arrow UDF node
+    assert plan.count(") ArrowEvalPython") == 1, plan[:2000]
+    fused = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"]
+        for r in m_fused.scored_pairs.collect()
+    }
+    assert fused[(0, 1)] == 1.0  # swap recovers the exchanged fields
+
+    # bit-identical parity vs the inline-combo path (forced by
+    # disabling the fuse capability on the scorer instance)
+    inline_scorer = SimSumScorer(sims)
+    inline_scorer.can_swap_fuse = lambda: False
+    m_inline = build(inline_scorer)
+    plan_i = m_inline._build_scored()._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "__va" in plan_i
+    inline = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"]
+        for r in m_inline.scored_pairs.collect()
+    }
+    assert fused == inline
 
 
 def test_score_partitions_string_rejected(spark):
