@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["connected_components", "split_cliques", "greedy_one_to_one", "groups_from_pairs"]
+__all__ = [
+    "connected_components",
+    "split_cliques",
+    "split_cliques_iterative",
+    "greedy_one_to_one",
+    "groups_from_pairs",
+]
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -203,7 +209,10 @@ def _greedy_cliques(nodes, adjacency):
 
 
 def split_cliques(
-    pairs_with_component: DataFrame, max_component_edges: int = 10_000_000
+    pairs_with_component: DataFrame,
+    max_component_edges: int = 10_000_000,
+    oversized: str = "error",
+    max_rounds: int = 1000,
 ) -> DataFrame:
     """Split each connected component into greedy cliques.
 
@@ -216,11 +225,37 @@ def split_cliques(
     Each component's edge list is packed into one row (the greedy walk
     is inherently sequential per component; blocking bounds component
     size, so the distribution axis is the huge NUMBER of components).
-    A component above ``max_component_edges`` fails fast with a clear
-    message instead of OOMing a task — that situation means the
-    threshold is too low or blocking too coarse for clique semantics
-    to be meaningful anyway.
+    A component above ``max_component_edges`` is handled per
+    ``oversized`` (SURVEY §7.3's spill path):
+
+    * ``"error"`` (default): fail fast with a clear message instead of
+      OOMing a task — that situation usually means the threshold is
+      too low or blocking too coarse for clique semantics to be
+      meaningful.
+    * ``"iterative"``: route oversized components (counted in one
+      JVM aggregation; the oversized set broadcasts by construction)
+      through :func:`split_cliques_iterative`, the join-based
+      degradation that never holds a whole component in one task.
+      Same deterministic partition, bounded memory, more rounds.
     """
+    if oversized not in ("error", "iterative"):
+        raise ValueError(f"oversized must be 'error' or 'iterative', got {oversized!r}")
+    if oversized == "iterative":
+        big = (
+            pairs_with_component.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_component_edges)
+            .select("component")
+        )
+        small = pairs_with_component.join(
+            F.broadcast(big), on="component", how="left_anti"
+        )
+        large = pairs_with_component.join(
+            F.broadcast(big), on="component", how="left_semi"
+        )
+        return split_cliques(small, max_component_edges).unionByName(
+            split_cliques_iterative(large, max_rounds=max_rounds)
+        )
     idx_type = pairs_with_component.schema["idx_a"].dataType
     out_schema = T.StructType(
         [
@@ -275,6 +310,208 @@ def split_cliques(
             )
 
     return packed.mapInPandas(split_batches, schema=out_schema)
+
+
+def split_cliques_iterative(
+    pairs_with_component: DataFrame, max_rounds: int = 1000
+) -> DataFrame:
+    """Greedy clique split for components too large for one task —
+    pure DataFrame joins, never materializing a whole component's
+    adjacency in one place (SURVEY §7.3's degradation path).
+
+    Produces the SAME deterministic partition as the packed path.
+    Two observations make that possible:
+
+    * the stack-based reference walk is equivalent to "repeatedly add
+      the minimum remaining node adjacent to every current member" —
+      a clique lies inside the seed's neighborhood, rejection is
+      monotone (the clique only grows), so the sorted-neighbor scan
+      and the min-valid-candidate loop pick identical members;
+    * seeds can be carved in PARALLEL when each is the minimum node
+      within its closed 2-hop neighborhood: two such seeds are > 2
+      apart, so their neighborhoods (hence cliques) are disjoint, and
+      no smaller sequential seed can have consumed any of their
+      neighbors. Removing those cliques and repeating reproduces the
+      ascending-seed sequential order exactly.
+
+    Each outer round carves every current 2-hop-minimum seed; the
+    global minimum node is always one, so every round makes progress
+    and rounds <= number of cliques (adversarial ascending chains
+    degrade to one clique per round — ``max_rounds`` guards the
+    pathology). Inner growth adds one member per seed per join round,
+    bounded by the largest clique. Memory per task is O(edges of one
+    node), not O(edges of one component).
+    """
+    idx_type = pairs_with_component.schema["idx_a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.StringType()),
+            T.StructField("sim_score", T.DoubleType()),
+            T.StructField("idx_a", idx_type),
+            T.StructField("idx_b", idx_type),
+        ]
+    )
+    spark = pairs_with_component.sparkSession
+    edges = pairs_with_component.select(
+        "component", "sim_score", "idx_a", "idx_b"
+    ).localCheckpoint()
+    sym = (
+        edges.select("component", F.col("idx_a").alias("u"), F.col("idx_b").alias("v"))
+        .unionByName(
+            edges.select(
+                "component", F.col("idx_b").alias("u"), F.col("idx_a").alias("v")
+            )
+        )
+        .dropDuplicates(["component", "u", "v"])
+        .localCheckpoint()
+    )
+    all_members = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("component", edges.schema["component"].dataType),
+                T.StructField("seed", idx_type),
+                T.StructField("node", idx_type),
+            ]
+        ),
+    )
+    budget = max_rounds
+    while not sym.isEmpty():
+        if budget <= 0:
+            raise RuntimeError(
+                f"split_cliques_iterative exceeded max_rounds={max_rounds}; "
+                "the component's node ordering degrades the parallel carve "
+                "to near-sequential — raise max_rounds or the score "
+                "threshold, or use finer blocking"
+            )
+        # m1(u) = min over N[u]; m2(u) = min over the closed 2-hop ball
+        m1 = (
+            sym.groupBy("component", "u")
+            .agg(F.min("v").alias("__mv"))
+            .select(
+                "component", "u", F.least(F.col("u"), F.col("__mv")).alias("m1")
+            )
+        )
+        m2 = (
+            sym.join(
+                m1.select(
+                    "component", F.col("u").alias("v"), F.col("m1").alias("m1v")
+                ),
+                on=["component", "v"],
+            )
+            .groupBy("component", "u")
+            .agg(F.min("m1v").alias("__mn"))
+            .join(m1, on=["component", "u"])
+            .select(
+                "component",
+                "u",
+                F.least(F.col("m1"), F.col("__mn")).alias("m2"),
+            )
+        )
+        members = (
+            m2.where(F.col("m2") == F.col("u"))
+            .select("component", F.col("u").alias("seed"), F.col("u").alias("node"))
+            .localCheckpoint()
+        )
+        # grow every seed's clique by its minimum valid candidate until
+        # no seed can grow (disjoint neighborhoods -> no contention)
+        while True:
+            budget -= 1
+            if budget <= 0:
+                break  # outer guard raises with the message
+            sizes = members.groupBy("component", "seed").agg(
+                F.count(F.lit(1)).alias("__sz")
+            )
+            adj = sym.join(
+                members.select("component", "seed", F.col("node").alias("v")),
+                on=["component", "v"],
+            ).select("component", "seed", "u")
+            cand = (
+                adj.groupBy("component", "seed", "u")
+                .agg(F.count(F.lit(1)).alias("__hits"))
+                .join(sizes, on=["component", "seed"])
+                .where(F.col("__hits") == F.col("__sz"))
+                .join(
+                    members.select(
+                        "component", "seed", F.col("node").alias("u")
+                    ),
+                    on=["component", "seed", "u"],
+                    how="left_anti",
+                )
+            )
+            new_members = (
+                cand.groupBy("component", "seed")
+                .agg(F.min("u").alias("node"))
+                .select("component", "seed", "node")
+            )
+            if new_members.isEmpty():
+                break
+            members = members.unionByName(new_members).localCheckpoint()
+        all_members = all_members.unionByName(members).localCheckpoint()
+        clustered = members.select("component", "node").localCheckpoint()
+        sym = (
+            sym.join(
+                clustered.select("component", F.col("node").alias("u")),
+                on=["component", "u"],
+                how="left_anti",
+            )
+            .join(
+                clustered.select("component", F.col("node").alias("v")),
+                on=["component", "v"],
+                how="left_anti",
+            )
+            .localCheckpoint()
+        )
+    # cluster index k = ascending seed rank per component (the packed
+    # path appends cliques in ascending-seed discovery order); every
+    # carved clique has >= 2 members, so no singleton filtering needed
+    from pyspark.sql import Window
+
+    ranked = (
+        all_members.select("component", "seed")
+        .distinct()
+        .withColumn(
+            "__k",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy("seed")
+            )
+            - 1,
+        )
+    )
+    labeled = all_members.join(ranked, on=["component", "seed"]).select(
+        "component",
+        "node",
+        F.concat(
+            F.col("component").cast("string"),
+            F.lit("|"),
+            F.col("__k").cast("string"),
+        ).alias("cluster_id"),
+    )
+    return (
+        edges.join(
+            labeled.select(
+                "component",
+                F.col("node").alias("idx_a"),
+                F.col("cluster_id").alias("__ca"),
+            ),
+            on=["component", "idx_a"],
+        )
+        .join(
+            labeled.select(
+                "component",
+                F.col("node").alias("idx_b"),
+                F.col("cluster_id").alias("__cb"),
+            ),
+            on=["component", "idx_b"],
+        )
+        .where(F.col("__ca") == F.col("__cb"))
+        .select(
+            F.col("__ca").alias("cluster_id"),
+            F.col("sim_score").cast("double").alias("sim_score"),
+            F.least("idx_a", "idx_b").alias("idx_a"),
+            F.greatest("idx_a", "idx_b").alias("idx_b"),
+        )
+    )
 
 
 def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:

@@ -74,6 +74,61 @@ def test_split_cliques_triangle_plus_tail(spark):
     assert len(rows) == 3
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_split_cliques_iterative_matches_packed(spark, seed):
+    """The join-based oversized-component path must reproduce the
+    packed path's deterministic partition exactly — cluster ids,
+    scores, member pairs — on random multi-component graphs."""
+    from datamatch_spark.clustering import split_cliques_iterative
+
+    rng = random.Random(seed)
+    rows = []
+    for comp in range(3):
+        nodes = list(range(comp * 100, comp * 100 + rng.randint(4, 12)))
+        edges = set()
+        for _ in range(len(nodes) * 3):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        # keep only the component's spanning connectivity honest: tag
+        # everything with one component id (split_cliques never checks
+        # connectivity, it trusts the label)
+        rows += [
+            (comp, round(rng.uniform(0.5, 1.0), 3), a, b) for a, b in edges
+        ]
+    df = spark.createDataFrame(
+        rows, "component long, sim_score double, idx_a long, idx_b long"
+    )
+    want = sorted(map(tuple, split_cliques(df).collect()))
+    got = sorted(map(tuple, split_cliques_iterative(df).collect()))
+    assert got == want
+
+
+def test_split_cliques_oversized_flag(spark):
+    """At max_component_edges+1: default fails fast; the 'iterative'
+    flag routes the oversized component through the join-based path
+    and still matches the (uncapped) packed result, while small
+    components keep the packed path."""
+    # component 0: 7 edges (oversized at cap 6); component 1: small
+    rows = [
+        (0, 0.9, 0, 1), (0, 0.8, 1, 2), (0, 0.85, 0, 2), (0, 0.95, 2, 3),
+        (0, 0.7, 3, 4), (0, 0.75, 2, 4), (0, 0.72, 3, 5),
+        (1, 0.9, 100, 101),
+    ]
+    df = spark.createDataFrame(
+        rows, "component long, sim_score double, idx_a long, idx_b long"
+    )
+    with pytest.raises(Exception, match="max_component_edges"):
+        split_cliques(df, max_component_edges=6).collect()
+    want = sorted(map(tuple, split_cliques(df).collect()))
+    got = sorted(
+        map(
+            tuple,
+            split_cliques(df, max_component_edges=6, oversized="iterative").collect(),
+        )
+    )
+    assert got == want
+
+
 def _sequential_greedy(pairs):
     """Reference greedy 1:1 (matchers.py:103-117) under the imposed
     total order (sim DESC, idx_a ASC, idx_b ASC)."""
