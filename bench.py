@@ -459,9 +459,13 @@ def main():
     # visible (inflated spread) instead of recorded as the number.
     rounds: list[dict] = []
     counts: dict = {}
+    pass_probes: list[dict] = []
     for r in range(repeats):
         times, cts = _run_suite(spark, sf_dir, sf, _clear_rdd_cache)
         rounds.append(times)
+        # bracket every pass with its own probe so each raw sample in
+        # query_runs is attributable to a host window
+        pass_probes.append(_ceiling_probe())
         if r == 0:
             counts = cts
         elif cts != counts:  # row counts must be run-invariant
@@ -492,8 +496,8 @@ def main():
     # (SPARK_GRAFT_SF1=0 to skip) so the headline line always prints.
     sf1 = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf < 1.0:
-        # soft wall-clock budget for the whole sf1 section (~340 s on a
-        # healthy host): a degraded host skips the remaining queries
+        # soft wall-clock budget for the whole sf1 section (~450 s on a
+        # healthy host incl. the ANN family): a degraded host skips queries
         # instead of blowing the driver's bench window; skipped queries
         # report null, `sf1.skipped` lists them.
         budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "600"))
@@ -591,6 +595,7 @@ def main():
             k: [round(rt[k], 3) for rt in rounds] for k in rounds[0]
         },
         "ceiling_probe_start": probe_start,
+        "ceiling_probe_after_pass": pass_probes,
         "ceiling_probe_end": probe_end,
         "sf": sf,
         "cpus": cpus,

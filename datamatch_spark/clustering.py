@@ -418,7 +418,15 @@ def split_cliques_iterative(
         while True:
             budget -= 1
             if budget <= 0:
-                break  # outer guard raises with the message
+                # a truncated clique must never be emitted: raise HERE,
+                # not at the top of the next outer round (the graph
+                # could be exhausted by the partial carve, silently
+                # returning a wrong partition)
+                raise RuntimeError(
+                    f"split_cliques_iterative exceeded max_rounds="
+                    f"{max_rounds} mid-growth; raise max_rounds or the "
+                    "score threshold, or use finer blocking"
+                )
             sizes = members.groupBy("component", "seed").agg(
                 F.count(F.lit(1)).alias("__sz")
             )

@@ -103,6 +103,18 @@ def test_split_cliques_iterative_matches_packed(spark, seed):
     assert got == want
 
 
+def test_split_cliques_iterative_budget_never_truncates(spark):
+    """Exhausting max_rounds must RAISE, not emit a partial clique."""
+    from datamatch_spark.clustering import split_cliques_iterative
+
+    df = spark.createDataFrame(
+        [(0, 0.9, 0, 1), (0, 0.8, 1, 2), (0, 0.85, 0, 2)],
+        "component long, sim_score double, idx_a long, idx_b long",
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        split_cliques_iterative(df, max_rounds=1).collect()
+
+
 def test_split_cliques_oversized_flag(spark):
     """At max_component_edges+1: default fails fast; the 'iterative'
     flag routes the oversized component through the join-based path
