@@ -459,6 +459,7 @@ def main():
     # visible (inflated spread) instead of recorded as the number.
     rounds: list[dict] = []
     counts: dict = {}
+    count_mismatches: list[dict] = []
     pass_probes: list[dict] = []
     for r in range(repeats):
         times, cts = _run_suite(spark, sf_dir, sf, _clear_rdd_cache)
@@ -468,8 +469,21 @@ def main():
         pass_probes.append(_ceiling_probe())
         if r == 0:
             counts = cts
-        elif cts != counts:  # row counts must be run-invariant
-            raise AssertionError(f"non-deterministic counts: {cts} != {counts}")
+        elif cts != counts:
+            # row counts must be run-invariant; a mismatch is a
+            # determinism BUG worth reporting — but throwing away the
+            # whole bench (samples + probes) would destroy the very
+            # evidence needed to debug it, so record and continue
+            count_mismatches.append(
+                {
+                    "pass": r,
+                    "diff": {
+                        k: [counts.get(k), cts.get(k)]
+                        for k in set(counts) | set(cts)
+                        if counts.get(k) != cts.get(k)
+                    },
+                }
+            )
     queries = {
         k: round(_median([rt[k] for rt in rounds]), 3) for k in rounds[0]
     }
@@ -597,6 +611,7 @@ def main():
         "ceiling_probe_start": probe_start,
         "ceiling_probe_after_pass": pass_probes,
         "ceiling_probe_end": probe_end,
+        "count_mismatches": count_mismatches,
         "sf": sf,
         "cpus": cpus,
         "pairs_scored": n_pairs,

@@ -313,7 +313,9 @@ def split_cliques(
 
 
 def split_cliques_iterative(
-    pairs_with_component: DataFrame, max_rounds: int = 1000
+    pairs_with_component: DataFrame,
+    max_rounds: int = 1000,
+    max_growth_rounds: int = 200,
 ) -> DataFrame:
     """Greedy clique split for components too large for one task —
     pure DataFrame joins, never materializing a whole component's
@@ -339,21 +341,53 @@ def split_cliques_iterative(
     and rounds <= number of cliques (adversarial ascending chains
     degrade to one clique per round — ``max_rounds`` guards the
     pathology). Inner growth adds one member per seed per join round,
-    bounded by the largest clique. Memory per task is O(edges of one
-    node), not O(edges of one component).
+    bounded by the largest clique; ``max_growth_rounds`` caps that
+    separately (a 10M-edge component whose nodes form ONE huge clique
+    would otherwise need one Spark round per member). The COMMON cause
+    of an oversized component — an exact-duplicate block, i.e. a
+    complete clique — is detected up front (n_edges == C(n_nodes, 2))
+    and emitted wholesale with zero growth rounds: greedy on a
+    complete graph yields the whole component as cluster ``comp|0``.
+    Memory per task is O(edges of one node), not O(edges of one
+    component).
     """
     idx_type = pairs_with_component.schema["idx_a"].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("cluster_id", T.StringType()),
-            T.StructField("sim_score", T.DoubleType()),
-            T.StructField("idx_a", idx_type),
-            T.StructField("idx_b", idx_type),
-        ]
-    )
     spark = pairs_with_component.sparkSession
-    edges = pairs_with_component.select(
+    all_edges = pairs_with_component.select(
         "component", "sim_score", "idx_a", "idx_b"
+    ).localCheckpoint()
+    # complete-clique fast path: per component, n_edges == C(n, 2)
+    # means the greedy walk trivially absorbs the whole component
+    node_counts = (
+        all_edges.select("component", F.col("idx_a").alias("n"))
+        .unionByName(all_edges.select("component", F.col("idx_b").alias("n")))
+        .groupBy("component")
+        .agg(F.count_distinct("n").alias("__nn"))
+    )
+    edge_counts = all_edges.groupBy("component").agg(
+        F.count_distinct(
+            F.struct(
+                F.least("idx_a", "idx_b"), F.greatest("idx_a", "idx_b")
+            )
+        ).alias("__ne")
+    )
+    complete = (
+        node_counts.join(edge_counts, on="component")
+        .where(F.col("__ne") == F.col("__nn") * (F.col("__nn") - 1) / 2)
+        .select("component")
+    )
+    complete_out = all_edges.join(
+        F.broadcast(complete), on="component", how="left_semi"
+    ).select(
+        F.concat(F.col("component").cast("string"), F.lit("|0")).alias(
+            "cluster_id"
+        ),
+        F.col("sim_score").cast("double").alias("sim_score"),
+        F.least("idx_a", "idx_b").alias("idx_a"),
+        F.greatest("idx_a", "idx_b").alias("idx_b"),
+    )
+    edges = all_edges.join(
+        F.broadcast(complete), on="component", how="left_anti"
     ).localCheckpoint()
     sym = (
         edges.select("component", F.col("idx_a").alias("u"), F.col("idx_b").alias("v"))
@@ -375,9 +409,10 @@ def split_cliques_iterative(
             ]
         ),
     )
-    budget = max_rounds
+    rounds = 0
     while not sym.isEmpty():
-        if budget <= 0:
+        rounds += 1
+        if rounds > max_rounds:
             raise RuntimeError(
                 f"split_cliques_iterative exceeded max_rounds={max_rounds}; "
                 "the component's node ordering degrades the parallel carve "
@@ -415,18 +450,8 @@ def split_cliques_iterative(
         )
         # grow every seed's clique by its minimum valid candidate until
         # no seed can grow (disjoint neighborhoods -> no contention)
+        growth = 0
         while True:
-            budget -= 1
-            if budget <= 0:
-                # a truncated clique must never be emitted: raise HERE,
-                # not at the top of the next outer round (the graph
-                # could be exhausted by the partial carve, silently
-                # returning a wrong partition)
-                raise RuntimeError(
-                    f"split_cliques_iterative exceeded max_rounds="
-                    f"{max_rounds} mid-growth; raise max_rounds or the "
-                    "score threshold, or use finer blocking"
-                )
             sizes = members.groupBy("component", "seed").agg(
                 F.count(F.lit(1)).alias("__sz")
             )
@@ -454,7 +479,24 @@ def split_cliques_iterative(
             )
             if new_members.isEmpty():
                 break
-            members = members.unionByName(new_members).localCheckpoint()
+            # a truncated clique must never be emitted: the budget
+            # check sits AFTER the would-grow test, so a carve that
+            # needs exactly max_growth_rounds additions completes
+            growth += 1
+            if growth > max_growth_rounds:
+                raise RuntimeError(
+                    f"split_cliques_iterative clique growth exceeded "
+                    f"max_growth_rounds={max_growth_rounds} (a clique "
+                    "with more members than the budget); raise "
+                    "max_growth_rounds, or raise the score threshold / "
+                    "use finer blocking"
+                )
+            members = members.unionByName(new_members)
+            # checkpoint sparsely: lineage depth stays <= 8 joins while
+            # superseded checkpoint RDDs (released by rebinding +
+            # ContextCleaner) stop accumulating one per member
+            if growth % 8 == 0:
+                members = members.localCheckpoint()
         all_members = all_members.unionByName(members).localCheckpoint()
         clustered = members.select("component", "node").localCheckpoint()
         sym = (
@@ -495,7 +537,7 @@ def split_cliques_iterative(
             F.col("__k").cast("string"),
         ).alias("cluster_id"),
     )
-    return (
+    carved = (
         edges.join(
             labeled.select(
                 "component",
@@ -520,6 +562,7 @@ def split_cliques_iterative(
             F.greatest("idx_a", "idx_b").alias("idx_b"),
         )
     )
+    return complete_out.unionByName(carved)
 
 
 def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:

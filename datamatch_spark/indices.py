@@ -348,6 +348,7 @@ class QGramIndex(BaseIndex):
         self._q = int(q)
         self._max_df = max_df
         self._max_df_frac = max_df_frac
+        self._warned_cap = False
 
     def required_columns(self) -> set[str]:
         return {self._col}
@@ -420,19 +421,24 @@ class QGramIndex(BaseIndex):
     def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
         keys = self._all_keys(df, row_key)
         hot = self._hot_grams(df, keys)
-        if hot is not None:
-            # the recall trade must be visible by default: a pair
-            # whose ONLY shared grams exceed the cap is silently not
-            # a candidate (ADVICE r4)
+        if hot is not None and not self._warned_cap:
+            # the recall trade must be visible by default: a pair whose
+            # ONLY shared grams exceed the cap is silently not a
+            # candidate (ADVICE r4). Once per index instance — key_df
+            # runs per side and per metrics re-derivation; whether any
+            # gram ACTUALLY exceeds the cap is data-dependent (lazy),
+            # hence "will drop any" wording + the stop_grams hook.
+            self._warned_cap = True
             cap = (
                 f"max_df={self._max_df}"
                 if self._max_df is not None
                 else f"max_df_frac={self._max_df_frac} (floor 50)"
             )
             logger.warning(
-                "QGramIndex(col=%r, q=%d) prunes q-grams over %s; pairs "
-                "sharing only stop-grams are not blocked. Pass "
-                "max_df=None, max_df_frac=None for exhaustive blocking; "
+                "QGramIndex(col=%r, q=%d) will drop any q-gram whose "
+                "document frequency exceeds %s; pairs sharing only such "
+                "stop-grams are not blocked. Pass max_df=None, "
+                "max_df_frac=None for exhaustive blocking; "
                 "stop_grams(df, row_key) lists what the cap drops.",
                 self._col,
                 self._q,

@@ -364,16 +364,22 @@ class ThresholdMatcher:
                 # an opt-in method call (ADVICE r4)
                 from .indices import BLOCK_KEY as _BK
 
+                sides = [("stop_grams", self._dfa)]
+                if self._dfb is not None:
+                    # match mode computes the cap independently per
+                    # side; a gram hot only in dfb must be visible too
+                    sides = [("stop_grams_a", self._dfa), ("stop_grams_b", self._dfb)]
                 for leaf in self._index.iter_leaves():
                     sg = getattr(leaf, "stop_grams", None)
                     if sg is None:
                         continue
-                    dropped = sg(self._dfa, self._row_key).select(
-                        F.col(_BK),
-                        F.col("__df").alias("n_rows"),
-                        F.lit(None).cast("long").alias("n_pairs"),
-                    )
-                    self._metrics_sink.record_blocks("stop_grams", dropped)
+                    for stage, side_df in sides:
+                        dropped = sg(side_df, self._row_key).select(
+                            F.col(_BK),
+                            F.col("__df").alias("n_rows"),
+                            F.lit(None).cast("long").alias("n_pairs"),
+                        )
+                        self._metrics_sink.record_blocks(stage, dropped)
         return self._scored
 
     @property

@@ -67,9 +67,8 @@ def main() -> int:
         )
         if healthy and fires < args.max_fires and \
                 time.time() - last_fire >= args.cooldown:
-            fires += 1
-            last_fire = time.time()
             rec = {"ts": ts, "trigger_probe": p}
+            got_measurement = False
             try:
                 out = subprocess.run(
                     [sys.executable,
@@ -79,10 +78,23 @@ def main() -> int:
                     cwd=os.path.dirname(HERE),
                 )
                 rec["stdout"] = out.stdout.strip().splitlines()
+                got_measurement = any(
+                    "scaling_efficiency" in l for l in rec["stdout"]
+                )
                 # pair with a same-minute closing probe
                 rec["closing_probe"] = probe(args.probe_seconds)
             except Exception as e:  # noqa: BLE001
                 rec["error"] = f"{type(e).__name__}: {e}"
+            # only a fire that produced a measurement consumes the
+            # budget (healthy windows are rare; a crashed bench must
+            # not burn one) — a failed attempt retries after a short
+            # backoff instead of the full cooldown
+            if got_measurement:
+                fires += 1
+                last_fire = time.time()
+            else:
+                last_fire = time.time() - args.cooldown + 900
+            rec["counted_fire"] = got_measurement
             with open(FIRE_LOG, "a") as f:
                 f.write(json.dumps(rec) + "\n")
         time.sleep(args.interval)

@@ -104,15 +104,41 @@ def test_split_cliques_iterative_matches_packed(spark, seed):
 
 
 def test_split_cliques_iterative_budget_never_truncates(spark):
-    """Exhausting max_rounds must RAISE, not emit a partial clique."""
+    """Exhausting the growth budget must RAISE, not emit a partial
+    clique. The fixture is a triangle + tail — NOT a complete clique,
+    so it takes the carve path (a complete component short-circuits
+    through the zero-round fast path) and needs 2 growth additions."""
     from datamatch_spark.clustering import split_cliques_iterative
 
     df = spark.createDataFrame(
-        [(0, 0.9, 0, 1), (0, 0.8, 1, 2), (0, 0.85, 0, 2)],
+        [(0, 0.9, 0, 1), (0, 0.8, 1, 2), (0, 0.85, 0, 2), (0, 0.7, 2, 3)],
         "component long, sim_score double, idx_a long, idx_b long",
     )
-    with pytest.raises(RuntimeError, match="max_rounds"):
-        split_cliques_iterative(df, max_rounds=1).collect()
+    with pytest.raises(RuntimeError, match="max_growth_rounds"):
+        split_cliques_iterative(df, max_growth_rounds=1).collect()
+
+
+def test_split_cliques_iterative_complete_clique_fast_path(spark):
+    """An exact-duplicate block (complete clique — the common cause of
+    an oversized component) must be emitted wholesale with zero growth
+    rounds and the packed path's cluster id."""
+    from datamatch_spark.clustering import split_cliques_iterative
+
+    n = 6
+    rows = [
+        (5, 0.9, a, b) for a in range(n) for b in range(a + 1, n)
+    ]
+    df = spark.createDataFrame(
+        rows, "component long, sim_score double, idx_a long, idx_b long"
+    )
+    # max_growth_rounds=0: any carve attempt would raise, proving the
+    # fast path handled it
+    got = sorted(
+        map(tuple, split_cliques_iterative(df, max_growth_rounds=0).collect())
+    )
+    want = sorted(map(tuple, split_cliques(df).collect()))
+    assert got == want
+    assert all(r[0] == "5|0" for r in got) and len(got) == n * (n - 1) // 2
 
 
 def test_split_cliques_oversized_flag(spark):
