@@ -138,6 +138,11 @@ def ngram_jaccard_pairs(
     sh = _ensure_width(df.select(F.col(id_col).alias("__id"), text_col)).select(
         "__id", F.explode(_shingles_expr(text_col, n)).alias("shingle")
     )
+    # the tokenize+shingle+explode lineage feeds FOUR consumers (sizes
+    # agg, stop-shingle counts, both self-join sides); materialize once
+    # instead of re-running the most expensive stage 4x — mirrors the
+    # minhash path's localCheckpoint of its per-doc frame
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
@@ -463,10 +468,17 @@ def minhash_lsh_pairs(
         from ..checkpointing import StageManifest
 
         # the stage key encodes every parameter that shapes the cached
-        # frame — a rerun with different n/n_perm/bands must MISS, not
-        # silently reuse incompatible signatures
+        # frame — a rerun with different n/n_perm/bands OR different
+        # source columns must MISS, not silently reuse incompatible
+        # signatures (a text_col='title' cache must not serve a
+        # text_col='body' run)
+        import re as _re
+
+        cols = _re.sub(r"\W+", "_", f"{id_col}__{text_col}")
         info = StageManifest(checkpoint_dir).materialize(
-            f"minhash_info_n{n}_p{n_perm}_b{bands}", info, df.sparkSession
+            f"minhash_info_n{n}_p{n_perm}_b{bands}_c{cols}",
+            info,
+            df.sparkSession,
         )
     else:
         info = info.localCheckpoint()
@@ -594,7 +606,12 @@ def simhash_near_pairs(
                     F.struct(
                         F.lit(c).alias("chunk"),
                         F.shiftright(F.col("simhash"), offsets[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        # width 64 (n_chunks=1, i.e. max_hamming=0):
+                        # (1<<64)-1 overflows a JVM long; -1 is the
+                        # all-ones mask in two's complement
+                        .bitwiseAND(
+                            F.lit((1 << widths[c]) - 1 if widths[c] < 64 else -1)
+                        )
                         .alias("cv"),
                     )
                     for c in range(n_chunks)

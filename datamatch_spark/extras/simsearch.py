@@ -190,18 +190,32 @@ def cosine_topk(
                     np.linalg.norm(C, axis=1, keepdims=True), 1e-300
                 )
                 S = Cn @ bQn.T  # batch × nq
-            m = min(take, S.shape[0])
             qs, ns, cs = [], [], []
             for j in range(nq):
-                s = S[:, j]
-                if m < S.shape[0]:
-                    cut = np.argpartition(-s, m - 1)[:m]
+                # the per-batch cut must agree with the FINAL ranking
+                # order — (cos ROUNDED to 6dp DESC, neighbor_id ASC) —
+                # or ties at the cut (exact-duplicate corpora, or raw
+                # scores that round equal) can evict exactly the ids
+                # the global window would keep: round first, keep every
+                # row tied with the m-th score, then order ties by id
+                s = np.round(S[:, j], 6)
+                valid = np.flatnonzero(ids != qid_arr[j])  # no self-match
+                m = min(take, len(valid))
+                if m == 0:
+                    continue
+                sv = s[valid]
+                if m < len(valid):
+                    cutoff = np.partition(-sv, m - 1)[m - 1]
+                    cand_i = valid[-sv <= cutoff]
                 else:
-                    cut = np.arange(S.shape[0])
-                sel = cut[ids[cut] != qid_arr[j]]  # drop self-matches
-                qs.append(np.full(len(sel), qid_arr[j]))
+                    cand_i = valid
+                order = np.lexsort((ids[cand_i], -s[cand_i]))[:m]
+                sel = cand_i[order]
+                qs.append(np.full(len(sel), qid_arr[j], dtype=ids.dtype))
                 ns.append(ids[sel])
                 cs.append(s[sel])
+            if not qs:
+                continue
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.concatenate(qs)),
@@ -249,7 +263,14 @@ def _attach_codes(
     dtypes = dict(df.dtypes)
     schema = f"{id_out} {dtypes[id_col]}, {vec_out} {dtypes[vec_col]}, __code long"
     P = planes.T.copy()  # dim × n_planes
-    weights = (1 << np.arange(planes.shape[0], dtype=np.int64)).astype(np.float64)
+    if planes.shape[0] > 62:
+        # codes live in a signed int64 Column; 62 keeps the integer
+        # sum below 2^63 (a float64 matmul pack would silently corrupt
+        # codes past 53 bits — the mantissa, not the sign, is the cap)
+        raise ValueError(
+            f"n_planes must be <= 62 for int64 LSH codes, got {planes.shape[0]}"
+        )
+    weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
     sel = df.select(id_col, vec_col)
 
     def code(batches):
@@ -258,7 +279,8 @@ def _attach_codes(
                 continue
             V = _flat2d(rb.column(1))
             bits = (V @ P) > 0
-            codes = (bits @ weights).astype(np.int64)
+            # integer dot, not float matmul: exact for all <= 62 bits
+            codes = bits.astype(np.int64) @ weights
             yield pa.RecordBatch.from_arrays(
                 [rb.column(0), rb.column(1), pa.array(codes, type=pa.int64())],
                 names=[id_out, vec_out, "__code"],
@@ -296,7 +318,14 @@ def lsh_topk(
     code (n_planes+1 probes), the standard recall lever: the query
     side (small) is exploded, the corpus is still touched via an
     equi-join."""
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:  # empty corpus (e.g. upstream filter): no probe dim
+        id_type = dict(corpus.dtypes)[id_col]
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int",
+        )
+    dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, seed)
     c = _attach_codes(corpus, planes, id_col, vec_col, "neighbor_id", "__cv")
     q = _attach_codes(queries, planes, id_col, vec_col, "query_id", "__qv")
@@ -350,7 +379,16 @@ def _train_centroids(
     total = corpus.count()
     if total > sample_size:
         frac = min(1.0, 1.2 * sample_size / total)  # 20% overshoot margin
-        sampled = corpus.select(vec_col).sample(fraction=frac, seed=seed)
+        # the overshoot trim must not reintroduce partition bias:
+        # limit() alone consumes earlier partitions first, leaving the
+        # trailing ~1/6 of a partition-ordered corpus unrepresented.
+        # A content-hash sort of the (already small) sample makes the
+        # trimmed subset partition-order-free and deterministic.
+        sampled = (
+            corpus.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .orderBy(F.xxhash64(F.col(vec_col)))
+        )
     else:
         sampled = corpus.select(vec_col)
     rows = sampled.limit(sample_size).collect()
@@ -518,7 +556,13 @@ def embedding_near_dup_pairs(
     * neither: full O(N^2) cross-join — small corpora only.
     """
     if block_col is None and lsh_planes:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:  # empty corpus: nothing to pair
+            id_type = dict(df.dtypes)[id_col]
+            return df.sparkSession.createDataFrame(
+                [], f"idx_a {id_type}, idx_b {id_type}, cos double"
+            )
+        dim = len(first[0])
         planes = _hyperplanes(dim, lsh_planes, seed)
         a = _attach_codes(df, planes, id_col, vec_col, "idx_a", "__va")
         b = _attach_codes(df, planes, id_col, vec_col, "idx_b", "__vb")

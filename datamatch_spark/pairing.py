@@ -135,11 +135,11 @@ def keyed_side(
 def block_statistics(side: DataFrame, dedup: bool) -> DataFrame:
     """Per-block row and candidate-pair counts (metrics sink input)."""
     counts = side.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("n_rows"))
-    pair_cnt = (
-        (F.col("n_rows") * (F.col("n_rows") - 1) / 2)
-        if dedup
-        else F.col("n_rows") * F.col("n_rows")
-    )
+    # compute in double: a >4.3e9-row block's long product wraps
+    # negative under non-ANSI SQL — a garbage metric for exactly the
+    # block that matters most (precision loss past 2^53 beats sign loss)
+    n_d = F.col("n_rows").cast("double")
+    pair_cnt = (n_d * (n_d - 1) / 2) if dedup else n_d * n_d
     return counts.withColumn("n_pairs", pair_cnt.cast("long"))
 
 
@@ -395,10 +395,16 @@ def candidate_pairs(
         if cfg.salt_enabled:
             ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("na"))
             cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("nb"))
+            # double product, not long: na*nb for a degenerate hot key
+            # at 10^12-doc scale can exceed Long.MAX and wrap negative
+            # under non-ANSI SQL — silently classifying the single
+            # hottest block as cold (double loses precision past 2^53
+            # but never the > comparison or the ordering that matter)
+            prod = F.col("na").cast("double") * F.col("nb").cast("double")
             rows = (
                 ca.join(cb, on=BLOCK_KEY)
-                .where((F.col("na") * F.col("nb")) > F.lit(cfg.salt_threshold) * F.lit(cfg.rows_per_shard))
-                .orderBy((F.col("na") * F.col("nb")).desc(), F.col(BLOCK_KEY).asc())
+                .where(prod > F.lit(float(cfg.salt_threshold * cfg.rows_per_shard)))
+                .orderBy(prod.desc(), F.col(BLOCK_KEY).asc())
                 .limit(cfg.max_hot_keys)
                 .collect()
             )

@@ -541,3 +541,89 @@ def test_decode_media_dim_validated(spark):
     media = M.media_table_from_docs(docs)
     with pytest.raises(ValueError, match="dim"):
         M.decode_media(media, dim=17)
+
+
+def test_simhash_max_hamming_zero_runs(docs):
+    """n_chunks=1 (the lossless default for max_hamming=0) builds a
+    64-bit chunk whose mask must be -1, not (1<<64)-1 (JVM long
+    overflow at plan-build time)."""
+    pairs = {
+        (r["idx_a"], r["idx_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, "doc_id", n=2, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 3): 0}  # only the identical-text pair
+
+
+def test_cosine_topk_tied_duplicates_deterministic(spark):
+    """Exact-duplicate corpora produce score ties far wider than
+    k+margin inside ONE Arrow batch; the per-batch cut must keep the
+    ids the global (cos DESC, neighbor_id ASC) order wants — the
+    smallest neighbor_ids — not an argpartition-arbitrary subset."""
+    rows = [(i, [1.0, 0.0]) for i in range(40)]  # 40 identical vectors
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    got = [
+        r["neighbor_id"]
+        for r in S.cosine_topk(df, df.where("vec_id = 39"), k=5, margin=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_lsh_plane_cap_and_integer_packing(spark):
+    """n_planes > 62 must raise (int64 codes); at 62 planes the
+    integer packing is exact where the old float64 matmul lost bits
+    past the 53-bit mantissa."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.5]), (1, [1.0, 0.5]), (2, [-1.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="62"):
+        S.lsh_topk(df, df, n_planes=63)
+    planes = S._hyperplanes(2, 62, seed=1)
+    coded = S._attach_codes(df, planes, "vec_id", "embedding", "id", "v")
+    got = {r["id"]: r["__code"] for r in coded.collect()}
+    # independent per-bit reference
+    V = np.array([[1.0, 0.5], [1.0, 0.5], [-1.0, 0.5]])
+    bits = (V @ planes.T) > 0
+    want = {
+        i: int(sum(1 << j for j in range(62) if bits[i, j])) for i in range(3)
+    }
+    assert got == want
+    assert got[0] == got[1]  # identical vectors share a bucket
+
+
+def test_lsh_empty_corpus_returns_typed_empty(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = S.lsh_topk(empty, empty, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    nd = S.embedding_near_dup_pairs(empty, lsh_planes=8)
+    assert nd.count() == 0
+    assert nd.columns == ["idx_a", "idx_b", "cos"]
+
+
+def test_minhash_checkpoint_keyed_by_text_col(spark, tmp_path):
+    """A signature cache built over one text column must MISS for a
+    different column (stale-cache contract, review r5)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "one two three four five six"),
+        (2, "alpha beta gamma delta epsilon zeta", "seven eight nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "id long, title string, body string")
+    d = str(tmp_path / "ck")
+    p1 = D.minhash_lsh_pairs(
+        df, "id", text_col="title", n=2, n_perm=32, threshold=0.5,
+        checkpoint_dir=d,
+    ).count()
+    p2 = D.minhash_lsh_pairs(
+        df, "id", text_col="body", n=2, n_perm=32, threshold=0.5,
+        checkpoint_dir=d,
+    ).count()
+    assert p1 == 1 and p2 == 0  # titles identical, bodies disjoint
