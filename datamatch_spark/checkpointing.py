@@ -49,18 +49,41 @@ class StageManifest:
         return os.path.join(self._root, stage)
 
     def materialize(
-        self, stage: str, df: DataFrame, spark: SparkSession | None = None
+        self,
+        stage: str,
+        df: DataFrame,
+        spark: SparkSession | None = None,
+        fingerprint: str | None = None,
     ) -> DataFrame:
         """Compute-or-reuse: parquet-backed stage output. ``spark`` is
         derived from ``df`` when omitted (kept as an optional param
-        for backward compatibility)."""
+        for backward compatibility).
+
+        ``fingerprint``: opaque configuration hash recorded with the
+        stage. A reuse whose caller fingerprint differs from the stored
+        one raises instead of silently serving another configuration's
+        output (review r5 — a looped/reconfigured job sharing one
+        checkpoint_dir). Data-content changes are NOT fingerprinted:
+        the resume contract remains same-input re-runs."""
         spark = spark or df.sparkSession
         path = self.stage_path(stage)
         if self.is_done(stage):
+            stored = self._read()["stages"][stage].get("fingerprint")
+            if (
+                fingerprint is not None
+                and stored is not None
+                and stored != fingerprint
+            ):
+                raise ValueError(
+                    f"checkpoint stage {stage!r} at {path} was written "
+                    f"under a different configuration (stored "
+                    f"fingerprint {stored}, current {fingerprint}); "
+                    f"reset({stage!r}) or use a fresh checkpoint_dir"
+                )
             return spark.read.parquet(path)
         df.write.mode("overwrite").parquet(path)
         manifest = self._read()
-        manifest["stages"][stage] = {"path": path}
+        manifest["stages"][stage] = {"path": path, "fingerprint": fingerprint}
         self._commit(manifest)
         return spark.read.parquet(path)
 

@@ -86,6 +86,10 @@ def typed_key_component(col: Column, dtype: T.DataType) -> Column:
         # form singleton buckets, i.e. never pair: map NaN to NULL so
         # the inner join drops it like a missing key.
         d = F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
+        # -0.0 == 0.0 but casts to the DIFFERENT string '-0.0': equal
+        # values must serialize to equal keys (the reference's tuple
+        # keys hash (0.0,) and (-0.0,) to one bucket)
+        d = F.when(d == 0.0, F.lit(0.0)).otherwise(d)
         return F.concat(F.lit("n:"), d.cast("string"))
     if isinstance(dtype, T.BooleanType):
         return F.concat(F.lit("b:"), col.cast("string"))
@@ -421,29 +425,31 @@ class QGramIndex(BaseIndex):
     def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
         keys = self._all_keys(df, row_key)
         hot = self._hot_grams(df, keys)
-        if hot is not None and not self._warned_cap:
-            # the recall trade must be visible by default: a pair whose
-            # ONLY shared grams exceed the cap is silently not a
-            # candidate (ADVICE r4). Once per index instance — key_df
-            # runs per side and per metrics re-derivation; whether any
-            # gram ACTUALLY exceeds the cap is data-dependent (lazy),
-            # hence "will drop any" wording + the stop_grams hook.
-            self._warned_cap = True
-            cap = (
-                f"max_df={self._max_df}"
-                if self._max_df is not None
-                else f"max_df_frac={self._max_df_frac} (floor 50)"
-            )
-            logger.warning(
-                "QGramIndex(col=%r, q=%d) will drop any q-gram whose "
-                "document frequency exceeds %s; pairs sharing only such "
-                "stop-grams are not blocked. Pass max_df=None, "
-                "max_df_frac=None for exhaustive blocking; "
-                "stop_grams(df, row_key) lists what the cap drops.",
-                self._col,
-                self._q,
-                cap,
-            )
+        if hot is not None:
+            if not self._warned_cap:
+                # the recall trade must be visible by default: a pair
+                # whose ONLY shared grams exceed the cap is silently
+                # not a candidate (ADVICE r4). The WARNING is once per
+                # index instance (key_df runs per side and per metrics
+                # re-derivation) — the PRUNE itself must run on every
+                # call, or the second side / a reused index silently
+                # blocks uncapped (regression caught in review r5).
+                self._warned_cap = True
+                cap = (
+                    f"max_df={self._max_df}"
+                    if self._max_df is not None
+                    else f"max_df_frac={self._max_df_frac} (floor 50)"
+                )
+                logger.warning(
+                    "QGramIndex(col=%r, q=%d) will drop any q-gram whose "
+                    "document frequency exceeds %s; pairs sharing only such "
+                    "stop-grams are not blocked. Pass max_df=None, "
+                    "max_df_frac=None for exhaustive blocking; "
+                    "stop_grams(df, row_key) lists what the cap drops.",
+                    self._col,
+                    self._q,
+                    cap,
+                )
             # hot grams are few by construction (each has > cap rows),
             # so the anti-join side broadcasts. Whole-string (sub-q
             # key) occurrences are exempt: for them the gram IS the

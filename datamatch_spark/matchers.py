@@ -309,12 +309,61 @@ class ThresholdMatcher:
         # evaluation.
         return scored
 
+    def _config_fingerprint(self) -> str:
+        """Stable hash of the matcher configuration (index, scorer,
+        variator, filters, keys) for checkpoint-stage validation: a
+        re-run whose config changed must MISS loudly, not silently
+        reuse another configuration's scores. Engine objects are
+        described by class name + primitive attributes; foreign objects
+        (DataFrames, callables) by type name only — coarse on purpose:
+        a false MISMATCH costs a recompute, a false match costs silent
+        wrong scores."""
+        import hashlib
+        import json
+
+        def desc(obj, depth=0):
+            if obj is None or isinstance(obj, (bool, int, float, str)):
+                return obj
+            if isinstance(obj, (list, tuple)):
+                return [desc(x, depth + 1) for x in obj]
+            if isinstance(obj, dict):
+                return {
+                    str(k): desc(v, depth + 1)
+                    for k, v in sorted(obj.items(), key=lambda kv: str(kv[0]))
+                }
+            if depth > 5 or not type(obj).__module__.startswith("datamatch_spark"):
+                return type(obj).__name__
+            d = {"__class__": type(obj).__name__}
+            try:
+                for k, v in sorted(vars(obj).items()):
+                    d[k] = desc(v, depth + 1)
+            except TypeError:
+                pass
+            return d
+
+        payload = json.dumps(
+            {
+                "index": desc(self._index),
+                "scorer": desc(self._scorer),
+                "variator": desc(self._variator),
+                "filters": desc(self._filters),
+                "row_key": self._row_key,
+                "mode": self._mode,
+            },
+            sort_keys=True,
+            default=lambda o: type(o).__name__,
+        )
+        return hashlib.md5(payload.encode()).hexdigest()[:12]
+
     def _materialize(self, df: DataFrame, stage: str) -> DataFrame:
         if self._checkpoint_dir:
             from .checkpointing import StageManifest
 
             manifest = StageManifest(self._checkpoint_dir)
-            return manifest.materialize(stage, df, df.sparkSession)
+            return manifest.materialize(
+                stage, df, df.sparkSession,
+                fingerprint=self._config_fingerprint(),
+            )
         return df.localCheckpoint()
 
     @property
@@ -329,6 +378,18 @@ class ThresholdMatcher:
             wall_ms = (_time.time() - t0) * 1000.0
             if self._scorer.can_refuse:
                 scored = scored.where(F.col("sim_score").isNotNull())
+            else:
+                # a non-refusing scorer can still emit NULL: Arrow
+                # converts a NaN pandas-UDF output to null (FuncScorer
+                # callbacks hitting 0/0), and an empty custom variant
+                # array NULLs every combo guard. A NULL score's rank
+                # struct sorts FIRST in greedy_one_to_one (NULL-first
+                # struct ordering) and would claim both endpoints,
+                # silently discarding their real matches — coerce to
+                # 0.0, the engine's NaN-contributes-zero rule.
+                scored = scored.withColumn(
+                    "sim_score", F.coalesce("sim_score", F.lit(0.0))
+                )
             if self._mode == MODE_MATCH:
                 scored = greedy_one_to_one(
                     scored, max_iter=self._one_to_one_max_iter
@@ -604,9 +665,11 @@ class ThresholdMatcher:
         na = self.frame_a.count()
         nb = self.frame_b.count()
         print("for threshold %.3f:" % match_threshold)
+        # max(1, .): an empty frame reports 0 matched pairs instead of
+        # crashing the report step with ZeroDivisionError
         print(
             "  %d matched pairs (%d%% of A, %d%% of B)"
-            % (n, n / na * 100, n / nb * 100)
+            % (n, n / max(1, na) * 100, n / max(1, nb) * 100)
         )
 
     def save_pairs_to_parquet(

@@ -196,12 +196,18 @@ def streaming_near_dup_pairs(
             out_b.append(max(a, b))
             out_e.append(round(float(e), 6))
 
-        # batch-append: prior state S stays fixed; each micro-batch
-        # chunk becomes ONE stacked matrix (no per-doc vstack — the
-        # former per-doc copy was O(n^2) within a hot bucket's
-        # trigger). Within-chunk comparisons slice the fixed matrix.
-        chunks: list[np.ndarray] = []
-        chunk_ids: list[list[int]] = []
+        # batch-append: each micro-batch Arrow chunk becomes ONE
+        # stacked matrix (no per-doc vstack — the former per-doc copy
+        # was O(n^2) within a hot bucket's trigger). State + trigger
+        # rows live in a SEGMENT list with oldest-first eviction run
+        # after every chunk, so a single giant trigger (backfill with
+        # availableNow delivering a degenerate bucket) stays bounded at
+        # O(rows x (cap + arrow_batch)) work and O(cap + arrow_batch)
+        # memory instead of O(rows^2) — eviction must not wait for the
+        # iterator to drain (review r5).
+        segments: list[list] = []  # [matrix, ids] pairs, oldest first
+        if S.shape[0]:
+            segments.append([S, ids])
         known = set(ids)
         for pdf in pdf_iter:
             if len(pdf) == 0:
@@ -222,26 +228,30 @@ def streaming_near_dup_pairs(
             )
             for r in range(m):
                 v = V[r]
-                if S.shape[0]:  # vs prior-state docs
-                    est = (S == v).mean(axis=1)
+                for seg_m, seg_ids in segments:  # vs state + earlier chunks
+                    est = (seg_m == v).mean(axis=1)
                     for j in np.nonzero(est >= threshold)[0]:
-                        emit(ids[j], cids[r], est[j])
-                for W, wids in zip(chunks, chunk_ids):  # vs earlier chunks
-                    est = (W == v).mean(axis=1)
-                    for j in np.nonzero(est >= threshold)[0]:
-                        emit(wids[j], cids[r], est[j])
+                        emit(seg_ids[j], cids[r], est[j])
                 if r:  # vs earlier rows of this chunk
                     est = (V[:r] == v).mean(axis=1)
                     for j in np.nonzero(est >= threshold)[0]:
                         emit(cids[j], cids[r], est[j])
-            chunks.append(V)
-            chunk_ids.append(cids)
-        if chunks:
-            ids = ids + [i for cid in chunk_ids for i in cid]
-            S = np.concatenate([S] + chunks, axis=0)
-        if len(ids) > cap:  # evict oldest
-            ids = ids[-cap:]
-            S = S[-cap:]
+            segments.append([V, cids])
+            total = sum(len(s[1]) for s in segments)
+            while total > cap and segments:  # evict oldest AS WE GO
+                drop = min(total - cap, len(segments[0][1]))
+                seg = segments[0]
+                seg[0] = seg[0][drop:]
+                seg[1] = seg[1][drop:]
+                total -= drop
+                if not seg[1]:
+                    segments.pop(0)
+        ids = [i for _, seg_ids in segments for i in seg_ids]
+        S = (
+            np.concatenate([s[0] for s in segments], axis=0)
+            if segments
+            else np.zeros((0, n_perm), dtype=np.int64)
+        )
         state.update((ids, S.reshape(-1).tolist()))
         if ttl is not None:
             state.setTimeoutDuration(ttl)
@@ -298,8 +308,12 @@ def incremental_link_batch(
     from .matchers import ThresholdMatcher
 
     if batch.isEmpty():
+        # key type derived from the batch: a hardcoded long would make
+        # an empty first trigger write a conflicting parquet schema
+        # into the same sink as later string/int32-keyed triggers
+        kt = dict(batch.dtypes)[row_key]
         return batch.sparkSession.createDataFrame(
-            [], "idx_a long, idx_b long, sim_score double"
+            [], f"idx_a {kt}, idx_b {kt}, sim_score double"
         )
     if pairing_config is None:
         from .pairing import PairingConfig
@@ -320,7 +334,12 @@ def incremental_link_batch(
         validate=False,
         pairing_config=pairing_config,
     )
-    return m.get_index_pairs_within_thresholds(lower_bound, upper_bound)
+    # the unsorted slice: the foreachBatch parquet append discards row
+    # order, so the global orderBy of get_index_pairs_within_thresholds
+    # would pay a range-partitioning sort per trigger for nothing
+    return m._slice(lower_bound, upper_bound).select(
+        "idx_a", "idx_b", "sim_score"
+    )
 
 
 def make_link_batch_fn(

@@ -476,3 +476,38 @@ class TestQGramStopGrams:
         ).stop_grams(df, "row_key")
         assert capped.schema["__df"].dataType == uncapped.schema["__df"].dataType
         capped.unionByName(uncapped).collect()
+
+
+class TestQGramCapRepeatedCalls:
+    def test_prune_applies_on_every_key_df_call(self, spark):
+        """Regression (review r5): the warn-once gate must not gate the
+        PRUNE — the second key_df call on one instance (match mode's
+        side b, metrics re-derivation, index reuse) must still drop
+        stop-grams."""
+        from datamatch_spark import QGramIndex
+
+        rows = [(i, f"pre{i:03d}") for i in range(60)]
+        df = spark.createDataFrame(rows, "row_key long, name string")
+        idx = QGramIndex("name", q=3, max_df=30)
+        first = idx.key_df(df, "row_key")
+        second = idx.key_df(df, "row_key")
+        hot = {r["block_key"] for r in first.collect()}
+        hot2 = {r["block_key"] for r in second.collect()}
+        assert "q:pre" not in hot
+        assert hot2 == hot  # identical pruned keys on the second call
+
+
+def test_negative_zero_blocks_with_positive_zero(spark):
+    """-0.0 == 0.0 must land in ONE bucket (the reference's tuple keys
+    hash them together); review r5 caught '-0.0' vs '0.0' string keys."""
+    from datamatch_spark import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    df = spark.createDataFrame(
+        [(0, -0.0), (1, 0.0), (2, 5.0)], "row_key long, v double"
+    )
+    pairs = {
+        (r["idx_a"], r["idx_b"])
+        for r in candidate_pairs(df, ColumnsIndex("v"), "row_key", []).collect()
+    }
+    assert pairs == {(0, 1)}

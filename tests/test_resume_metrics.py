@@ -134,7 +134,7 @@ def test_minhash_checkpoint_resume(spark, tmp_path):
         ).collect()
     }
     manifest = json.load(open(os.path.join(ck, "manifest.json")))
-    assert "minhash_info_n2_p64_b16" in manifest["stages"]
+    assert "minhash_info_n2_p64_b16_cdoc_id__text" in manifest["stages"]
     second = {
         (r["idx_a"], r["idx_b"])
         for r in minhash_lsh_pairs(
@@ -200,5 +200,27 @@ def test_minhash_checkpoint_key_encodes_params(spark, tmp_path):
     # shared stage key would feed 64-wide signatures to the 128 run
     want = {(0, 1), (2, 3), (4, 5)}
     assert want <= p64 and want <= p128
-    assert os.path.isdir(os.path.join(ck, "minhash_info_n2_p64_b16"))
-    assert os.path.isdir(os.path.join(ck, "minhash_info_n2_p128_b16"))
+    assert os.path.isdir(os.path.join(ck, "minhash_info_n2_p64_b16_cdoc_id__text"))
+    assert os.path.isdir(os.path.join(ck, "minhash_info_n2_p128_b16_cdoc_id__text"))
+
+
+def test_checkpoint_fingerprint_mismatch_raises(spark, fields, tmp_path):
+    """Review r5: a second matcher with a DIFFERENT configuration
+    sharing the checkpoint_dir must fail loudly, not silently serve the
+    first configuration's scores."""
+    ckpt = str(tmp_path / "ckpt_fp")
+    _matcher(fields, checkpoint_dir=ckpt).scored_pairs.count()
+    other = ThresholdMatcher(
+        ColumnsIndex("blk"),
+        {"last": JaroWinklerSimilarity()},  # different scorer config
+        fields,
+        row_key="doc_id",
+        validate=False,
+        checkpoint_dir=ckpt,
+        defer=True,
+    )
+    with pytest.raises(ValueError, match="different configuration"):
+        other.scored_pairs.count()
+    # same config in a fresh matcher still resumes fine
+    again = _matcher(fields, checkpoint_dir=ckpt, defer=True)
+    assert again.scored_pairs.count() > 0

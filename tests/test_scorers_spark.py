@@ -364,3 +364,34 @@ def test_score_partitions_string_rejected(spark):
             NoopIndex(), {"v": AbsoluteNumericalSimilarity(10)}, df,
             row_key="id", validate=False, defer=True, score_partitions="64",
         )._build_scored()
+
+
+def test_nan_func_scorer_does_not_poison_match_mode(spark):
+    """Review r5: Arrow turns a NaN pandas-UDF output into NULL; with a
+    non-refusing scorer that NULL used to sort FIRST in the greedy 1:1
+    rank struct and claim both endpoints. It must coerce to 0.0 so the
+    real above-threshold match survives."""
+    import numpy as np
+
+    from datamatch_spark import FuncScorer, NoopIndex, ThresholdMatcher
+
+    def cb(a, b):
+        out = (a["x"] == b["x"]).astype(float)
+        # NaN for exactly one pair: ids 0-3 (x mismatch marker 'z')
+        out[(a["x"] == "z") | (b["x"] == "z")] = np.nan
+        return out
+
+    dfa = spark.createDataFrame([(0, "p"), (2, "z")], "id long, x string")
+    dfb = spark.createDataFrame([(1, "p"), (3, "q")], "id long, x string")
+    m = ThresholdMatcher(
+        NoopIndex(), FuncScorer(cb), dfa, dfb, row_key="id", validate=False,
+        defer=True,
+    )
+    got = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"]
+        for r in m.scored_pairs.collect()
+    }
+    # the real match (0,1)=1.0 must be kept by greedy pruning; the NaN
+    # pairs coerce to 0.0 instead of NULL-dominating
+    assert got[(0, 1)] == 1.0
+    assert all(v is not None for v in got.values())

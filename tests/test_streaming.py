@@ -345,3 +345,23 @@ def test_streaming_near_dup_redelivery_is_idempotent(spark, tmp_path):
     assert per_pair[(0, 1)] <= 8  # once per band at most (no state dup)
     assert (0, 2) in per_pair and (1, 2) in per_pair
     assert max(per_pair.values()) <= 8
+
+
+def test_incremental_link_empty_batch_keeps_key_type(spark):
+    """Review r5: the empty-micro-batch short-circuit must derive the
+    key type from the batch (a hardcoded long would write a conflicting
+    parquet schema into the sink on an empty first trigger)."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex
+    from datamatch_spark.streaming import incremental_link_batch
+
+    ref = spark.createDataFrame(
+        [("rA", "x", 10.0), ("rB", "y", 20.0)], "doc_id string, blk string, v double"
+    )
+    empty = spark.createDataFrame([], "doc_id string, blk string, v double")
+    out = incremental_link_batch(
+        empty, ref, ColumnsIndex("blk"),
+        {"v": AbsoluteNumericalSimilarity(10)}, row_key="doc_id",
+    )
+    assert out.count() == 0
+    assert dict(out.dtypes)["idx_a"] == "string"
+    assert dict(out.dtypes)["idx_b"] == "string"
