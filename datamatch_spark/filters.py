@@ -48,7 +48,16 @@ class DissimilarFilter(BaseFilter):
             raise KeyError(self._col)
         va = F.col(f"{a}.{self._col}")
         vb = F.col(f"{b}.{self._col}")
-        return va.isNull() | vb.isNull() | (va != vb)
+        keep = va.isNull() | vb.isNull() | (va != vb)
+        if isinstance(
+            schema[self._col].dataType, (T.FloatType, T.DoubleType)
+        ):
+            # NaN is 'missing' in the reference (pd.isnull -> pair
+            # passes), but Spark evaluates NaN = NaN as TRUE so a
+            # both-NaN pair would be dropped here (review r5,
+            # confirmed live); missing values must pass
+            keep = keep | F.isnan(va) | F.isnan(vb)
+        return keep
 
 
 class NonOverlappingFilter(BaseFilter):

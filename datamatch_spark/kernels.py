@@ -40,12 +40,28 @@ __all__ = [
 ]
 
 
+# Latin letters NFKD cannot decompose (no combining-mark form) that
+# Unidecode transliterates — dropping them silently ('Møller'->'Mller',
+# 'Straße'->'Strae') changes similarity scores on real name data
+# (review r5). Table mirrors Unidecode's output for these points.
+_LATIN_FALLBACK = str.maketrans(
+    {
+        "ß": "ss", "ẞ": "SS", "ø": "o", "Ø": "O", "æ": "ae", "Æ": "AE",
+        "œ": "oe", "Œ": "OE", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+        "þ": "th", "Þ": "Th", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+        "ı": "i", "ĸ": "k", "ŋ": "ng", "Ŋ": "NG", "ŧ": "t", "Ŧ": "T",
+    }
+)
+
+
 def unidecode_ascii(s: str) -> str:
-    """Transliterate to ASCII: NFKD-decompose then drop non-ASCII marks."""
+    """Transliterate to ASCII: map the non-decomposable Latin letters
+    (ß, ø, æ, ...) explicitly, then NFKD-decompose and drop marks."""
     if s is None:
         return ""
     if not isinstance(s, str):
         s = str(s)
+    s = s.translate(_LATIN_FALLBACK)
     return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
 
 

@@ -40,6 +40,18 @@ _ORDER_ASC = lambda: [F.col("sim_score").asc(), F.col("idx_a").asc(), F.col("idx
 _ORDER_DESC = lambda: [F.col("sim_score").desc(), F.col("idx_a").asc(), F.col("idx_b").asc()]  # noqa: E731
 
 
+def _call_variants(variator, struct_col, fields, rec_schema):
+    """Pass the record schema to variators that accept it (Swap's
+    type-aware missing gate) while tolerating user subclasses written
+    against the original two-argument signature."""
+    try:
+        return variator.variants(struct_col, fields, schema=rec_schema)
+    except TypeError as e:
+        if "schema" not in str(e):
+            raise
+        return variator.variants(struct_col, fields)
+
+
 class ThresholdMatcher:
     """Blocked pairwise scoring with threshold classification.
 
@@ -260,8 +272,10 @@ class ThresholdMatcher:
             # mv² × rows plus a full groupBy shuffle of scored rows.
             fields = rec_schema.fieldNames()
             pairs = pairs.withColumn(
-                "__va", self._variator.variants(F.col("a"), fields)
-            ).withColumn("__vb", self._variator.variants(F.col("b"), fields))
+                "__va", _call_variants(self._variator, F.col("a"), fields, rec_schema)
+            ).withColumn(
+                "__vb", _call_variants(self._variator, F.col("b"), fields, rec_schema)
+            )
             # ONE projection adds every variant slot, so all combo
             # UDFs' inputs coexist at a single plan level and extract
             # into a single ArrowEvalPython batch
@@ -293,8 +307,16 @@ class ThresholdMatcher:
             # the per-pair max (one aggregation shuffle)
             fields = rec_schema.fieldNames()
             pairs = pairs.withColumn(
-                "a", F.explode(self._variator.variants(F.col("a"), fields))
-            ).withColumn("b", F.explode(self._variator.variants(F.col("b"), fields)))
+                "a",
+                F.explode(
+                    _call_variants(self._variator, F.col("a"), fields, rec_schema)
+                ),
+            ).withColumn(
+                "b",
+                F.explode(
+                    _call_variants(self._variator, F.col("b"), fields, rec_schema)
+                ),
+            )
             ctx = CompileCtx(df=pairs)
             score = self._scorer.compile(ctx)
             scored = (

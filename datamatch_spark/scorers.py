@@ -107,7 +107,7 @@ class SimSumScorer(BaseScorer):
         for k in self._fields:
             if k not in names:
                 raise KeyError(k)
-        if all(callable(getattr(s, "batch", None)) for s in self._fields.values()):
+        if self.can_swap_fuse():  # same criterion as the fused paths
             return self._compile_fused(ctx)
         sq_terms = []
         for k, simcls in self._fields.items():
@@ -297,13 +297,29 @@ class SimSumScorer(BaseScorer):
                 best = np.where(valid[c], np.maximum(best, acc[c]), best)
             return pd.Series(np.sqrt(best / n_fields))
 
+        def _missing(c: Column, name: str) -> Column:
+            # pandas-sense missing: NULL, or NaN for float fields —
+            # mirrors Swap's reference gate (pd.isna(a) and pd.isna(b)
+            # -> no swap), so a NULL-vs-NaN pair must not swap even
+            # though NULL <=> NaN is false (review r5)
+            from pyspark.sql import types as _T
+
+            dt = ctx.record_schema[name].dataType
+            if isinstance(dt, (_T.FloatType, _T.DoubleType)):
+                return c.isNull() | F.isnan(c)
+            return c.isNull()
+
+        def _gate(x: Column, y: Column) -> Column:
+            both_missing = _missing(x, col_x) & _missing(y, col_y)
+            return ~x.eqNullSafe(y) & ~both_missing
+
         args = [
             ctx.acol(col_x),
             ctx.acol(col_y),
             ctx.bcol(col_x),
             ctx.bcol(col_y),
-            ~ctx.acol(col_x).eqNullSafe(ctx.acol(col_y)),
-            ~ctx.bcol(col_x).eqNullSafe(ctx.bcol(col_y)),
+            _gate(ctx.acol(col_x), ctx.acol(col_y)),
+            _gate(ctx.bcol(col_x), ctx.bcol(col_y)),
         ]
         for k, _ in items:
             if k not in (col_x, col_y):
@@ -451,6 +467,15 @@ class AlterScorer(BaseScorer):
             cache[id(self)] = (va, vb)
         va, vb = cache[id(self)]
         cond = F.col(va).isNotNull() & F.col(vb).isNotNull() & (F.col(va) == F.col(vb))
+        from pyspark.sql import types as _T
+
+        if isinstance(
+            ctx.df.schema[va].dataType, (_T.FloatType, _T.DoubleType)
+        ):
+            # Spark evaluates NaN = NaN as TRUE; the reference's Python
+            # NaN == NaN is False, so two NaN side-table values must
+            # NOT trigger the alteration (review r5, confirmed live)
+            cond = cond & ~F.isnan(F.col(va)) & ~F.isnan(F.col(vb))
         return F.when(cond, self._alter(inner).cast("double")).otherwise(inner)
 
 

@@ -91,7 +91,10 @@ class StringSimilarity(BaseSimilarity):
         self._max_len = max_len
 
     def sim(self, a: str, b: str) -> float:
-        return kernels.lev_ratio(unidecode_ascii(a), unidecode_ascii(b))
+        x, y = unidecode_ascii(a), unidecode_ascii(b)
+        if self._max_len is not None:  # same truncation as batch/expr
+            x, y = x[: self._max_len], y[: self._max_len]
+        return kernels.lev_ratio(x, y)
 
     def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
         xs = [unidecode_ascii(x) if x is not None else "" for x in a]
@@ -110,7 +113,10 @@ class JaroWinklerSimilarity(BaseSimilarity):
         self._max_len = max_len
 
     def sim(self, a: str, b: str) -> float:
-        return kernels.jaro_winkler(unidecode_ascii(a), unidecode_ascii(b), self._prefix_weight)
+        x, y = unidecode_ascii(a), unidecode_ascii(b)
+        if self._max_len is not None:  # same truncation as batch/expr
+            x, y = x[: self._max_len], y[: self._max_len]
+        return kernels.jaro_winkler(x, y, self._prefix_weight)
 
     def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
         xs = [unidecode_ascii(x) if x is not None else "" for x in a]
@@ -225,15 +231,19 @@ class DateSimilarity(BaseSimilarity):
         # the batch/scalar faces on timestamps (datediff is a
         # calendar-DATE diff: 23:00 vs next-day 01:00 would count as a
         # full day apart and faces would disagree near the threshold).
-        # unix_timestamp over a cast, not the raw column: on a
-        # string-typed date column ('2000-10-11') raw unix_timestamp
-        # demands the full 'yyyy-MM-dd HH:mm:ss' pattern — ANSI throws
-        # CANNOT_PARSE_TIMESTAMP, non-ANSI yields silent NULLs — while
-        # cast('timestamp') accepts date-only strings and preserves
-        # time-of-day for timestamp strings/columns
-        ts_a = F.unix_timestamp(a.cast("timestamp"))
-        ts_b = F.unix_timestamp(b.cast("timestamp"))
-        days = F.floor(F.abs(ts_a - ts_b) / F.lit(86400)).cast("double")
+        # timestamp_NTZ subtraction, not unix_timestamp: (1) a cast
+        # accepts date-only strings where raw unix_timestamp demands
+        # 'yyyy-MM-dd HH:mm:ss' (ANSI throws CANNOT_PARSE_TIMESTAMP,
+        # non-ANSI silently NULLs stage 1); (2) NTZ wall-clock
+        # arithmetic is session-timezone-independent — under a DST
+        # timezone, unix_timestamp of local midnights loses an hour
+        # across a spring-forward and a 30-day gap floors to 29,
+        # silently diverging from the pandas/scalar faces (review r5,
+        # confirmed live under America/New_York)
+        sec = (
+            b.cast("timestamp_ntz") - a.cast("timestamp_ntz")
+        ).cast("bigint")
+        days = F.floor(F.abs(sec) / F.lit(86400)).cast("double")
         same_year = F.year(ad) == F.year(bd)
         stage1 = days < self._d_max
         stage2 = (

@@ -15,6 +15,26 @@ from pyspark.sql import functions as F
 __all__ = ["Variator", "Swap"]
 
 
+def _both_missing(struct_col: Column, col_a: str, col_b: str, schema) -> Column:
+    """TRUE when both swap fields are MISSING in the pandas sense
+    (NULL, or NaN for float fields): the reference's gate is
+    ``pd.isna(a) and pd.isna(b)`` -> no swap, so a NULL-vs-NaN pair
+    must NOT produce a variant even though NULL <=> NaN is false
+    (review r5). Without a schema (type unknown) only NULLs count —
+    eqNullSafe already covers NULL/NULL and NaN/NaN."""
+    from pyspark.sql import types as T
+
+    def missing(name: str) -> Column:
+        v = struct_col.getField(name)
+        if schema is not None and isinstance(
+            schema[name].dataType, (T.FloatType, T.DoubleType)
+        ):
+            return v.isNull() | F.isnan(v)
+        return v.isNull()
+
+    return missing(col_a) & missing(col_b)
+
+
 class Variator:
     """Identity variator (reference variators.py:13-29).
 
@@ -35,7 +55,11 @@ class Variator:
     def is_noop(self) -> bool:
         return type(self) is Variator
 
-    def variants(self, struct_col: Column, fields: list[str]) -> Column:
+    def variants(
+        self, struct_col: Column, fields: list[str], schema=None
+    ) -> Column:
+        """``schema``: optional record StructType — lets subclasses make
+        type-aware decisions (Swap's NaN-vs-NULL missing gate)."""
         return F.array(struct_col)
 
     def __init_subclass__(cls, **kwargs) -> None:
@@ -60,7 +84,9 @@ class Swap(Variator):
     def required_columns(self) -> set[str]:
         return {self._col_a, self._col_b}
 
-    def variants(self, struct_col: Column, fields: list[str]) -> Column:
+    def variants(
+        self, struct_col: Column, fields: list[str], schema=None
+    ) -> Column:
         if self._col_a not in fields or self._col_b not in fields:
             raise KeyError(f"Swap columns {self._col_a}/{self._col_b} not in record")
         swapped = F.struct(
@@ -79,7 +105,7 @@ class Swap(Variator):
         )
         do_swap = ~struct_col.getField(self._col_a).eqNullSafe(
             struct_col.getField(self._col_b)
-        )
+        ) & ~_both_missing(struct_col, self._col_a, self._col_b, schema)
         return F.when(do_swap, F.array(struct_col, swapped)).otherwise(
             F.array(struct_col)
         )

@@ -117,3 +117,48 @@ def test_custom_variator_explode_fallback_equals_inline(spark):
     b = {(r["idx_a"], r["idx_b"]): round(r["sim_score"], 9)
          for r in fallback.scored_pairs.collect()}
     assert a == b
+
+
+def test_swap_null_vs_nan_is_both_missing_no_swap(spark):
+    """Reference gate: pd.isna(a) and pd.isna(b) -> NO swap. In a
+    pandas float column None IS NaN, so a NULL-vs-NaN pair is
+    both-missing and must not produce a variant — eqNullSafe alone
+    says NULL <=> NaN is false and would swap (review r5)."""
+    from pyspark.sql import functions as F
+
+    from datamatch_spark import Swap
+
+    df = spark.createDataFrame(
+        [(0, None, float("nan")), (1, 1.0, None), (2, 1.0, 2.0)],
+        "id long, p double, q double",
+    )
+    v = Swap("p", "q").variants(
+        F.struct("p", "q").alias("r"), ["p", "q"], schema=df.select("p", "q").schema
+    )
+    sizes = {r["id"]: r["n"] for r in df.select("id", F.size(v).alias("n")).collect()}
+    assert sizes == {0: 1, 1: 2, 2: 2}  # both-missing: no swap; one-null: swap
+
+
+def test_dissimilar_filter_nan_is_missing(spark):
+    """Both-NaN pairs must PASS (reference pd.isnull treats NaN as
+    missing); Spark's NaN = NaN is TRUE and used to drop them."""
+    from datamatch_spark import (
+        AbsoluteNumericalSimilarity,
+        DissimilarFilter,
+        NoopIndex,
+        ThresholdMatcher,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(0, nan, 1.0), (1, nan, 2.0), (2, 5.0, 3.0), (3, 5.0, 4.0)],
+        "id long, agency double, v double",
+    )
+    m = ThresholdMatcher(
+        NoopIndex(), {"v": AbsoluteNumericalSimilarity(10)}, df,
+        row_key="id", validate=False, defer=True,
+        filters=[DissimilarFilter("agency")],
+    )
+    got = {(r["idx_a"], r["idx_b"]) for r in m.scored_pairs.collect()}
+    assert (0, 1) in got        # both NaN -> missing -> passes
+    assert (2, 3) not in got    # equal non-missing -> filtered

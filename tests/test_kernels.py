@@ -124,3 +124,17 @@ def test_relative_similarity_zero_zero_identical():
     assert rs.sim(0.0, 0.0) == 1.0
     import pandas as pd
     assert list(rs.batch(pd.Series([0.0, 10.0]), pd.Series([0.0, 11.0])).round(4)) == [1.0, 0.8182]
+
+
+def test_unidecode_non_decomposable_latin():
+    """NFKD alone deletes ß/ø/æ/Ł (no combining-mark form); the
+    fallback table must transliterate them like Unidecode does."""
+    from datamatch_spark.kernels import unidecode_ascii
+
+    assert unidecode_ascii("Møller") == "Moller"
+    assert unidecode_ascii("Straße") == "Strasse"
+    assert unidecode_ascii("Ærø") == "AEro"
+    assert unidecode_ascii("Łukasz") == "Lukasz"
+    assert unidecode_ascii("Þórður") == "Thordur"
+    assert unidecode_ascii("œuvre") == "oeuvre"
+    assert unidecode_ascii("thăng") == "thang"  # decomposable path intact

@@ -301,8 +301,8 @@ def test_swap_on_float_columns_fused_with_exact_null_semantics(spark):
     rows = [
         (0, 5.0, 50.0, "ann"),
         (1, 50.0, 5.0, "ann"),      # swapped copy of 0 -> max combo = 1.0
-        (2, None, float("nan"), "bob"),   # NULL<=>NaN false -> swaps
-        (3, float("nan"), None, "bob"),
+        (2, None, float("nan"), "bob"),   # both missing (pd.isna) -> no swap
+        (3, float("nan"), None, "bob"),   # (reference variator gate)
         (4, float("nan"), float("nan"), "cal"),  # NaN<=>NaN true -> no swap
         (5, 7.0, 7.0, "cal"),       # equal -> no swap
     ]
@@ -395,3 +395,52 @@ def test_nan_func_scorer_does_not_poison_match_mode(spark):
     # pairs coerce to 0.0 instead of NULL-dominating
     assert got[(0, 1)] == 1.0
     assert all(v is not None for v in got.values())
+
+
+def test_alter_scorer_nan_values_not_equal(spark):
+    """Two NaN side-table values must NOT count as equal (Python
+    NaN == NaN is False in the reference) — Spark's NaN = NaN is TRUE
+    and used to apply the alteration (review r5)."""
+    import pandas as pd
+
+    base = SimSumScorer({"name": JaroWinklerSimilarity()})
+    values = pd.Series([float("nan"), float("nan"), 7.0, 7.0], index=[1, 2, 3, 4])
+    scorer = AlterScorer(base, values, lambda x: x / 2)
+    got_nan = run_scorer(spark, scorer, "name string", ("john",), ("john",), ia=1, ib=2)
+    got_eq = run_scorer(spark, scorer, "name string", ("john",), ("john",), ia=3, ib=4)
+    assert got_nan == 1.0  # NaN values -> unaltered
+    assert got_eq == 0.5   # genuinely equal values -> altered
+
+
+def test_date_expr_dst_timezone_consistent(spark):
+    """Review r5 (confirmed live): under a DST session timezone,
+    unix_timestamp-of-midnight loses an hour across spring-forward and
+    a 30-day gap floored to 29 days (stage-1 hit instead of 0.0). The
+    NTZ wall-clock subtraction must match the scalar/batch faces in
+    ANY session timezone."""
+    import datetime
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = run_sim(
+            spark, DateSimilarity(30), "date",
+            datetime.date(2024, 3, 1), datetime.date(2024, 3, 31),
+        )
+        assert got == 0.0  # exactly 30 days: no stage matches
+        got29 = run_sim(
+            spark, DateSimilarity(30), "date",
+            datetime.date(2024, 3, 1), datetime.date(2024, 3, 30),
+        )
+        assert abs(got29 - (1.0 - 29.0 / 30.0)) < TOL
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_string_similarity_scalar_face_respects_max_len(spark):
+    from datamatch_spark import StringSimilarity
+
+    s = StringSimilarity(max_len=4)
+    a, b = "abcdXXXX", "abcdYYYY"
+    assert s.sim(a, b) == 1.0  # truncated to 'abcd' == 'abcd'
+    assert s.sim(a, b) == run_sim(spark, s, "string", a, b)
