@@ -72,7 +72,18 @@ def _table_multi_bucket(spark: SparkSession, table_name: str) -> bool:
     rows = spark.sql(
         f"SHOW TBLPROPERTIES {table_name} ('{MULTI_BUCKET_PROP}')"
     ).collect()
-    return bool(rows) and rows[0]["value"] == "true"
+    val = rows[0]["value"] if rows else None
+    if val not in ("true", "false"):
+        # the property is written by a separate ALTER after saveAsTable
+        # commits; its absence means that second statement never ran (a
+        # crash in the window) — refusing loudly beats silently skipping
+        # pair dedup for a multi-bucket index (review r5)
+        raise ValueError(
+            f"table {table_name!r} lacks the {MULTI_BUCKET_PROP!r} "
+            "property — it was not (fully) written by "
+            "save_bucketed_keyed_side; re-save it"
+        )
+    return val == "true"
 
 
 def bucketed_candidate_pairs(

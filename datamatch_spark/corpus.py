@@ -329,6 +329,11 @@ def spans_preserved(inp: DataFrame, out: DataFrame, key: str = "doc_id") -> bool
     row or an output row with a rewritten/unknown key is a violation
     too — an inner join would silently skip exactly the rows a broken
     pipeline corrupts."""
+    # row-count equality first: the full-outer join matches each
+    # DUPLICATED output row to the same input row, so a pipeline that
+    # doubled the corpus would otherwise pass (review r5)
+    if inp.count() != out.count():
+        return False
     left = inp.select(F.col(key), F.col("spans").alias("__spans_in"))
     joined = out.select(F.col(key), "spans").join(left, on=key, how="full")
     bad = joined.where(

@@ -61,8 +61,13 @@ def _decode_ppm(data: bytes, dim: int):
     while len(parts) < 4:  # magic, width, height, maxval
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ValueError("malformed PPM: truncated header")
         if data[pos : pos + 1] == b"#":  # comment line
-            pos = data.index(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("malformed PPM: unterminated header comment")
+            pos = nl + 1
             continue
         start = pos
         while pos < len(data) and not data[pos : pos + 1].isspace():
@@ -71,8 +76,11 @@ def _decode_ppm(data: bytes, dim: int):
     pos += 1  # single whitespace after maxval
     if parts[0] != b"P6":
         raise ValueError(f"not a binary PPM: magic {parts[0]!r}")
-    w, h = int(parts[1]), int(parts[2])
-    maxval = int(parts[3])
+    try:
+        w, h = int(parts[1]), int(parts[2])
+        maxval = int(parts[3])
+    except ValueError as e:
+        raise ValueError(f"malformed PPM header fields {parts[1:]!r}") from e
     if maxval != 255:
         # maxval > 255 means 2-byte big-endian samples — reading them
         # as uint8 would silently misdecode; refuse loudly instead.
@@ -111,10 +119,21 @@ def _decode_wav(data: bytes, dim: int):
     if width == 1:
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
         x = x / 128.0
-    else:
+    elif width == 3:
+        # 24-bit PCM (legal, stdlib-readable): widen each 3-byte LE
+        # sample to int32 via a zero pad + arithmetic shift (keeps sign)
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3)
+        padded = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = b
+        x = (padded.view("<i4").reshape(-1) >> 8).astype(np.float64)
+        x = x / float(2**23)
+    elif width in (2, 4):
         dtype = {2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
         x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         x = x / float(2 ** (8 * width - 1))
+    else:
+        raise ValueError(f"unsupported PCM sample width {width} bytes")
     if len(x) == 0:
         vec = np.zeros(4, dtype=np.float32)
     else:

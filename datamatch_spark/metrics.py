@@ -22,10 +22,15 @@ __all__ = ["MetricsSink", "partition_stats", "blocking_quality"]
 
 
 def partition_stats(df: DataFrame) -> DataFrame:
-    """(partition_id, n_rows) for the DataFrame's current partitioning."""
+    """(partition_id, n_rows, n_partitions_total) for the DataFrame's
+    current partitioning. The groupBy cannot emit 0-row partitions, so
+    the TOTAL partition count rides along — a lineage reader can infer
+    the empties (review r5: 50 empty of 64 would otherwise read as a
+    healthy 14-partition layout)."""
+    n_total = df.rdd.getNumPartitions()
     return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
         F.count(F.lit(1)).alias("n_rows")
-    )
+    ).withColumn("n_partitions_total", F.lit(n_total))
 
 
 class MetricsSink:
@@ -101,8 +106,13 @@ def blocking_quality(
     from .pairing import candidate_pairs
 
     n = df.count()
-    cand = candidate_pairs(df, index, row_key, [], cfg=cfg).select(
-        "idx_a", "idx_b"
+    # materialize the candidate set ONCE: it feeds two counts (|C| and
+    # the truth intersection) and the blocked self-join behind it is
+    # the expensive step this function exists to measure (review r5)
+    cand = (
+        candidate_pairs(df, index, row_key, [], cfg=cfg)
+        .select("idx_a", "idx_b")
+        .localCheckpoint()
     )
     n_cand = cand.count()
     n_truth = truth_pairs.count()

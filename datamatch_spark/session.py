@@ -71,7 +71,13 @@ def get_spark(
             # 'local[N,maxFailures]' is a legal Spark master form —
             # only the first field is the core count
             inner = master[len("local[") : -1].split(",")[0]
-            shuffle_partitions = cpus if inner == "*" else max(int(inner), 1)
+            # local[*] means THIS machine's core count, not the
+            # SPARK_GRAFT_CPUS default (review r5: a 4-core box would
+            # get 32 shuffle partitions — exactly the empty-partition
+            # task launches this default exists to avoid)
+            shuffle_partitions = (
+                (os.cpu_count() or cpus) if inner == "*" else max(int(inner), 1)
+            )
         else:
             shuffle_partitions = 200
     builder = SparkSession.builder.master(master).appName(app_name)

@@ -14,10 +14,13 @@ matchers.py:373-459); big results go to parquet sinks instead.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from xml.sax.saxutils import escape
 
 __all__ = ["write_xlsx"]
+
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 _CONTENT_TYPES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -80,9 +83,13 @@ def _cell(ref: str, v) -> str:
             v = str(v)  # NaN/inf: not representable as xlsx number
         else:
             return f'<c r="{ref}"><v>{v!r}</v></c>'
+    # XML 1.0 forbids \x00-\x08, \x0b, \x0c, \x0e-\x1f even escaped —
+    # a raw control byte in a record string would make Excel/openpyxl
+    # report the whole workbook corrupt (review r5)
+    s = _XML_ILLEGAL.sub("�", str(v))
     return (
         f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-        f"{escape(str(v))}</t></is></c>"
+        f"{escape(s)}</t></is></c>"
     )
 
 

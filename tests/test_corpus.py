@@ -57,3 +57,14 @@ def test_gold_pairs_spark_matches_pandas(spark):
     }
     assert got == gold_pairs_pandas(CFG)
     assert len(got) > 50
+
+
+def test_spans_preserved_catches_duplication(spark):
+    """A pipeline that doubles the corpus with intact spans must FAIL
+    the invariant (review r5: the full-outer join alone matched every
+    duplicated row to the same input row)."""
+    from datamatch_spark.corpus import CorpusConfig, generate_documents, spans_preserved
+
+    docs = generate_documents(spark, CorpusConfig(n_docs=40, seed=3))
+    assert spans_preserved(docs, docs)
+    assert not spans_preserved(docs, docs.unionAll(docs))

@@ -627,3 +627,39 @@ def test_minhash_checkpoint_keyed_by_text_col(spark, tmp_path):
         checkpoint_dir=d,
     ).count()
     assert p1 == 1 and p2 == 0  # titles identical, bodies disjoint
+
+
+def test_decode_wav_24bit_pcm(spark):
+    """24-bit PCM is legal and stdlib-readable; it must decode (sign
+    preserved via the pad-and-shift widening), not KeyError."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from datamatch_spark.extras import multimodal as M
+
+    samples = [0, 2**22, -(2**22), 2**23 - 1, -(2**23)]
+    raw = b"".join(struct.pack("<i", s)[:3] for s in samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(3)
+        wv.setframerate(8000)
+        wv.writeframes(raw)
+    n, rate, feats = M._decode_wav(buf.getvalue(), 4)
+    assert n == len(samples) and rate == 8000
+    assert all(np.isfinite(feats))
+    assert abs(feats[1] - 1.0) < 1e-6  # |x|max = full scale
+
+
+def test_decode_ppm_malformed_headers_raise_cleanly():
+    import pytest as _pytest
+
+    from datamatch_spark.extras import multimodal as M
+
+    with _pytest.raises(ValueError, match="truncated header"):
+        M._decode_ppm(b"P6\n640 ", 16)
+    with _pytest.raises(ValueError, match="unterminated header comment"):
+        M._decode_ppm(b"P6\n# comment", 16)
