@@ -158,7 +158,9 @@ def connected_components(
     # rounds, never by mutating the session-global
     # spark.sql.shuffle.partitions (which would race against
     # concurrent queries sharing the session).
-    default_par = spark.sparkContext.defaultParallelism
+    from .session import effective_parallelism
+
+    default_par = effective_parallelism(spark)
     n_parts = max(2, min(default_par, (sig[0] or 1) // 50_000 + 1))
     star_parts = n_parts if n_parts < default_par else None
     if sig[0] and star_parts:

@@ -277,10 +277,20 @@ def generate_documents(spark: SparkSession, cfg: CorpusConfig) -> DataFrame:
                 rows.append((flat["doc_id"], _spans_for(flat, cfg)))
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
-    n_parts = max(1, min(spark.sparkContext.defaultParallelism, cfg.n_docs // 250 + 1))
+    n_parts = max(1, min(_corpus_parallelism(spark), cfg.n_docs // 250 + 1))
     return spark.range(0, cfg.n_docs, numPartitions=n_parts).mapInPandas(
         gen, schema=DOC_SCHEMA
     )
+
+
+def _corpus_parallelism(spark: SparkSession) -> int:
+    """Partition count for generated tables — race-free in fresh
+    standalone sessions (see session.effective_parallelism: a corpus
+    generated before executors register would otherwise land on 2
+    partitions and serialize every downstream pre-shuffle stage)."""
+    from .session import effective_parallelism
+
+    return effective_parallelism(spark)
 
 
 def gold_pairs(spark: SparkSession, cfg: CorpusConfig) -> DataFrame:
@@ -299,7 +309,10 @@ def gold_pairs(spark: SparkSession, cfg: CorpusConfig) -> DataFrame:
                     rows.append((f["doc_id"], f["entity"]))
             yield pd.DataFrame(rows, columns=["doc_id", "entity"])
 
-    labels = spark.range(0, cfg.n_docs).mapInPandas(gen, "doc_id string, entity long")
+    n_parts = max(1, min(_corpus_parallelism(spark), cfg.n_docs // 250 + 1))
+    labels = spark.range(0, cfg.n_docs, numPartitions=n_parts).mapInPandas(
+        gen, "doc_id string, entity long"
+    )
     a = labels.select(F.col("doc_id").alias("idx_a"), "entity")
     b = labels.select(F.col("doc_id").alias("idx_b"), "entity")
     return a.join(b, on="entity").where(F.col("idx_a") < F.col("idx_b")).drop("entity")

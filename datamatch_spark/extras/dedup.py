@@ -207,7 +207,9 @@ def _ensure_width(df: DataFrame, partitions: int | None = None) -> DataFrame:
     localCheckpoint can be ONE partition, serializing all compute onto
     one core. At scale a real table is already wide and this is a
     no-op (no shuffle added)."""
-    want = partitions or 2 * df.sparkSession.sparkContext.defaultParallelism
+    from ..session import effective_parallelism
+
+    want = partitions or 2 * effective_parallelism(df.sparkSession)
     if df.rdd.getNumPartitions() >= max(2, want // 2):
         return df
     return df.repartition(want)

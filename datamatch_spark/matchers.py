@@ -218,7 +218,9 @@ class ThresholdMatcher:
         if self._score_partitions is not None:
             n_parts = self._score_partitions
             if n_parts == "auto":
-                n_parts = 2 * self._dfa.sparkSession.sparkContext.defaultParallelism
+                from .session import effective_parallelism
+
+                n_parts = 2 * effective_parallelism(self._dfa.sparkSession)
             elif not isinstance(n_parts, int):
                 # repartition('64') would treat the string as a COLUMN
                 # name and die with an opaque UNRESOLVED_COLUMN

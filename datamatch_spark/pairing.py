@@ -202,7 +202,13 @@ def _anti_hot(side: DataFrame, hot: list) -> DataFrame:
 def _n_parts(side: DataFrame, cfg: PairingConfig) -> int:
     if cfg.target_partitions is not None:
         return cfg.target_partitions
-    return 2 * side.sparkSession.sparkContext.defaultParallelism
+    from .session import effective_parallelism
+
+    # 2× total cores: pair output is 10-100× the input, so over-split
+    # the cheap input side to keep the blowup (and the scoring UDFs
+    # downstream) wide. effective_parallelism is race-free in fresh
+    # standalone sessions (see its docstring).
+    return 2 * effective_parallelism(side.sparkSession)
 
 
 def _dedup_pairs_plain(side: DataFrame, cfg: PairingConfig) -> DataFrame:

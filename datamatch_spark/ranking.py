@@ -39,7 +39,9 @@ def global_rank(
     between the count pass and the rank pass).
     """
     spark = df.sparkSession
-    n_parts = partitions or 2 * spark.sparkContext.defaultParallelism
+    from .session import effective_parallelism
+
+    n_parts = partitions or 2 * effective_parallelism(spark)
     parted = df.repartitionByRange(n_parts, *order_cols).localCheckpoint()
     parted = parted.withColumn("__pid", F.spark_partition_id())
     counts = sorted(

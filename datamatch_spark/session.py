@@ -26,6 +26,25 @@ DEFAULT_CONFS = {
 }
 
 
+def effective_parallelism(spark: SparkSession) -> int:
+    """Race-free total-core estimate for partition-count decisions.
+
+    ``sc.defaultParallelism`` on a standalone cluster is
+    ``max(totalCores, 2)`` — and totalCores is 0 until executors
+    REGISTER, so any operator that sizes its partitioning in a fresh
+    ``local-cluster``/standalone session before the first executor
+    heartbeat sees 2 and serializes its pre-shuffle stages for the
+    whole job. The explicitly-configured shuffle partitions (set to
+    the intended total core count by :func:`get_spark` and every
+    deploy script) is the race-free floor; whichever is larger wins.
+    """
+    try:
+        conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_p = 0  # unset, or non-numeric under exotic AQE configs
+    return max(spark.sparkContext.defaultParallelism, conf_p, 1)
+
+
 def iceberg_confs(catalog: str, warehouse: str) -> dict:
     """Session configs that register a Hadoop-backed Iceberg catalog
     (the standard public Iceberg-Spark runtime wiring). The runtime

@@ -62,15 +62,19 @@ t0 = time.time()
 warm.scored_pairs.count()
 t["warmup"] = round(time.time() - t0, 3)
 
-# phase 1: candidate pairs only (blocking shuffle + self-join), cached
+# phase 1: candidate pairs only (blocking shuffle + self-join). NOT
+# persisted: ~21M wide pair rows at 300k docs (~10 GB) evict/OOM a
+# single 8 GB executor at ANY storage level (executor SIGTERM -> its
+# localCheckpoint blocks vanish -> CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+# Scoring cost is inferred as total_bench_region - cand instead.
 t0 = time.time()
 cand = candidate_pairs(fields, ColumnsIndex("blk"), "doc_id",
                        ["last", "first", "dob"], cfg=pcfg)
-cand = cand.persist()
 n_cand = cand.count()
 t["cand"] = round(time.time() - t0, 3)
 
-# phase 2: scoring over the cached candidate set
+# phase 2: the bench's full timed region (regenerates candidates,
+# then scores + localCheckpoints); scoring ~= this minus phase 1
 m = ThresholdMatcher(ColumnsIndex("blk"), sims, fields, row_key="doc_id",
                      validate=False, pairing_config=pcfg)
 t0 = time.time()

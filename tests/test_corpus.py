@@ -68,3 +68,19 @@ def test_spans_preserved_catches_duplication(spark):
     docs = generate_documents(spark, CorpusConfig(n_docs=40, seed=3))
     assert spans_preserved(docs, docs)
     assert not spans_preserved(docs, docs.unionAll(docs))
+
+
+def test_effective_parallelism_floor_and_corpus_width(spark):
+    """effective_parallelism must never report below the configured
+    shuffle partitions: on a standalone cluster defaultParallelism is 2
+    until executors register, and a corpus generated in that window
+    previously landed on 2 partitions, serializing every downstream
+    pre-shuffle stage (the round-5 scaling diagnosis)."""
+    from datamatch_spark.corpus import CorpusConfig, generate_documents
+    from datamatch_spark.session import effective_parallelism
+
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    eff = effective_parallelism(spark)
+    assert eff >= conf_p >= 1
+    docs = generate_documents(spark, CorpusConfig(n_docs=2000, seed=7))
+    assert docs.rdd.getNumPartitions() >= min(conf_p, 2000 // 250 + 1)
