@@ -62,22 +62,31 @@ t0 = time.time()
 warm.scored_pairs.count()
 t["warmup"] = round(time.time() - t0, 3)
 
-# phase 1: candidate pairs only (blocking shuffle + self-join). NOT
-# persisted: ~21M wide pair rows at 300k docs (~10 GB) evict/OOM a
-# single 8 GB executor at ANY storage level (executor SIGTERM -> its
-# localCheckpoint blocks vanish -> CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
-# Scoring cost is inferred as total_bench_region - cand instead.
+# phase 0: hot-block detection alone (driver-side collect — the
+# serial Amdahl fraction inside every candidate_pairs call)
+from datamatch_spark.pairing import _hot_blocks, keyed_side
+t0 = time.time()
+side = keyed_side(fields, ColumnsIndex("blk"), "doc_id",
+                  ["last", "first", "dob"], "idx", "rec")
+hot = _hot_blocks(side, pcfg)
+t["hot_detect"] = round(time.time() - t0, 3)
+
+# phase 1: candidate pairs count only. NOT persisted (~10 GB of wide
+# pair rows OOMs a single 8 GB executor at any storage level, and the
+# lost executor takes its localCheckpoint blocks with it). Note
+# count() prunes the rec structs — this times the NARROW join.
 t0 = time.time()
 cand = candidate_pairs(fields, ColumnsIndex("blk"), "doc_id",
                        ["last", "first", "dob"], cfg=pcfg)
 n_cand = cand.count()
-t["cand"] = round(time.time() - t0, 3)
+t["cand_narrow"] = round(time.time() - t0, 3)
 
-# phase 2: the bench's full timed region (regenerates candidates,
-# then scores + localCheckpoints); scoring ~= this minus phase 1
+# phase 2: the bench's full timed region — matcher construction is
+# EAGER (scored_pairs materializes in __init__), so construction must
+# sit inside the timed block exactly like executor_scaling_bench
+t0 = time.time()
 m = ThresholdMatcher(ColumnsIndex("blk"), sims, fields, row_key="doc_id",
                      validate=False, pairing_config=pcfg)
-t0 = time.time()
 n = m.scored_pairs.count()
 t["total_bench_region"] = round(time.time() - t0, 3)
 
