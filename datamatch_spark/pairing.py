@@ -33,7 +33,7 @@ same block-size aggregation that detects hot keys.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -187,6 +187,52 @@ def _hot_blocks(side: DataFrame, cfg: PairingConfig):
     return [(r[BLOCK_KEY], max(2, -(-r["n"] // cfg.rows_per_shard))) for r in rows]
 
 
+# above this many hot keys, fall back to the pickled-RDD path: a
+# literal plan with 100k struct literals would bloat analysis/codegen
+# far past the one-off Python-worker cost it avoids
+_MAX_LITERAL_HOT = 1_000
+
+
+def _literal_df(spark, rows: list, schema: str) -> DataFrame:
+    """Small driver-side list → DataFrame as a pure-JVM literal plan.
+
+    ``spark.createDataFrame(list)`` ships the rows as PICKLED PYTHON
+    partitions, so its first evaluation spins up a Python worker on
+    every executor core just to yield a handful of rows — measured
+    2.9 s of the 7.8 s candidate-generation wall at 1×8 executors
+    (stages with cpu≈0.03 s but run≈8 s), and 4× that cold-start count
+    at 4×8: a per-core anti-scaling constant in every salted join.
+    ``explode(array(struct(lit..)))`` stays JVM-side end to end: one
+    ~10 ms task, no Python anywhere. Used for the hot-key tables
+    (≤ _MAX_LITERAL_HOT rows — larger lists fall back)."""
+    fields = [f.strip().split() for f in schema.split(",")]
+    entries = [
+        F.struct(*[
+            F.lit(v).cast(t).alias(c) for v, (c, t) in zip(r, fields)
+        ])
+        for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*entries)).alias("__kv"))
+        .select("__kv.*")
+    )
+
+
+def _driver_rows_df(spark, rows: list, schema: str) -> DataFrame:
+    if 0 < len(rows) <= _MAX_LITERAL_HOT:
+        return _literal_df(spark, rows, schema)
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _parted(side: DataFrame, cfg: PairingConfig) -> DataFrame:
+    """Hash-partition a keyed side by block key, unless the caller
+    already co-located it (``cfg.pre_partitioned`` — bucketed tables)."""
+    if cfg.pre_partitioned:
+        return side
+    return side.repartition(_n_parts(side, cfg), F.col(BLOCK_KEY))
+
+
 def _anti_hot(side: DataFrame, hot: list) -> DataFrame:
     """Rows of ``side`` whose block key is NOT hot, via a broadcast
     left-anti join — an IN-list literal of up to max_hot_keys keys
@@ -194,7 +240,7 @@ def _anti_hot(side: DataFrame, hot: list) -> DataFrame:
     with the key (dedup: (key, s); match: (key, sa, sb))."""
     spark = side.sparkSession
     hot_df = F.broadcast(
-        spark.createDataFrame([(h[0],) for h in hot], schema=f"{BLOCK_KEY} string")
+        _driver_rows_df(spark, [(h[0],) for h in hot], f"{BLOCK_KEY} string")
     )
     return side.join(hot_df, on=BLOCK_KEY, how="left_anti")
 
@@ -229,7 +275,7 @@ def _dedup_pairs_plain(side: DataFrame, cfg: PairingConfig) -> DataFrame:
 
 def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -> DataFrame:
     hot_df = F.broadcast(
-        spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __s int")
+        _driver_rows_df(spark, hot, f"{BLOCK_KEY} string, __s int")
     )
     tagged = side.join(hot_df, on=BLOCK_KEY).withColumn(
         "__shard", F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int")
@@ -316,7 +362,7 @@ def _match_pairs_salted(
     CELL with ≤ rows_per_shard rows of each side. The join key carries
     the cell, so even an SMJ fallback exchanges uniformly."""
     hot_df = F.broadcast(
-        spark.createDataFrame(hot, schema=f"{BLOCK_KEY} string, __sa int, __sb int")
+        _driver_rows_df(spark, hot, f"{BLOCK_KEY} string, __sa int, __sb int")
     )
     left = (
         side_a.join(hot_df, on=BLOCK_KEY)
@@ -377,16 +423,31 @@ def candidate_pairs(
         )
     else:
         side_a = keyed_side(dfa, index, row_key, needed_cols, "idx", "rec")
+    # ONE upfront hash-partition by block key, BEFORE any caching: the
+    # hot-stats aggregation, the anti-hot filter and BOTH sides of the
+    # plain (self-)join then share this single exchange — Catalyst's
+    # ReuseExchange collapses the two join children to one physical
+    # shuffle and the final agg/join need no further exchange because
+    # HashPartitioning(block_key) already satisfies their clustering.
+    # Previously the self-join shuffled the corpus TWICE (left
+    # repartition + right SMJ exchange) and the stats agg again — at
+    # 10^12 docs that is the difference between shuffling the corpus
+    # once and three times per pairing run.
+    side_a = _parted(side_a, cfg)
     if cfg.cache_keyed_side:
         side_a = side_a.localCheckpoint()
 
     if dedup:
+        # downstream joins/aggs see HashPartitioning(block_key) already
+        # satisfied — _dedup_pairs_plain must not re-shuffle what the
+        # upfront exchange (or the caller's buckets) provides
+        pcfg = replace(cfg, pre_partitioned=True)
         hot = _hot_blocks(side_a, cfg) if cfg.salt_enabled else []
         if not hot:
-            pairs = _dedup_pairs_plain(side_a, cfg)
+            pairs = _dedup_pairs_plain(side_a, pcfg)
         else:
             cold = _anti_hot(side_a, hot)
-            pairs = _dedup_pairs_plain(cold, cfg).unionByName(
+            pairs = _dedup_pairs_plain(cold, pcfg).unionByName(
                 _dedup_pairs_salted(side_a, hot, spark, cfg)
             )
     else:
@@ -396,8 +457,10 @@ def candidate_pairs(
             )
         else:
             side_b = keyed_side(dfb, index, row_key, needed_cols, "idx", "rec")
+        side_b = _parted(side_b, cfg)
         if cfg.cache_keyed_side:
             side_b = side_b.localCheckpoint()
+        pcfg = replace(cfg, pre_partitioned=True)
         if cfg.salt_enabled:
             ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("na"))
             cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("nb"))
@@ -424,11 +487,11 @@ def candidate_pairs(
         else:
             hot = []
         if not hot:
-            pairs = _match_pairs_plain(side_a, side_b, cfg)
+            pairs = _match_pairs_plain(side_a, side_b, pcfg)
         else:
             cold_a = _anti_hot(side_a, hot)
             cold_b = _anti_hot(side_b, hot)
-            pairs = _match_pairs_plain(cold_a, cold_b, cfg).unionByName(
+            pairs = _match_pairs_plain(cold_a, cold_b, pcfg).unionByName(
                 _match_pairs_salted(side_a, side_b, hot, spark, cfg)
             )
 

@@ -169,3 +169,40 @@ def test_match_salting_grid_shards_both_sides(spark):
     }
     got = {(r["idx_a"], r["idx_b"]) for r in salted.collect()}
     assert got == want and len(want) == 6 * 300 + 24 * 20
+
+
+def test_dedup_self_join_shuffles_corpus_once(spark):
+    """The dedup self-join must shuffle the keyed corpus ONCE: a single
+    upfront hash-partition on block_key that the stats agg and BOTH
+    join children share (ReusedExchange / AQE stage reuse). A second
+    REPARTITION exchange in the final plan means the corpus is being
+    shuffled twice per pairing run — the regression this guards."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = candidate_pairs(
+        docs, ColumnsIndex("lang"), "doc_id", ["lang"],
+        cfg=PairingConfig(salt_enabled=False),
+    )
+    qe = pairs._jdf.queryExecution()
+    qe.executedPlan().execute().count()  # materialize THIS plan tree (AQE final)
+    final = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    live = [
+        ln for ln in final.splitlines()
+        if "REPARTITION_BY_NUM" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(live) == 1, final
+
+
+def test_hot_key_tables_are_jvm_literals(spark):
+    """Salted-path hot-key tables must be JVM literal plans, not
+    pickled-Python RDDs: a `Scan ExistingRDD` for a 50-row hot list
+    spins up a Python worker on every executor core — a measured
+    multi-second anti-scaling constant in every salted join."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = candidate_pairs(
+        docs, ColumnsIndex("lang"), "doc_id", ["lang"],
+        cfg=PairingConfig(salt_threshold=50, rows_per_shard=25),
+    )
+    plan = _formatted(pairs)
+    assert "LeftAnti" in plan  # the salted split is active
+    assert "ExistingRDD" not in plan, plan
