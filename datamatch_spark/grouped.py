@@ -1,0 +1,201 @@
+"""Block-local grouped scoring: Arrow traffic O(rows), not O(pairs).
+
+The join-based path (pairing.py + a fused pair-row UDF) materializes
+every candidate pair as a JVM row carrying BOTH records, then ships
+each scored field through Arrow once per pair — for a block of n rows
+that is ~n²/2 record copies across the JVM↔Python boundary. Profiling
+on this sandbox (BENCH.md round-5 scaling sections) shows that marshal
+traffic, not kernel compute, is what caps multi-executor scaling once
+the hardware's memory bandwidth stops scaling with cores.
+
+This path instead ships each record ONCE: the keyed side is grouped by
+block (hot blocks by grid cell) and scored inside ``applyInPandas`` —
+pair enumeration is two NumPy index arrays into the group's columns,
+and the only O(pairs) data anywhere is the (idx_a, idx_b, sim_score)
+output. At reference scale (10^12 docs, mean block 40) that is the
+difference between ~petabytes and ~tens of TB of Arrow traffic.
+
+Skew handling is FULLY DECLARATIVE — no driver round-trip: per-block
+counts come from a partial-agg join that reuses the side's upfront
+exchange, hot rows get ``ceil(n / rows_per_shard)`` shards, and ONE
+``transform(sequence(0, s-1))`` expression emits each row's grid-cell
+memberships (cell (min(shard,c), max(shard,c)); a row is the LOW
+member when c >= shard). Cell (l, t), l < t scores the low×high cross
+product; cell (l, l) scores the in-shard triangle — together exactly
+the unordered pair set of the block, each pair once (the same
+enumeration _dedup_pairs_salted proves via its join; see
+pairing.py:275). Cold rows have one shard and fall out of the same
+expression as the single cell (0, 0).
+
+Pair-set and score parity with the join path is bit-identical
+(SimSumScorer._score_core is the shared implementation) and pinned by
+tests/test_grouped.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .indices import BLOCK_KEY, BaseIndex
+from .pairing import PairingConfig, _n_parts, keyed_side
+
+__all__ = ["grouped_scored_pairs", "supports_grouped_scoring"]
+
+
+def supports_grouped_scoring(index: BaseIndex, scorer, variator, filters, dfb) -> bool:
+    """The shapes the grouped path covers today: dedup mode, a
+    single-bucket index, no pair filters, a noop variator, and a
+    SimSumScorer whose every similarity has a batch kernel. Everything
+    else keeps the join path (filters are JVM pair predicates, Swap
+    needs the 4-combo gate, multi-bucket indices dedup pairs BEFORE
+    scoring — each a semantics the group kernel does not reproduce)."""
+    from .scorers import SimSumScorer
+
+    return (
+        dfb is None
+        and not filters
+        and variator.is_noop
+        and not index.multi_bucket
+        and type(scorer) is SimSumScorer
+        and scorer.can_swap_fuse()  # all sims have batch kernels
+    )
+
+
+def _cells_expr() -> str:
+    # every row is a member of exactly __s cells: paired with each
+    # shard c, in cell (min(__shard, c), max(__shard, c)), as the LOW
+    # member (pos 0) when c >= __shard else the HIGH member (pos 1).
+    # c == __shard is the diagonal cell, pos 0.
+    return (
+        "explode(transform(sequence(0, __s - 1), c -> struct("
+        "least(__shard, c) as l, greatest(__shard, c) as t, "
+        "if(c >= __shard, 0, 1) as pos)))"
+    )
+
+
+def grouped_scored_pairs(
+    dfa: DataFrame,
+    index: BaseIndex,
+    row_key: str,
+    scorer,
+    cfg: PairingConfig | None = None,
+) -> DataFrame:
+    """(idx_a, idx_b, sim_score) for every within-block unordered pair,
+    idx_a < idx_b — the grouped twin of candidate_pairs + fused
+    scoring, one Spark action, zero driver collects."""
+    cfg = cfg or PairingConfig()
+    needed = sorted(scorer.required_columns())
+
+    side = keyed_side(dfa, index, row_key, needed, "idx", "rec")
+    # flatten rec to collision-proof positional names; the group kernel
+    # maps them back to the scorer's field names
+    fmap = {c: f"__f{i}" for i, c in enumerate(needed)}
+    side = side.select(
+        "idx",
+        BLOCK_KEY,
+        *[F.col(f"rec.{c}").alias(fmap[c]) for c in needed],
+    )
+
+    n_parts = _n_parts(side, cfg)
+    if cfg.salt_enabled:
+        if not cfg.pre_partitioned:
+            side = side.repartition(n_parts, F.col(BLOCK_KEY))
+        # partial agg before its (tiny) exchange; joined back to the
+        # rows it was computed from, the join and the agg share the
+        # side's one upfront exchange (ReusedExchange) — skew handling
+        # without a driver round-trip or a second corpus scan
+        counts = side.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__n"))
+        shards = F.when(
+            F.col("__n") > cfg.salt_threshold,
+            F.greatest(
+                F.lit(2),
+                F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard)),
+            ),
+        ).otherwise(F.lit(1))
+        tagged = side.join(counts, on=BLOCK_KEY).select(
+            side["*"], shards.cast("int").alias("__s")
+        )
+    else:
+        tagged = side.withColumn("__s", F.lit(1))
+    tagged = tagged.withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int"),
+    )
+
+    members = tagged.select(
+        "idx", BLOCK_KEY, *fmap.values(), F.expr(_cells_expr()).alias("__cell")
+    ).select(
+        "idx",
+        BLOCK_KEY,
+        *fmap.values(),
+        F.col("__cell.l").alias("__l"),
+        F.col("__cell.t").alias("__t"),
+        F.col("__cell.pos").alias("__pos"),
+    )
+    # explicit REPARTITION_BY_NUM: applyInPandas' own ENSURE_REQUIREMENTS
+    # exchange would let AQE coalesce partitions by INPUT bytes — but a
+    # group's output is quadratic in its input, so AQE would funnel the
+    # whole pair blowup into a handful of fat tasks. A pinned-width
+    # hash partition on the exact grouping keys satisfies the required
+    # clustering, so no second exchange is added.
+    members = members.repartition(
+        n_parts, F.col(BLOCK_KEY), F.col("__l"), F.col("__t")
+    )
+
+    field_cols = {k: fmap[k] for k in needed}
+    score_positions = scorer.score_positions
+
+    def score_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # idx keeps the ROW KEY's type — often string, where numpy
+        # holds Python str objects; Python's code-point ordering equals
+        # Spark's UTF8String byte ordering (UTF-8 preserves code-point
+        # order), so orientation matches the join path's `<` exactly
+        idx = pdf["idx"].to_numpy()
+        if pdf["__l"].iat[0] == pdf["__t"].iat[0]:
+            n = len(pdf)
+            ii, jj = np.triu_indices(n, k=1)
+        else:
+            low = np.flatnonzero((pdf["__pos"] == 0).to_numpy())
+            high = np.flatnonzero((pdf["__pos"] == 1).to_numpy())
+            ii = np.repeat(low, len(high))
+            jj = np.tile(high, len(low))
+        if ii.size == 0:
+            return pd.DataFrame(
+                {
+                    "idx_a": idx[:0],
+                    "idx_b": idx[:0],
+                    "sim_score": np.array([], dtype=np.float64),
+                }
+            )
+        ia, ib = idx[ii], idx[jj]
+        # orient BEFORE scoring: the join path scores (min-idx record,
+        # max-idx record), so an asymmetric kernel stays bit-identical
+        swap = ia > ib
+        pa = np.where(swap, jj, ii)
+        pb = np.where(swap, ii, jj)
+        cols = {k: pdf[c] for k, c in field_cols.items()}
+        score = score_positions(cols, pa, pb)
+        return pd.DataFrame(
+            {
+                "idx_a": np.where(swap, ib, ia),
+                "idx_b": np.where(swap, ia, ib),
+                "sim_score": score,
+            }
+        )
+
+    idx_type = side.schema["idx"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("idx_a", idx_type),
+            T.StructField("idx_b", idx_type),
+            T.StructField("sim_score", T.DoubleType()),
+        ]
+    )
+    return members.groupBy(BLOCK_KEY, "__l", "__t").applyInPandas(
+        score_group, schema=out_schema
+    )

@@ -178,6 +178,23 @@ class ThresholdMatcher:
 
     def _build_scored(self) -> DataFrame:
         needed = self._needed_columns()
+        from .grouped import grouped_scored_pairs, supports_grouped_scoring
+
+        if (
+            self._cfg.grouped_scoring
+            and self._keyed_tables is None
+            and self._score_partitions is None
+            and supports_grouped_scoring(
+                self._index, self._scorer, self._variator, self._filters,
+                self._dfb,
+            )
+        ):
+            # block-local scoring: Arrow traffic O(rows) not O(pairs),
+            # one action, no driver hot-key collect (grouped.py)
+            return grouped_scored_pairs(
+                self._dfa, self._index, self._row_key, self._scorer,
+                cfg=self._cfg,
+            )
         if self._keyed_tables is not None:
             # pre-bucketed keyed sides (bucketing.py): the blocked pair
             # join reads bucket-co-located tables and runs with ZERO

@@ -91,6 +91,13 @@ class PairingConfig:
     # width from the rec schema (see _est_row_bytes); whichever of the
     # row/byte caps is hit first disables the broadcast.
     broadcast_hot_bytes: int = 256 << 20
+    # score eligible dedup shapes block-locally (grouped.py): records
+    # cross the JVM↔Python boundary once per block/cell instead of
+    # once per pair — the O(rows)-traffic scoring path. Shapes the
+    # group kernel can't express (filters, variators, match mode,
+    # multi-bucket indices, non-batch scorers) use the join path
+    # regardless of this flag.
+    grouped_scoring: bool = True
     # localCheckpoint the keyed side(s) before use. The salted path
     # otherwise evaluates each side up to 3× (hot-key collect — key
     # columns only, recs pruned — plus the cold and hot branches);
@@ -433,16 +440,25 @@ def candidate_pairs(
     # repartition + right SMJ exchange) and the stats agg again — at
     # 10^12 docs that is the difference between shuffling the corpus
     # once and three times per pairing run.
+    # hot-block stats aggregate the PRE-exchange side: the groupBy then
+    # runs a map-side partial agg and shuffles only (key, count) rows —
+    # aggregating the repartitioned side instead would shuffle the whole
+    # corpus a second time just to count it (the stats collect is its
+    # own action, so it cannot reuse the pairs query's exchange)
+    stats_a = side_a
     side_a = _parted(side_a, cfg)
     if cfg.cache_keyed_side:
         side_a = side_a.localCheckpoint()
+        # the checkpoint already paid the exchange; counting it needs no
+        # shuffle at all AND skips re-evaluating an expensive index
+        stats_a = side_a
 
     if dedup:
         # downstream joins/aggs see HashPartitioning(block_key) already
         # satisfied — _dedup_pairs_plain must not re-shuffle what the
         # upfront exchange (or the caller's buckets) provides
         pcfg = replace(cfg, pre_partitioned=True)
-        hot = _hot_blocks(side_a, cfg) if cfg.salt_enabled else []
+        hot = _hot_blocks(stats_a, cfg) if cfg.salt_enabled else []
         if not hot:
             pairs = _dedup_pairs_plain(side_a, pcfg)
         else:
@@ -457,13 +473,15 @@ def candidate_pairs(
             )
         else:
             side_b = keyed_side(dfb, index, row_key, needed_cols, "idx", "rec")
+        stats_b = side_b
         side_b = _parted(side_b, cfg)
         if cfg.cache_keyed_side:
             side_b = side_b.localCheckpoint()
+            stats_b = side_b
         pcfg = replace(cfg, pre_partitioned=True)
         if cfg.salt_enabled:
-            ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("na"))
-            cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("nb"))
+            ca = stats_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("na"))
+            cb = stats_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("nb"))
             # double product, not long: na*nb for a degenerate hot key
             # at 10^12-doc scale can exceed Long.MAX and wrap negative
             # under non-ANSI SQL — silently classifying the single

@@ -132,29 +132,55 @@ class SimSumScorer(BaseScorer):
         pays a pipe round-trip each, which dominates multi-field
         scoring cost. Null fields contribute 0 (reference
         scorers.py:64-65)."""
-        import numpy as np
-
         items = list(self._fields.items())
-        sims = [s for _, s in items]
-        n_fields = float(len(items))
+        score_core = self._score_core
 
         @pandas_udf("double")
         def fused(*cols: pd.Series) -> pd.Series:
-            n = len(cols[0])
-            acc = np.zeros(n, dtype=np.float64)
-            for i, sim in enumerate(sims):
-                a, b = cols[2 * i], cols[2 * i + 1]
-                mask = (a.isna() | b.isna()).to_numpy()
-                vals = np.asarray(sim.batch(a, b), dtype=np.float64)
-                vals = np.where(mask, 0.0, vals)
-                acc += vals * vals
-            return pd.Series(np.sqrt(acc / n_fields))
+            return pd.Series(
+                score_core([(cols[2 * i], cols[2 * i + 1]) for i in range(len(items))])
+            )
 
         args = []
         for k, _ in items:
             args.append(ctx.acol(k))
             args.append(ctx.bcol(k))
         return fused(*args)
+
+    def _score_core(self, col_pairs: list) -> "np.ndarray":
+        """RMS over per-field batch sims for aligned (a, b) Series
+        pairs, one entry per field in ``self._fields`` order. The
+        SINGLE scoring implementation behind both the fused pair-row
+        UDF and the grouped block-local path (grouped.py) — sharing it
+        is what makes the two paths bit-identical (same kernels, same
+        accumulation order, same null masking)."""
+        import numpy as np
+
+        n = len(col_pairs[0][0])
+        acc = np.zeros(n, dtype=np.float64)
+        for (a, b), sim in zip(col_pairs, self._fields.values()):
+            mask = (a.isna() | b.isna()).to_numpy()
+            vals = np.asarray(sim.batch(a, b), dtype=np.float64)
+            vals = np.where(mask, 0.0, vals)
+            acc += vals * vals
+        return np.sqrt(acc / float(len(self._fields)))
+
+    def score_positions(
+        self, cols: dict, pos_a: "np.ndarray", pos_b: "np.ndarray"
+    ) -> "np.ndarray":
+        """Score the pairs (cols[k][pos_a[i]], cols[k][pos_b[i]]) —
+        the grouped path's entry point: ``cols`` holds each scored
+        field's values ONCE per record (a block or grid cell), and the
+        position arrays enumerate the pairs, so no per-pair record
+        duplication ever crosses the JVM↔Python boundary."""
+        col_pairs = []
+        for k in self._fields:
+            s = cols[k]
+            col_pairs.append((
+                s.iloc[pos_a].reset_index(drop=True),
+                s.iloc[pos_b].reset_index(drop=True),
+            ))
+        return self._score_core(col_pairs)
 
     def can_swap_fuse(self) -> bool:
         """True when every similarity has a batch kernel, enabling the

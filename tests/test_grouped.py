@@ -1,0 +1,176 @@
+"""Grouped (block-local) scoring path: bit-identical parity with the
+join path, plan shape, and eligibility routing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatch_spark import (
+    AbsoluteNumericalSimilarity,
+    ColumnsIndex,
+    DateSimilarity,
+    JaroWinklerSimilarity,
+    NoopIndex,
+    StringSimilarity,
+    Swap,
+    ThresholdMatcher,
+)
+from datamatch_spark.pairing import PairingConfig
+
+
+def _fixture(spark, n=400, hot=120):
+    """hot block 'h' with `hot` rows + many small blocks, with NULLs
+    and ties sprinkled in."""
+    rows = []
+    names = ["smith", "smyth", "jones", "joan", "mueller", None]
+    firsts = ["anna", "ann", "bob", None, "carol"]
+    for i in range(n):
+        blk = "h" if i < hot else f"c{i % 29}"
+        rows.append(
+            (i, blk, names[i % len(names)], firsts[i % len(firsts)],
+             float(i % 7) if i % 11 else None)
+        )
+    return spark.createDataFrame(
+        rows, "row_key long, blk string, last string, first string, amt double"
+    )
+
+
+SIMS = {
+    "last": JaroWinklerSimilarity(),
+    "first": StringSimilarity(),
+    "amt": AbsoluteNumericalSimilarity(d_max=3.0),
+}
+
+
+def _scored(spark, df, **cfg_kw):
+    cfg = PairingConfig(salt_threshold=50, rows_per_shard=20, **cfg_kw)
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"), SIMS, df, row_key="row_key",
+        validate=False, pairing_config=cfg, defer=True,
+    )
+    return m._build_scored()
+
+
+def test_grouped_matches_join_path_bit_identical(spark):
+    df = _fixture(spark)
+    got = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"]
+        for r in _scored(spark, df).collect()
+    }
+    want = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"]
+        for r in _scored(spark, df, grouped_scoring=False).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) > 1000  # the hot block actually produced pairs
+    for k, v in want.items():
+        g = got[k]
+        assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
+
+
+def test_grouped_unsalted_parity(spark):
+    df = _fixture(spark, n=120, hot=0)
+    got = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"]
+        for r in _scored(spark, df, salt_enabled=False).collect()
+    }
+    want = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"]
+        for r in _scored(
+            spark, df, salt_enabled=False, grouped_scoring=False
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_grouped_plan_has_no_pair_join(spark):
+    """The grouped plan must score inside FlatMapGroupsInPandas and
+    never materialize pair rows JVM-side. The one join allowed is the
+    block-counts skew join (rows × (key, n)); the pair joins of the
+    join path are recognizable by their aliased outputs (`AS idx_a`)
+    and salt-shard columns (`__tgt`)."""
+    df = _fixture(spark)
+    plan = _scored(spark, df)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "AS idx_a" not in plan, plan
+    assert "__tgt" not in plan, plan
+
+
+def test_ineligible_shapes_keep_join_path(spark):
+    df = _fixture(spark, n=60, hot=0)
+    # Swap variator is not group-scorable today
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"), SIMS, df, row_key="row_key", validate=False,
+        variator=Swap("first", "last"), defer=True,
+    )
+    plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+
+    # flag off forces the join path
+    plan_off = _scored(
+        spark, df, grouped_scoring=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan_off
+
+
+def test_grouped_e2e_reference_golden(spark):
+    """The reference dedup fixture through the grouped path (NoopIndex:
+    one block) must reproduce the golden clusters."""
+    rows = [
+        ("beech", "freddie"), ("beech", "freedie"), ("rhea", "cherri"),
+        ("rhea", "cherrie"), ("mel", "jean"), ("mel", "jeanne"),
+        ("fox", "mike"), ("fox", "mick"), ("beech", "freddy"),
+        ("rhea", "cherry"), ("wolf", "tom"), ("kat", "tom"),
+        ("wolf", "thomas"), ("wolf", "tommy"),
+    ]
+    df = spark.createDataFrame(
+        [(i, l, f) for i, (l, f) in enumerate(rows)],
+        "row_key long, last string, first string",
+    )
+    m = ThresholdMatcher(
+        NoopIndex(),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        df,
+        row_key="row_key",
+    )
+    plan = m.scored_pairs._jdf.queryExecution().executedPlan().toString()
+    clusters = m.get_clusters_within_threshold(0.83)
+    got = set()
+    for row in clusters.select("cluster_idx", "row_key").collect():
+        got.add((row["cluster_idx"], row["row_key"]))
+    by_cluster = {}
+    for c, k in got:
+        by_cluster.setdefault(c, set()).add(k)
+    assert sorted(map(sorted, by_cluster.values())) == sorted(
+        map(sorted, [{6, 7}, {4, 5}, {2, 3, 9}, {10, 12, 13}, {0, 8, 1}])
+    )
+
+
+def test_grouped_with_date_similarity(spark):
+    """DateSimilarity's 3-stage kernel through the group path — parity
+    with the join path on date-typed columns."""
+    import datetime as dt
+
+    rows = [
+        (i, f"b{i % 5}", dt.date(2000, 1 + i % 12, 1 + i % 28) if i % 9 else None)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "row_key long, blk string, dob date")
+    sims = {"dob": DateSimilarity()}
+
+    def run(grouped):
+        m = ThresholdMatcher(
+            ColumnsIndex("blk"), sims, df, row_key="row_key", validate=False,
+            pairing_config=PairingConfig(grouped_scoring=grouped), defer=True,
+        )
+        return {
+            (r["idx_a"], r["idx_b"]): r["sim_score"]
+            for r in m._build_scored().collect()
+        }
+
+    got, want = run(True), run(False)
+    assert set(got) == set(want) and got
+    for k, v in want.items():
+        g = got[k]
+        assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
