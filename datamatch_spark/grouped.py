@@ -44,23 +44,36 @@ from .pairing import PairingConfig, _n_parts, keyed_side
 __all__ = ["grouped_scored_pairs", "supports_grouped_scoring"]
 
 
-def supports_grouped_scoring(index: BaseIndex, scorer, variator, filters, dfb) -> bool:
+def supports_grouped_scoring(
+    index: BaseIndex, scorer, variator, filters, dfb, dfa: DataFrame
+) -> bool:
     """The shapes the grouped path covers today: dedup mode, a
-    single-bucket index, no pair filters, a noop variator, and a
-    SimSumScorer whose every similarity has a batch kernel. Everything
-    else keeps the join path (filters are JVM pair predicates, Swap
-    needs the 4-combo gate, multi-bucket indices dedup pairs BEFORE
-    scoring — each a semantics the group kernel does not reproduce)."""
+    single-bucket index, no pair filters, a noop variator OR a Swap
+    over non-float columns, and a SimSumScorer whose every similarity
+    has a batch kernel. Everything else keeps the join path (filters
+    are JVM pair predicates, multi-bucket indices dedup pairs BEFORE
+    scoring, float swap columns need the JVM eqNullSafe gate — the
+    group kernel runs after Arrow→pandas where float NULL ≡ NaN)."""
     from .scorers import SimSumScorer
+    from .variators import Swap
 
-    return (
-        dfb is None
-        and not filters
-        and variator.is_noop
-        and not index.multi_bucket
-        and type(scorer) is SimSumScorer
-        and scorer.can_swap_fuse()  # all sims have batch kernels
-    )
+    if (
+        dfb is not None
+        or filters
+        or index.multi_bucket
+        or type(scorer) is not SimSumScorer
+        or not scorer.can_swap_fuse()  # all sims must have batch kernels
+    ):
+        return False
+    if variator.is_noop:
+        return True
+    if type(variator) is not Swap:
+        return False
+    flds = {f.name: f.dataType for f in dfa.schema.fields}
+    for c in (variator._col_a, variator._col_b):
+        if isinstance(flds.get(c), (T.FloatType, T.DoubleType)):
+            return False
+    return True
 
 
 def _cells_expr() -> str:
@@ -81,12 +94,21 @@ def grouped_scored_pairs(
     row_key: str,
     scorer,
     cfg: PairingConfig | None = None,
+    variator=None,
 ) -> DataFrame:
     """(idx_a, idx_b, sim_score) for every within-block unordered pair,
     idx_a < idx_b — the grouped twin of candidate_pairs + fused
-    scoring, one Spark action, zero driver collects."""
+    scoring, one Spark action, zero driver collects. With a Swap
+    ``variator``, scores are max-over-variants via the same shared
+    core as compile_swap_max."""
     cfg = cfg or PairingConfig()
-    needed = sorted(scorer.required_columns())
+    swap_cols = None
+    if variator is not None and not variator.is_noop:
+        swap_cols = (variator._col_a, variator._col_b)
+    needed = set(scorer.required_columns())
+    if variator is not None:
+        needed |= variator.required_columns()
+    needed = sorted(needed)
 
     side = keyed_side(dfa, index, row_key, needed, "idx", "rec")
     # flatten rec to collision-proof positional names; the group kernel
@@ -145,7 +167,14 @@ def grouped_scored_pairs(
     )
 
     field_cols = {k: fmap[k] for k in needed}
-    score_positions = scorer.score_positions
+    if swap_cols is None:
+        score_positions = scorer.score_positions
+    else:
+        sx, sy = swap_cols
+        swap_max = scorer.score_positions_swap_max
+
+        def score_positions(cols, pa, pb):
+            return swap_max(cols, pa, pb, sx, sy)
 
     def score_group(pdf):
         import numpy as np

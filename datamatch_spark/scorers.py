@@ -227,6 +227,61 @@ class SimSumScorer(BaseScorer):
         for k in self._fields:
             if k not in names:
                 raise KeyError(k)
+        swap_core = self._swap_max_core
+
+        @pandas_udf("double")
+        def swap_fused(*cols: pd.Series) -> pd.Series:
+            ax, ay, bx, by = cols[0], cols[1], cols[2], cols[3]
+            # JVM-computed ~eqNullSafe gates (never null)
+            swap_a = np.asarray(cols[4], dtype=bool)
+            swap_b = np.asarray(cols[5], dtype=bool)
+            return pd.Series(
+                swap_core(col_x, col_y, ax, ay, bx, by, swap_a, swap_b,
+                          list(cols[6:]))
+            )
+
+        def _missing(c: Column, name: str) -> Column:
+            # pandas-sense missing: NULL, or NaN for float fields —
+            # mirrors Swap's reference gate (pd.isna(a) and pd.isna(b)
+            # -> no swap), so a NULL-vs-NaN pair must not swap even
+            # though NULL <=> NaN is false (review r5)
+            from pyspark.sql import types as _T
+
+            dt = ctx.record_schema[name].dataType
+            if isinstance(dt, (_T.FloatType, _T.DoubleType)):
+                return c.isNull() | F.isnan(c)
+            return c.isNull()
+
+        def _gate(x: Column, y: Column) -> Column:
+            both_missing = _missing(x, col_x) & _missing(y, col_y)
+            return ~x.eqNullSafe(y) & ~both_missing
+
+        args = [
+            ctx.acol(col_x),
+            ctx.acol(col_y),
+            ctx.bcol(col_x),
+            ctx.bcol(col_y),
+            _gate(ctx.acol(col_x), ctx.acol(col_y)),
+            _gate(ctx.bcol(col_x), ctx.bcol(col_y)),
+        ]
+        for k in self._fields:
+            if k not in (col_x, col_y):
+                args.append(ctx.acol(k))
+                args.append(ctx.bcol(k))
+        return swap_fused(*args)
+
+    def _swap_max_core(
+        self, col_x, col_y, ax, ay, bx, by, swap_a, swap_b, inv
+    ) -> "np.ndarray":
+        """Max-over-Swap-variants RMS for aligned Series — the shared
+        implementation behind the fused pair-row UDF and the grouped
+        path's ``score_positions_swap_max``. ``inv`` is the flat
+        [a, b, a, b, ...] list of the non-swap fields' Series in field
+        order; ``swap_a``/``swap_b`` are the per-row swap gates as bool
+        ndarrays. See compile_swap_max's docstring for the combo
+        algebra; this body is its verbatim extraction."""
+        import numpy as np
+
         items = list(self._fields.items())
         n_fields = float(len(items))
         sim_x = self._fields.get(col_x)
@@ -261,97 +316,101 @@ class SimSumScorer(BaseScorer):
                 out[idx] = np.where(nullm, 0.0, vals)
             return out
 
-        @pandas_udf("double")
-        def swap_fused(*cols: pd.Series) -> pd.Series:
-            ax, ay, bx, by = cols[0], cols[1], cols[2], cols[3]
-            inv = cols[6:]
-            n = len(ax)
-            ones = np.ones(n, dtype=bool)
-            # JVM-computed ~eqNullSafe gates (never null)
-            swap_a = np.asarray(cols[4], dtype=bool)
-            swap_b = np.asarray(cols[5], dtype=bool)
-            # combo validity: (i, j) needs variant i on a / j on b
-            valid = {
-                (0, 0): ones,
-                (0, 1): swap_b,
-                (1, 0): swap_a,
-                (1, 1): swap_a & swap_b,
+        n = len(ax)
+        ones = np.ones(n, dtype=bool)
+        # combo validity: (i, j) needs variant i on a / j on b
+        valid = {
+            (0, 0): ones,
+            (0, 1): swap_b,
+            (1, 0): swap_a,
+            (1, 1): swap_a & swap_b,
+        }
+
+        # cross sims, masked to the rows whose combos need them.
+        # a-side value of field x under variant i: ax if i==0 else ay
+        # a-side value of field y under variant i: ay if i==0 else ax
+        def cross(sim, a0, a1, b0, b1):
+            return {
+                (0, 0): masked_sim(sim, a0, b0, ones),
+                (0, 1): masked_sim(sim, a0, b1, valid[(0, 1)]),
+                (1, 0): masked_sim(sim, a1, b0, valid[(1, 0)]),
+                (1, 1): masked_sim(sim, a1, b1, valid[(1, 1)]),
             }
-            # cross sims, masked to the rows whose combos need them.
-            # a-side value of field x under variant i: ax if i==0 else ay
-            # a-side value of field y under variant i: ay if i==0 else ax
-            def cross(sim, a0, a1, b0, b1):
-                return {
-                    (0, 0): masked_sim(sim, a0, b0, ones),
-                    (0, 1): masked_sim(sim, a0, b1, valid[(0, 1)]),
-                    (1, 0): masked_sim(sim, a1, b0, valid[(1, 0)]),
-                    (1, 1): masked_sim(sim, a1, b1, valid[(1, 1)]),
-                }
 
-            if share_xy:
-                m_any = swap_a | swap_b
-                p1 = masked_sim(sim_x, ax, bx, ones)
-                p2 = masked_sim(sim_x, ax, by, m_any)
-                p3 = masked_sim(sim_x, ay, bx, m_any)
-                p4 = masked_sim(sim_x, ay, by, ones)
-                cx = {(0, 0): p1, (0, 1): p2, (1, 0): p3, (1, 1): p4}
-                cy = {(0, 0): p4, (0, 1): p3, (1, 0): p2, (1, 1): p1}
+        if share_xy:
+            m_any = swap_a | swap_b
+            p1 = masked_sim(sim_x, ax, bx, ones)
+            p2 = masked_sim(sim_x, ax, by, m_any)
+            p3 = masked_sim(sim_x, ay, bx, m_any)
+            p4 = masked_sim(sim_x, ay, by, ones)
+            cx = {(0, 0): p1, (0, 1): p2, (1, 0): p3, (1, 1): p4}
+            cy = {(0, 0): p4, (0, 1): p3, (1, 0): p2, (1, 1): p1}
+        else:
+            cx = cross(sim_x, ax, ay, bx, by) if sim_x is not None else None
+            cy = cross(sim_y, ay, ax, by, bx) if sim_y is not None else None
+        combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+        acc = {c: np.zeros(n, dtype=np.float64) for c in combos}
+        ptr = 0
+        for k, sim in items:
+            if k == col_x:
+                for c in combos:
+                    acc[c] += cx[c] * cx[c]
+            elif k == col_y:
+                for c in combos:
+                    acc[c] += cy[c] * cy[c]
             else:
-                cx = cross(sim_x, ax, ay, bx, by) if sim_x is not None else None
-                cy = cross(sim_y, ay, ax, by, bx) if sim_y is not None else None
-            combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
-            acc = {c: np.zeros(n, dtype=np.float64) for c in combos}
-            ptr = 0
-            for k, sim in items:
-                if k == col_x:
-                    for c in combos:
-                        acc[c] += cx[c] * cx[c]
-                elif k == col_y:
-                    for c in combos:
-                        acc[c] += cy[c] * cy[c]
-                else:
-                    a, b = inv[2 * ptr], inv[2 * ptr + 1]
-                    nullm = (a.isna() | b.isna()).to_numpy()
-                    vals = np.asarray(sim.batch(a, b), dtype=np.float64)
-                    sq = np.where(nullm, 0.0, vals)
-                    sq = sq * sq
-                    for c in combos:
-                        acc[c] += sq
-                    ptr += 1
-            best = acc[(0, 0)]
-            for c in combos[1:]:
-                best = np.where(valid[c], np.maximum(best, acc[c]), best)
-            return pd.Series(np.sqrt(best / n_fields))
+                a, b = inv[2 * ptr], inv[2 * ptr + 1]
+                nullm = (a.isna() | b.isna()).to_numpy()
+                vals = np.asarray(sim.batch(a, b), dtype=np.float64)
+                sq = np.where(nullm, 0.0, vals)
+                sq = sq * sq
+                for c in combos:
+                    acc[c] += sq
+                ptr += 1
+        best = acc[(0, 0)]
+        for c in combos[1:]:
+            best = np.where(valid[c], np.maximum(best, acc[c]), best)
+        return np.sqrt(best / n_fields)
 
-        def _missing(c: Column, name: str) -> Column:
-            # pandas-sense missing: NULL, or NaN for float fields —
-            # mirrors Swap's reference gate (pd.isna(a) and pd.isna(b)
-            # -> no swap), so a NULL-vs-NaN pair must not swap even
-            # though NULL <=> NaN is false (review r5)
-            from pyspark.sql import types as _T
+    def score_positions_swap_max(
+        self,
+        cols: dict,
+        pos_a: "np.ndarray",
+        pos_b: "np.ndarray",
+        col_x: str,
+        col_y: str,
+    ) -> "np.ndarray":
+        """Grouped-path twin of compile_swap_max: swap gates computed
+        pandas-side. ONLY sound when neither swap column is a
+        float/double (Arrow→pandas folds a float NULL into NaN, which
+        the gate could not distinguish — the eligibility check in
+        grouped.supports_grouped_scoring excludes those shapes; for
+        every other type pandas NA ≡ SQL NULL and this gate is exactly
+        ``~eqNullSafe(x, y) & ~(isnull(x) & isnull(y))``)."""
+        import numpy as np
 
-            dt = ctx.record_schema[name].dataType
-            if isinstance(dt, (_T.FloatType, _T.DoubleType)):
-                return c.isNull() | F.isnan(c)
-            return c.isNull()
+        def take(s, p):
+            return s.iloc[p].reset_index(drop=True)
 
-        def _gate(x: Column, y: Column) -> Column:
-            both_missing = _missing(x, col_x) & _missing(y, col_y)
-            return ~x.eqNullSafe(y) & ~both_missing
+        ax, ay = take(cols[col_x], pos_a), take(cols[col_y], pos_a)
+        bx, by = take(cols[col_x], pos_b), take(cols[col_y], pos_b)
 
-        args = [
-            ctx.acol(col_x),
-            ctx.acol(col_y),
-            ctx.bcol(col_x),
-            ctx.bcol(col_y),
-            _gate(ctx.acol(col_x), ctx.acol(col_y)),
-            _gate(ctx.bcol(col_x), ctx.bcol(col_y)),
-        ]
-        for k, _ in items:
+        def gate(x: pd.Series, y: pd.Series) -> "np.ndarray":
+            both_na = (x.isna() & y.isna()).to_numpy()
+            nonnull = (~x.isna() & ~y.isna()).to_numpy()
+            with_vals = x == y
+            eq_vals = nonnull & with_vals.fillna(False).to_numpy(dtype=bool)
+            return ~both_na & ~eq_vals
+
+        swap_a, swap_b = gate(ax, ay), gate(bx, by)
+        inv = []
+        for k in self._fields:
             if k not in (col_x, col_y):
-                args.append(ctx.acol(k))
-                args.append(ctx.bcol(k))
-        return swap_fused(*args)
+                inv.append(take(cols[k], pos_a))
+                inv.append(take(cols[k], pos_b))
+        return self._swap_max_core(
+            col_x, col_y, ax, ay, bx, by, swap_a, swap_b, inv
+        )
 
 
 class AbsoluteScorer(BaseScorer):

@@ -99,10 +99,11 @@ def test_grouped_plan_has_no_pair_join(spark):
 
 def test_ineligible_shapes_keep_join_path(spark):
     df = _fixture(spark, n=60, hot=0)
-    # Swap variator is not group-scorable today
+    # a FLOAT swap column is not group-scorable (NULL-vs-NaN gate needs
+    # the JVM eqNullSafe; Arrow->pandas folds float NULL into NaN)
     m = ThresholdMatcher(
         ColumnsIndex("blk"), SIMS, df, row_key="row_key", validate=False,
-        variator=Swap("first", "last"), defer=True,
+        variator=Swap("amt", "first"), defer=True,
     )
     plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan
@@ -112,6 +113,35 @@ def test_ineligible_shapes_keep_join_path(spark):
         spark, df, grouped_scoring=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan_off
+
+
+def test_grouped_swap_parity_bit_identical(spark):
+    """Swap over non-float columns routes to the grouped path and must
+    be bit-identical to the join path's fused max-over-variants —
+    including swapped UNSCORED columns flipping the gate, both-missing
+    pairs not swapping, and the hot-block grid cells."""
+    df = _fixture(spark)
+
+    def run(grouped):
+        cfg = PairingConfig(
+            salt_threshold=50, rows_per_shard=20, grouped_scoring=grouped
+        )
+        m = ThresholdMatcher(
+            ColumnsIndex("blk"), SIMS, df, row_key="row_key", validate=False,
+            variator=Swap("first", "last"), pairing_config=cfg, defer=True,
+        )
+        plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
+        assert ("FlatMapGroupsInPandas" in plan) == grouped
+        return {
+            (r["idx_a"], r["idx_b"]): r["sim_score"]
+            for r in m._build_scored().collect()
+        }
+
+    got, want = run(True), run(False)
+    assert set(got) == set(want) and len(got) > 1000
+    for k, v in want.items():
+        g = got[k]
+        assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
 
 
 def test_grouped_e2e_reference_golden(spark):

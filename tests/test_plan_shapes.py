@@ -25,17 +25,28 @@ def _formatted(df) -> str:
 def test_swap_plan_has_no_explode_or_agg_exchange(spark):
     rows = [(i, f"l{i % 5}", f"f{i % 7}", f"g{i % 3}") for i in range(60)]
     df = spark.createDataFrame(rows, "row_key long, last string, first string, g string")
+    sims = {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()}
+    # join path (grouped off): the fused swap UDF must not regress to
+    # exploding 4 variants + a per-pair max aggregate
     m = ThresholdMatcher(
-        ColumnsIndex("g"),
-        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
-        df,
-        variator=Swap("first", "last"),
-        validate=False,
-        defer=True,
+        ColumnsIndex("g"), sims, df,
+        variator=Swap("first", "last"), validate=False, defer=True,
+        pairing_config=PairingConfig(grouped_scoring=False),
     )
     plan = _formatted(m._build_scored())
     assert "Generate" not in plan  # no explode
     assert "HashAggregate" not in plan  # no per-pair max shuffle
+
+    # grouped path: swap scoring stays inside ONE FlatMapGroupsInPandas
+    # (the only Generate allowed is the grid-cell membership explode;
+    # a per-pair max aggregate must never appear)
+    mg = ThresholdMatcher(
+        ColumnsIndex("g"), sims, df,
+        variator=Swap("first", "last"), validate=False, defer=True,
+    )
+    plan_g = _formatted(mg._build_scored())
+    assert "FlatMapGroupsInPandas" in plan_g
+    assert "ArrowEvalPython" not in plan_g  # no second scoring UDF pass
 
 
 def test_salted_pairing_uses_broadcast_anti_join(spark):
