@@ -122,22 +122,29 @@ def grouped_scored_pairs(
 
     n_parts = _n_parts(side, cfg)
     if cfg.salt_enabled:
-        if not cfg.pre_partitioned:
-            side = side.repartition(n_parts, F.col(BLOCK_KEY))
-        # partial agg before its (tiny) exchange; joined back to the
-        # rows it was computed from, the join and the agg share the
-        # side's one upfront exchange (ReusedExchange) — skew handling
-        # without a driver round-trip or a second corpus scan
-        counts = side.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__n"))
-        shards = F.when(
-            F.col("__n") > cfg.salt_threshold,
-            F.greatest(
-                F.lit(2),
-                F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard)),
-            ),
-        ).otherwise(F.lit(1))
-        tagged = side.join(counts, on=BLOCK_KEY).select(
-            side["*"], shards.cast("int").alias("__s")
+        # shard counts for HOT keys only, via a map-side partial agg
+        # (the shuffle carries (key, count) rows, never the corpus) and
+        # an explicit-broadcast LEFT join — the filtered aggregate is
+        # as small as the old driver-collected hot list (keys whose
+        # blocks exceed salt_threshold), but no collect: Catalyst left
+        # to its own estimates plans the unfiltered counts join as an
+        # SMJ and re-shuffles the whole corpus by key (plan-verified).
+        # Cold rows miss the join and default to one shard. The corpus
+        # is shuffled exactly ONCE in this path — the grid-cell
+        # exchange feeding applyInPandas.
+        hot_counts = (
+            side.groupBy(BLOCK_KEY)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > cfg.salt_threshold)
+        )
+        shards = F.greatest(
+            F.lit(2), F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard))
+        )
+        tagged = side.join(
+            F.broadcast(hot_counts), on=BLOCK_KEY, how="left"
+        ).select(
+            side["*"],
+            F.coalesce(shards.cast("int"), F.lit(1)).alias("__s"),
         )
     else:
         tagged = side.withColumn("__s", F.lit(1))

@@ -129,6 +129,15 @@ class BaseIndex(ABC):
         """Return DataFrame[row_key, BLOCK_KEY] with non-null keys."""
         raise NotImplementedError
 
+    def key_expr(self, df: DataFrame):
+        """ROW-LOCAL key expression (one bucket per row, computable
+        inline), or None when the index needs the full ``key_df``
+        machinery (explodes, ranks, aggregates). When non-None,
+        keyed_side computes keys in the same projection as the rec
+        struct — no keys↔recs join, which at corpus scale is a double
+        shuffle the moment the key frame outgrows the broadcast cap."""
+        return None
+
     def key_df_pair(
         self, dfa: DataFrame, dfb: DataFrame, row_key: str
     ) -> tuple[DataFrame, DataFrame] | None:
@@ -157,6 +166,9 @@ class NoopIndex(BaseIndex):
 
     def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
         return df.select(F.col(row_key), F.lit("s:__all__").alias(BLOCK_KEY))
+
+    def key_expr(self, df: DataFrame):
+        return F.lit("s:__all__")
 
 
 class ColumnsIndex(BaseIndex):
@@ -209,6 +221,19 @@ class ColumnsIndex(BaseIndex):
         )
         return df.select(F.col(row_key), key.alias(BLOCK_KEY)).where(
             F.col(BLOCK_KEY).isNotNull()
+        )
+
+    def key_expr(self, df: DataFrame):
+        missing = [c for c in self._cols if c not in df.columns]
+        if missing:
+            if self._ignore_key_error:
+                return None  # zero-bucket semantics need key_df's limit(0)
+            raise KeyError(missing[0])
+        if self._index_elements:
+            return None  # explode → multi-bucket, not row-local
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        return _serialize_key(
+            [typed_key_component(F.col(c), schema[c]) for c in self._cols]
         )
 
 
@@ -290,6 +315,15 @@ class PhoneticIndex(BaseIndex):
                 F.concat(F.lit("p:"), _escape_seps(code)),
             ).alias(BLOCK_KEY),
         ).where(F.col(BLOCK_KEY).isNotNull())
+
+    def key_expr(self, df: DataFrame):
+        if self._col not in df.columns:
+            raise KeyError(self._col)
+        code = F.soundex(F.upper(F.col(self._col).cast("string")))
+        return F.when(
+            code.isNotNull() & (F.length(code) > 0),
+            F.concat(F.lit("p:"), _escape_seps(code)),
+        )
 
 
 class QGramIndex(BaseIndex):

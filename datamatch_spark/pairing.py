@@ -134,7 +134,23 @@ def keyed_side(
     idx_name: str,
     rec_name: str,
 ) -> DataFrame:
-    """(idx, BLOCK_KEY, rec struct) for one side."""
+    """(idx, BLOCK_KEY, rec struct) for one side.
+
+    Row-local indices (``index.key_expr`` non-None: ColumnsIndex,
+    NoopIndex, PhoneticIndex, ...) compute the key in the SAME
+    projection as the rec struct — one scan, no join. Multi-bucket /
+    rank-based indices go through ``key_df`` + an idx join; that join
+    broadcasts the key frame locally but becomes a corpus double
+    shuffle at a scale where keys outgrow the broadcast cap, so never
+    pay it for an index that is a plain expression of the row."""
+    ke = getattr(index, "key_expr", None)  # tolerate pre-protocol duck types
+    expr = ke(df) if callable(ke) else None
+    if expr is not None:
+        return df.select(
+            F.col(row_key).alias(idx_name),
+            expr.alias(BLOCK_KEY),
+            F.struct(*[F.col(c).alias(c) for c in needed_cols]).alias(rec_name),
+        ).where(F.col(BLOCK_KEY).isNotNull())
     keys = index.key_df(df, row_key)
     return keyed_side_from_keys(df, keys, row_key, needed_cols, idx_name, rec_name)
 
