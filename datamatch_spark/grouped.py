@@ -16,20 +16,29 @@ output. At reference scale (10^12 docs, mean block 40) that is the
 difference between ~petabytes and ~tens of TB of Arrow traffic.
 
 Skew handling is FULLY DECLARATIVE — no driver round-trip: per-block
-counts come from a partial-agg join that reuses the side's upfront
-exchange, hot rows get ``ceil(n / rows_per_shard)`` shards, and ONE
-``transform(sequence(0, s-1))`` expression emits each row's grid-cell
-memberships (cell (min(shard,c), max(shard,c)); a row is the LOW
-member when c >= shard). Cell (l, t), l < t scores the low×high cross
-product; cell (l, l) scores the in-shard triangle — together exactly
-the unordered pair set of the block, each pair once (the same
-enumeration _dedup_pairs_salted proves via its join; see
+counts come from a map-side partial agg whose hot tail broadcasts into
+a LEFT join, hot rows get ``ceil(n / rows_per_shard)`` shards, and ONE
+``transform(sequence(...))`` expression emits each row's grid-cell
+memberships.
+
+Dedup mode: cell (min(shard,c), max(shard,c)) for every c; a row is
+the LOW member when c >= shard. Cell (l, t), l < t scores the
+low×high cross product; cell (l, l) scores the in-shard triangle —
+together exactly the unordered pair set of the block, each pair once
+(the same enumeration _dedup_pairs_salted proves via its join; see
 pairing.py:275). Cold rows have one shard and fall out of the same
 expression as the single cell (0, 0).
 
+Match mode (A×B linkage): A rows shard ``sa`` ways and replicate to
+every B shard (cells (shard, c), c < sb); B rows shard ``sb`` ways and
+replicate to every A shard (cells (c, shard), c < sa); every cell
+scores the full A×B cross product — the GRID sharding of
+_match_pairs_salted (pairing.py:355) as group membership. Cold blocks
+are the single cell (0, 0).
+
 Pair-set and score parity with the join path is bit-identical
-(SimSumScorer._score_core is the shared implementation) and pinned by
-tests/test_grouped.py.
+(SimSumScorer._score_core / _swap_max_core are the shared
+implementations) and pinned by tests/test_grouped.py.
 """
 
 from __future__ import annotations
@@ -45,38 +54,50 @@ __all__ = ["grouped_scored_pairs", "supports_grouped_scoring"]
 
 
 def supports_grouped_scoring(
-    index: BaseIndex, scorer, variator, filters, dfb, dfa: DataFrame
+    index: BaseIndex, scorer, variator, filters, dfb, dfa: DataFrame,
+    row_key: str,
 ) -> bool:
-    """The shapes the grouped path covers today: dedup mode, a
-    single-bucket index, no pair filters, a noop variator OR a Swap
-    over non-float columns, and a SimSumScorer whose every similarity
-    has a batch kernel. Everything else keeps the join path (filters
-    are JVM pair predicates, multi-bucket indices dedup pairs BEFORE
-    scoring, float swap columns need the JVM eqNullSafe gate — the
-    group kernel runs after Arrow→pandas where float NULL ≡ NaN)."""
+    """The shapes the grouped path covers today: a single-bucket
+    per-side index, no pair filters, a noop variator OR a Swap over
+    non-float columns, and a SimSumScorer whose every similarity has a
+    batch kernel — in dedup OR match mode. Everything else keeps the
+    join path (filters are JVM pair predicates, multi-bucket indices
+    dedup pairs BEFORE scoring, jointly-keyed indices need the
+    key_df_pair frames, float swap columns need the JVM eqNullSafe
+    gate — the group kernel runs after Arrow→pandas where float NULL
+    ≡ NaN)."""
     from .scorers import SimSumScorer
     from .variators import Swap
 
     if (
-        dfb is not None
-        or filters
+        filters
         or index.multi_bucket
         or type(scorer) is not SimSumScorer
         or not scorer.can_swap_fuse()  # all sims must have batch kernels
     ):
         return False
+    if dfb is not None:
+        if getattr(index, "dedup_only", False):
+            return False
+        if index.key_df_pair(dfa, dfb, row_key) is not None:
+            return False  # jointly-keyed (e.g. SNI match mode)
+        if row_key not in dfb.columns or (
+            dfa.schema[row_key].dataType != dfb.schema[row_key].dataType
+        ):
+            return False  # tagged union needs one idx type
     if variator.is_noop:
         return True
     if type(variator) is not Swap:
         return False
-    flds = {f.name: f.dataType for f in dfa.schema.fields}
-    for c in (variator._col_a, variator._col_b):
-        if isinstance(flds.get(c), (T.FloatType, T.DoubleType)):
-            return False
+    for side_df in (dfa,) if dfb is None else (dfa, dfb):
+        flds = {f.name: f.dataType for f in side_df.schema.fields}
+        for c in (variator._col_a, variator._col_b):
+            if isinstance(flds.get(c), (T.FloatType, T.DoubleType)):
+                return False
     return True
 
 
-def _cells_expr() -> str:
+def _dedup_cells_expr() -> str:
     # every row is a member of exactly __s cells: paired with each
     # shard c, in cell (min(__shard, c), max(__shard, c)), as the LOW
     # member (pos 0) when c >= __shard else the HIGH member (pos 1).
@@ -88,6 +109,25 @@ def _cells_expr() -> str:
     )
 
 
+def _match_cells_expr() -> str:
+    # A rows (__pos 0): cells (__shard, c) for every B shard c;
+    # B rows (__pos 1): cells (c, __shard) for every A shard c.
+    return (
+        "explode(transform(sequence(0, __s_other - 1), c -> struct("
+        "if(__pos = 0, __shard, c) as l, "
+        "if(__pos = 0, c, __shard) as t)))"
+    )
+
+
+def _flat_side(df, index, row_key, needed, fmap):
+    side = keyed_side(df, index, row_key, needed, "idx", "rec")
+    return side.select(
+        "idx",
+        BLOCK_KEY,
+        *[F.col(f"rec.{c}").alias(fmap[c]) for c in needed],
+    )
+
+
 def grouped_scored_pairs(
     dfa: DataFrame,
     index: BaseIndex,
@@ -95,13 +135,16 @@ def grouped_scored_pairs(
     scorer,
     cfg: PairingConfig | None = None,
     variator=None,
+    dfb: DataFrame | None = None,
 ) -> DataFrame:
-    """(idx_a, idx_b, sim_score) for every within-block unordered pair,
-    idx_a < idx_b — the grouped twin of candidate_pairs + fused
-    scoring, one Spark action, zero driver collects. With a Swap
+    """(idx_a, idx_b, sim_score) for every within-block pair — the
+    grouped twin of candidate_pairs + fused scoring, one Spark action,
+    zero driver collects. Dedup mode (``dfb`` None): unordered pairs,
+    idx_a < idx_b. Match mode: A×B, idx_a from ``dfa``. With a Swap
     ``variator``, scores are max-over-variants via the same shared
     core as compile_swap_max."""
     cfg = cfg or PairingConfig()
+    dedup = dfb is None
     swap_cols = None
     if variator is not None and not variator.is_noop:
         swap_cols = (variator._col_a, variator._col_b)
@@ -109,60 +152,122 @@ def grouped_scored_pairs(
     if variator is not None:
         needed |= variator.required_columns()
     needed = sorted(needed)
-
-    side = keyed_side(dfa, index, row_key, needed, "idx", "rec")
     # flatten rec to collision-proof positional names; the group kernel
     # maps them back to the scorer's field names
     fmap = {c: f"__f{i}" for i, c in enumerate(needed)}
-    side = side.select(
-        "idx",
-        BLOCK_KEY,
-        *[F.col(f"rec.{c}").alias(fmap[c]) for c in needed],
-    )
 
-    n_parts = _n_parts(side, cfg)
-    if cfg.salt_enabled:
-        # shard counts for HOT keys only, via a map-side partial agg
-        # (the shuffle carries (key, count) rows, never the corpus) and
-        # an explicit-broadcast LEFT join — the filtered aggregate is
-        # as small as the old driver-collected hot list (keys whose
-        # blocks exceed salt_threshold), but no collect: Catalyst left
-        # to its own estimates plans the unfiltered counts join as an
-        # SMJ and re-shuffles the whole corpus by key (plan-verified).
-        # Cold rows miss the join and default to one shard. The corpus
-        # is shuffled exactly ONCE in this path — the grid-cell
-        # exchange feeding applyInPandas.
-        hot_counts = (
-            side.groupBy(BLOCK_KEY)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > cfg.salt_threshold)
+    side_a = _flat_side(dfa, index, row_key, needed, fmap)
+    thr = float(cfg.salt_threshold * cfg.rows_per_shard)
+
+    if dedup:
+        side = side_a
+        if cfg.salt_enabled:
+            # shard counts for HOT keys only, via a map-side partial
+            # agg (the shuffle carries (key, count) rows, never the
+            # corpus) and an explicit-broadcast LEFT join — the
+            # filtered aggregate is as small as the old
+            # driver-collected hot list (keys whose blocks exceed
+            # salt_threshold), but no collect: Catalyst left to its
+            # own estimates plans the unfiltered counts join as an SMJ
+            # and re-shuffles the whole corpus by key (plan-verified).
+            # Cold rows miss the join and default to one shard. The
+            # corpus is shuffled exactly ONCE in this path — the
+            # grid-cell exchange feeding applyInPandas.
+            hot_counts = (
+                side.groupBy(BLOCK_KEY)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > cfg.salt_threshold)
+            )
+            shards = F.greatest(
+                F.lit(2), F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard))
+            )
+            tagged = side.join(
+                F.broadcast(hot_counts), on=BLOCK_KEY, how="left"
+            ).select(
+                side["*"],
+                F.coalesce(shards.cast("int"), F.lit(1)).alias("__s"),
+            )
+        else:
+            tagged = side.withColumn("__s", F.lit(1))
+        tagged = tagged.withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int"),
         )
-        shards = F.greatest(
-            F.lit(2), F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard))
-        )
-        tagged = side.join(
-            F.broadcast(hot_counts), on=BLOCK_KEY, how="left"
+        cells = F.expr(_dedup_cells_expr())
+        members = tagged.select(
+            "idx", BLOCK_KEY, *fmap.values(), cells.alias("__cell")
         ).select(
-            side["*"],
-            F.coalesce(shards.cast("int"), F.lit(1)).alias("__s"),
+            "idx",
+            BLOCK_KEY,
+            *fmap.values(),
+            F.col("__cell.l").alias("__l"),
+            F.col("__cell.t").alias("__t"),
+            F.col("__cell.pos").alias("__pos"),
         )
+        idx_a_type = idx_b_type = side.schema["idx"].dataType
     else:
-        tagged = side.withColumn("__s", F.lit(1))
-    tagged = tagged.withColumn(
-        "__shard",
-        F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int"),
-    )
+        side_b = _flat_side(dfb, index, row_key, needed, fmap)
+        idx_a_type = side_a.schema["idx"].dataType
+        idx_b_type = side_b.schema["idx"].dataType
+        union = side_a.withColumn("__pos", F.lit(0)).unionByName(
+            side_b.withColumn("__pos", F.lit(1))
+        )
+        if cfg.salt_enabled:
+            # hot iff the PAIR PRODUCT na·nb exceeds the budget —
+            # mirrors candidate_pairs' match-mode detection including
+            # the double cast (a degenerate key's long product can
+            # wrap) and the sa·sb ≥ 2 floor
+            ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__na"))
+            cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__nb"))
+            prod = F.col("__na").cast("double") * F.col("__nb").cast("double")
+            sa = F.greatest(
+                F.lit(1), F.ceil(F.col("__na") / F.lit(cfg.rows_per_shard))
+            ).cast("int")
+            sb = F.greatest(
+                F.lit(1), F.ceil(F.col("__nb") / F.lit(cfg.rows_per_shard))
+            ).cast("int")
+            sb = F.when(sa * sb < 2, F.lit(2)).otherwise(sb)
+            hot_counts = (
+                ca.join(cb, on=BLOCK_KEY)
+                .where(prod > F.lit(thr))
+                .select(BLOCK_KEY, sa.alias("__sa"), sb.alias("__sb"))
+            )
+            tagged = union.join(
+                F.broadcast(hot_counts), on=BLOCK_KEY, how="left"
+            ).select(
+                union["*"],
+                F.coalesce(F.col("__sa"), F.lit(1)).alias("__sa2"),
+                F.coalesce(F.col("__sb"), F.lit(1)).alias("__sb2"),
+            )
+            own = F.when(F.col("__pos") == 0, F.col("__sa2")).otherwise(
+                F.col("__sb2")
+            )
+            other = F.when(F.col("__pos") == 0, F.col("__sb2")).otherwise(
+                F.col("__sa2")
+            )
+            tagged = tagged.withColumn("__s_own", own).withColumn(
+                "__s_other", other
+            ).drop("__sa2", "__sb2")
+        else:
+            tagged = union.withColumn("__s_own", F.lit(1)).withColumn(
+                "__s_other", F.lit(1)
+            )
+        tagged = tagged.withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(F.col("idx")), F.col("__s_own")).cast("int"),
+        )
+        cells = F.expr(_match_cells_expr())
+        members = tagged.select(
+            "idx", BLOCK_KEY, *fmap.values(), "__pos", cells.alias("__cell")
+        ).select(
+            "idx",
+            BLOCK_KEY,
+            *fmap.values(),
+            F.col("__cell.l").alias("__l"),
+            F.col("__cell.t").alias("__t"),
+            "__pos",
+        )
 
-    members = tagged.select(
-        "idx", BLOCK_KEY, *fmap.values(), F.expr(_cells_expr()).alias("__cell")
-    ).select(
-        "idx",
-        BLOCK_KEY,
-        *fmap.values(),
-        F.col("__cell.l").alias("__l"),
-        F.col("__cell.t").alias("__t"),
-        F.col("__cell.pos").alias("__pos"),
-    )
     # explicit REPARTITION_BY_NUM: applyInPandas' own ENSURE_REQUIREMENTS
     # exchange would let AQE coalesce partitions by INPUT bytes — but a
     # group's output is quadratic in its input, so AQE would funnel the
@@ -170,7 +275,7 @@ def grouped_scored_pairs(
     # hash partition on the exact grouping keys satisfies the required
     # clustering, so no second exchange is added.
     members = members.repartition(
-        n_parts, F.col(BLOCK_KEY), F.col("__l"), F.col("__t")
+        _n_parts(side_a, cfg), F.col(BLOCK_KEY), F.col("__l"), F.col("__t")
     )
 
     field_cols = {k: fmap[k] for k in needed}
@@ -192,7 +297,7 @@ def grouped_scored_pairs(
         # Spark's UTF8String byte ordering (UTF-8 preserves code-point
         # order), so orientation matches the join path's `<` exactly
         idx = pdf["idx"].to_numpy()
-        if pdf["__l"].iat[0] == pdf["__t"].iat[0]:
+        if dedup and pdf["__l"].iat[0] == pdf["__t"].iat[0]:
             n = len(pdf)
             ii, jj = np.triu_indices(n, k=1)
         else:
@@ -209,26 +314,28 @@ def grouped_scored_pairs(
                 }
             )
         ia, ib = idx[ii], idx[jj]
-        # orient BEFORE scoring: the join path scores (min-idx record,
-        # max-idx record), so an asymmetric kernel stays bit-identical
-        swap = ia > ib
-        pa = np.where(swap, jj, ii)
-        pb = np.where(swap, ii, jj)
+        if dedup:
+            # orient BEFORE scoring: the join path scores (min-idx
+            # record, max-idx record), so an asymmetric kernel stays
+            # bit-identical
+            swap = ia > ib
+            pa = np.where(swap, jj, ii)
+            pb = np.where(swap, ii, jj)
+            out_a = np.where(swap, ib, ia)
+            out_b = np.where(swap, ia, ib)
+        else:
+            # match mode: idx_a is always the A-side row
+            pa, pb, out_a, out_b = ii, jj, ia, ib
         cols = {k: pdf[c] for k, c in field_cols.items()}
         score = score_positions(cols, pa, pb)
         return pd.DataFrame(
-            {
-                "idx_a": np.where(swap, ib, ia),
-                "idx_b": np.where(swap, ia, ib),
-                "sim_score": score,
-            }
+            {"idx_a": out_a, "idx_b": out_b, "sim_score": score}
         )
 
-    idx_type = side.schema["idx"].dataType
     out_schema = T.StructType(
         [
-            T.StructField("idx_a", idx_type),
-            T.StructField("idx_b", idx_type),
+            T.StructField("idx_a", idx_a_type),
+            T.StructField("idx_b", idx_b_type),
             T.StructField("sim_score", T.DoubleType()),
         ]
     )

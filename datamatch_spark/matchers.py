@@ -186,14 +186,14 @@ class ThresholdMatcher:
             and self._score_partitions is None
             and supports_grouped_scoring(
                 self._index, self._scorer, self._variator, self._filters,
-                self._dfb, self._dfa,
+                self._dfb, self._dfa, self._row_key,
             )
         ):
             # block-local scoring: Arrow traffic O(rows) not O(pairs),
             # one action, no driver hot-key collect (grouped.py)
             return grouped_scored_pairs(
                 self._dfa, self._index, self._row_key, self._scorer,
-                cfg=self._cfg, variator=self._variator,
+                cfg=self._cfg, variator=self._variator, dfb=self._dfb,
             )
         if self._keyed_tables is not None:
             # pre-bucketed keyed sides (bucketing.py): the blocked pair

@@ -204,3 +204,74 @@ def test_grouped_with_date_similarity(spark):
     for k, v in want.items():
         g = got[k]
         assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
+
+
+def _match_fixture(spark):
+    """two datasets sharing a hot block + small blocks, with NULLs."""
+    names = ["smith", "smyth", "jones", "joan", None]
+    rows_a, rows_b = [], []
+    for i in range(150):
+        blk = "h" if i < 60 else f"c{i % 11}"
+        rows_a.append((i, blk, names[i % 5], f"fa{i % 7}", float(i % 5)))
+    for j in range(210):
+        blk = "h" if j < 90 else f"c{j % 11}"
+        rows_b.append((j + 1000, blk, names[j % 4], f"fb{j % 6}", float(j % 4)))
+    schema = "row_key long, blk string, last string, first string, amt double"
+    return (
+        spark.createDataFrame(rows_a, schema),
+        spark.createDataFrame(rows_b, schema),
+    )
+
+
+def test_grouped_match_mode_parity(spark):
+    """Match mode (A×B linkage) through the grid-cell grouped path:
+    same pair set and bit-identical scores as the join path, hot block
+    included."""
+    dfa, dfb = _match_fixture(spark)
+
+    def run(grouped):
+        cfg = PairingConfig(
+            salt_threshold=10, rows_per_shard=20, grouped_scoring=grouped
+        )
+        m = ThresholdMatcher(
+            ColumnsIndex("blk"), SIMS, dfa, dfb, row_key="row_key",
+            validate=False, pairing_config=cfg, defer=True,
+        )
+        plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
+        assert ("FlatMapGroupsInPandas" in plan) == grouped
+        return {
+            (r["idx_a"], r["idx_b"]): r["sim_score"]
+            for r in m._build_scored().collect()
+        }
+
+    got, want = run(True), run(False)
+    assert set(got) == set(want) and len(got) > 4000
+    # idx_a always from A, idx_b always from B
+    assert all(a < 1000 <= b for a, b in got)
+    for k, v in want.items():
+        g = got[k]
+        assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
+
+
+def test_grouped_match_mode_swap_parity(spark):
+    dfa, dfb = _match_fixture(spark)
+
+    def run(grouped):
+        cfg = PairingConfig(
+            salt_threshold=10, rows_per_shard=20, grouped_scoring=grouped
+        )
+        m = ThresholdMatcher(
+            ColumnsIndex("blk"), SIMS, dfa, dfb, row_key="row_key",
+            validate=False, variator=Swap("first", "last"),
+            pairing_config=cfg, defer=True,
+        )
+        return {
+            (r["idx_a"], r["idx_b"]): r["sim_score"]
+            for r in m._build_scored().collect()
+        }
+
+    got, want = run(True), run(False)
+    assert set(got) == set(want) and got
+    for k, v in want.items():
+        g = got[k]
+        assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
