@@ -81,10 +81,19 @@ def supports_grouped_scoring(
             return False
         if index.key_df_pair(dfa, dfb, row_key) is not None:
             return False  # jointly-keyed (e.g. SNI match mode)
-        if row_key not in dfb.columns or (
-            dfa.schema[row_key].dataType != dfb.schema[row_key].dataType
-        ):
-            return False  # tagged union needs one idx type
+        # the tagged union needs every carried column to have ONE type
+        # per side: a widening coercion (int ↔ float) would silently
+        # round values the join path ships exact — breaking bit-parity
+        # — and an un-widenable pair would throw where the join path
+        # runs. Missing columns also fall back so the join path raises
+        # its usual loud error.
+        needed = {row_key} | scorer.required_columns()
+        needed |= variator.required_columns()
+        ta = {f.name: f.dataType for f in dfa.schema.fields}
+        tb = {f.name: f.dataType for f in dfb.schema.fields}
+        for c in needed:
+            if c not in ta or c not in tb or ta[c] != tb[c]:
+                return False
     if variator.is_noop:
         return True
     if type(variator) is not Swap:
@@ -173,10 +182,16 @@ def grouped_scored_pairs(
             # Cold rows miss the join and default to one shard. The
             # corpus is shuffled exactly ONCE in this path — the
             # grid-cell exchange feeding applyInPandas.
+            # max_hot_keys bounds the broadcast exactly like the join
+            # path's _hot_blocks collect: top-k by size (largest first,
+            # so a biting cap leaves the SMALLEST offenders unsalted),
+            # as a distributed TakeOrdered — still no driver round-trip
             hot_counts = (
                 side.groupBy(BLOCK_KEY)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .where(F.col("__n") > cfg.salt_threshold)
+                .orderBy(F.col("__n").desc(), F.col(BLOCK_KEY).asc())
+                .limit(cfg.max_hot_keys)
             )
             shards = F.greatest(
                 F.lit(2), F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard))
@@ -230,6 +245,8 @@ def grouped_scored_pairs(
             hot_counts = (
                 ca.join(cb, on=BLOCK_KEY)
                 .where(prod > F.lit(thr))
+                .orderBy(prod.desc(), F.col(BLOCK_KEY).asc())
+                .limit(cfg.max_hot_keys)
                 .select(BLOCK_KEY, sa.alias("__sa"), sb.alias("__sb"))
             )
             tagged = union.join(

@@ -91,12 +91,13 @@ class PairingConfig:
     # width from the rec schema (see _est_row_bytes); whichever of the
     # row/byte caps is hit first disables the broadcast.
     broadcast_hot_bytes: int = 256 << 20
-    # score eligible dedup shapes block-locally (grouped.py): records
-    # cross the JVM↔Python boundary once per block/cell instead of
-    # once per pair — the O(rows)-traffic scoring path. Shapes the
-    # group kernel can't express (filters, variators, match mode,
-    # multi-bucket indices, non-batch scorers) use the join path
-    # regardless of this flag.
+    # score eligible shapes block-locally (grouped.py): records cross
+    # the JVM↔Python boundary once per block/cell instead of once per
+    # pair — the O(rows)-traffic scoring path. Covers dedup AND A×B
+    # match mode, noop and non-float-column Swap variators. Shapes the
+    # group kernel can't express (pair filters, float swap columns,
+    # multi-bucket or jointly-keyed indices, non-batch scorers) use
+    # the join path regardless of this flag.
     grouped_scoring: bool = True
     # localCheckpoint the keyed side(s) before use. The salted path
     # otherwise evaluates each side up to 3× (hot-key collect — key
@@ -150,7 +151,12 @@ def keyed_side(
             F.col(row_key).alias(idx_name),
             expr.alias(BLOCK_KEY),
             F.struct(*[F.col(c).alias(c) for c in needed_cols]).alias(rec_name),
-        ).where(F.col(BLOCK_KEY).isNotNull())
+        ).where(
+            # the key_df path dropped NULL row keys implicitly (inner
+            # join on idx); without this filter a NULL key crashes the
+            # grouped orientation compare and emits (idx, NULL) pairs
+            F.col(BLOCK_KEY).isNotNull() & F.col(idx_name).isNotNull()
+        )
     keys = index.key_df(df, row_key)
     return keyed_side_from_keys(df, keys, row_key, needed_cols, idx_name, rec_name)
 

@@ -164,7 +164,10 @@ def test_grouped_e2e_reference_golden(spark):
         df,
         row_key="row_key",
     )
-    plan = m.scored_pairs._jdf.queryExecution().executedPlan().toString()
+    # scored_pairs is checkpoint-materialized, so assert the routing on
+    # a fresh lazy build of the same pipeline
+    plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the grouped path actually ran
     clusters = m.get_clusters_within_threshold(0.83)
     got = set()
     for row in clusters.select("cluster_idx", "row_key").collect():
@@ -275,3 +278,51 @@ def test_grouped_match_mode_swap_parity(spark):
     for k, v in want.items():
         g = got[k]
         assert (g == v) or (math.isnan(g) and math.isnan(v)), (k, g, v)
+
+
+def test_null_row_key_rows_are_dropped_both_paths(spark):
+    """NULL row keys must be dropped like the key_df join always did —
+    on the key_expr fast path a NULL idx used to crash the grouped
+    orientation compare (string keys) or silently emit (idx, NULL)
+    pairs (review r5)."""
+    df = spark.createDataFrame(
+        [(1, "b", "x"), (2, "b", "y"), (None, "b", "z")],
+        "row_key long, blk string, last string",
+    )
+    sims = {"last": StringSimilarity()}
+    for grouped in (True, False):
+        m = ThresholdMatcher(
+            ColumnsIndex("blk"), sims, df, row_key="row_key", validate=False,
+            pairing_config=PairingConfig(grouped_scoring=grouped), defer=True,
+        )
+        pairs = {(r["idx_a"], r["idx_b"]) for r in m._build_scored().collect()}
+        assert pairs == {(1, 2)}, (grouped, pairs)
+
+    dfs = spark.createDataFrame(
+        [("a", "b", "x"), ("c", "b", "y"), (None, "b", "z")],
+        "row_key string, blk string, last string",
+    )
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"), sims, dfs, row_key="row_key", validate=False,
+        defer=True,
+    )
+    pairs = {(r["idx_a"], r["idx_b"]) for r in m._build_scored().collect()}
+    assert pairs == {("a", "c")}
+
+
+def test_match_mode_mixed_dtype_falls_back_to_join_path(spark):
+    """int-vs-float scored column across sides: the tagged union would
+    widen and round — must keep the join path (review r5)."""
+    dfa = spark.createDataFrame(
+        [(1, "b", 10), (2, "b", 11)], "row_key long, blk string, amt int"
+    )
+    dfb = spark.createDataFrame(
+        [(9, "b", 10.5)], "row_key long, blk string, amt double"
+    )
+    m = ThresholdMatcher(
+        ColumnsIndex("blk"), {"amt": AbsoluteNumericalSimilarity(d_max=3.0)},
+        dfa, dfb, row_key="row_key", validate=False, defer=True,
+    )
+    plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert m._build_scored().count() == 2
