@@ -73,7 +73,12 @@ def main() -> int:
                 out = subprocess.run(
                     [sys.executable,
                      os.path.join(HERE, "executor_scaling_bench.py"),
-                     "--pin", "--warmup", "--repeats", "2"],
+                     "--pin", "--warmup", "--repeats", "1",
+                     # 1.2M docs / 260M pairs: a 4-5 min 1x8 wall, the
+                     # realistic-job regime — at the old 300k size
+                     # Spark's ~3-4 s fixed stage constants alone cap
+                     # efficiency at ~0.55 (Amdahl on a 27 s job)
+                     "--n-docs", "1200000"],
                     capture_output=True, text=True, timeout=3600,
                     cwd=os.path.dirname(HERE),
                 )
