@@ -50,7 +50,33 @@ from pyspark.sql import types as T
 from .indices import BLOCK_KEY, BaseIndex
 from .pairing import PairingConfig, _n_parts, keyed_side
 
-__all__ = ["grouped_scored_pairs", "supports_grouped_scoring"]
+__all__ = [
+    "grouped_scored_pairs",
+    "grouped_scored_pairs_bucketed",
+    "supports_grouped_scoring",
+    "supports_grouped_scoring_bucketed",
+]
+
+
+def _shape_ok(scorer, variator, field_types: list[dict]) -> bool:
+    """Scorer/variator eligibility shared by the runtime and bucketed
+    grouped paths. ``field_types`` holds one {column: dataType} dict
+    per record schema the kernel will see (the float-swap exclusion
+    must hold on every side)."""
+    from .scorers import SimSumScorer
+    from .variators import Swap
+
+    if type(scorer) is not SimSumScorer or not scorer.can_swap_fuse():
+        return False
+    if variator is None or variator.is_noop:
+        return True
+    if type(variator) is not Swap:
+        return False
+    for flds in field_types:
+        for c in (variator._col_a, variator._col_b):
+            if isinstance(flds.get(c), (T.FloatType, T.DoubleType)):
+                return False
+    return True
 
 
 def supports_grouped_scoring(
@@ -66,15 +92,7 @@ def supports_grouped_scoring(
     key_df_pair frames, float swap columns need the JVM eqNullSafe
     gate — the group kernel runs after Arrow→pandas where float NULL
     ≡ NaN)."""
-    from .scorers import SimSumScorer
-    from .variators import Swap
-
-    if (
-        filters
-        or index.multi_bucket
-        or type(scorer) is not SimSumScorer
-        or not scorer.can_swap_fuse()  # all sims must have batch kernels
-    ):
+    if filters or index.multi_bucket:
         return False
     if dfb is not None:
         if getattr(index, "dedup_only", False):
@@ -94,16 +112,47 @@ def supports_grouped_scoring(
         for c in needed:
             if c not in ta or c not in tb or ta[c] != tb[c]:
                 return False
-    if variator.is_noop:
-        return True
-    if type(variator) is not Swap:
+    schemas = [
+        {f.name: f.dataType for f in d.schema.fields}
+        for d in ((dfa,) if dfb is None else (dfa, dfb))
+    ]
+    return _shape_ok(scorer, variator, schemas)
+
+
+def supports_grouped_scoring_bucketed(
+    spark, tables, scorer, variator, filters
+) -> bool:
+    """Bucketed-tables analogue: eligible when the pair shapes are
+    (no filters, noop/non-float-Swap, batch SimSumScorer), no table is
+    multi-bucket (the join path dedups pairs BEFORE scoring), and in
+    match mode both tables agree on idx and every rec field's type."""
+    from .bucketing import _table_multi_bucket
+
+    if filters:
         return False
-    for side_df in (dfa,) if dfb is None else (dfa, dfb):
-        flds = {f.name: f.dataType for f in side_df.schema.fields}
-        for c in (variator._col_a, variator._col_b):
-            if isinstance(flds.get(c), (T.FloatType, T.DoubleType)):
+    for t in tables:
+        if _table_multi_bucket(spark, t):
+            return False
+    recs = []
+    for t in tables:
+        sch = spark.table(t).schema
+        recs.append(
+            {
+                "idx": sch["idx"].dataType,
+                **{
+                    f.name: f.dataType
+                    for f in sch["rec"].dataType.fields
+                },
+            }
+        )
+    if len(recs) == 2:
+        needed = {"idx"} | scorer.required_columns()
+        if variator is not None:
+            needed |= variator.required_columns()
+        for c in needed:
+            if recs[0].get(c) != recs[1].get(c) or c not in recs[0]:
                 return False
-    return True
+    return _shape_ok(scorer, variator, recs)
 
 
 def _dedup_cells_expr() -> str:
@@ -295,7 +344,18 @@ def grouped_scored_pairs(
         _n_parts(side_a, cfg), F.col(BLOCK_KEY), F.col("__l"), F.col("__t")
     )
 
-    field_cols = {k: fmap[k] for k in needed}
+    return _score_groups(
+        members, {k: fmap[k] for k in needed}, scorer, swap_cols, dedup,
+        idx_a_type, idx_b_type,
+    )
+
+
+def _score_groups(
+    members, field_cols, scorer, swap_cols, dedup, idx_a_type, idx_b_type
+):
+    """groupBy(block, cell) → applyInPandas scoring, shared by the
+    runtime (salted grid cells) and bucketed (whole blocks as cell
+    (0, 0)) grouped paths."""
     if swap_cols is None:
         score_positions = scorer.score_positions
     else:
@@ -358,4 +418,67 @@ def grouped_scored_pairs(
     )
     return members.groupBy(BLOCK_KEY, "__l", "__t").applyInPandas(
         score_group, schema=out_schema
+    )
+
+
+def grouped_scored_pairs_bucketed(
+    spark,
+    table_a: str,
+    scorer,
+    table_b: str | None = None,
+    variator=None,
+) -> DataFrame:
+    """Grouped scoring straight off bucketed keyed-side tables
+    (bucketing.py): in dedup mode the plan has ZERO exchanges — the
+    bucket layout's HashPartitioning(block_key) already satisfies the
+    group clustering, so scoring a recurring corpus costs one bucketed
+    scan plus the in-partition sort. Match mode unions the two tables
+    (a union discards co-partitioning), so it pays one narrow-row
+    exchange of the tagged union.
+
+    Like ``bucketed_candidate_pairs``, hot-block salting is NOT
+    applied — one group per block; salt at write time for skewed
+    corpora or use the runtime path."""
+    dedup = table_b is None
+    swap_cols = None
+    if variator is not None and not variator.is_noop:
+        swap_cols = (variator._col_a, variator._col_b)
+    needed = set(scorer.required_columns())
+    if variator is not None:
+        needed |= variator.required_columns()
+    needed = sorted(needed)
+    fmap = {c: f"__f{i}" for i, c in enumerate(needed)}
+
+    def flat(tbl, pos):
+        t = spark.table(tbl)
+        return t.select(
+            "idx",
+            BLOCK_KEY,
+            *[F.col(f"rec.{c}").alias(fmap[c]) for c in needed],
+            F.lit(0).alias("__l"),
+            F.lit(0).alias("__t"),
+            F.lit(pos).alias("__pos"),
+        )
+
+    side_a = flat(table_a, 0)
+    idx_a_type = side_a.schema["idx"].dataType
+    if dedup:
+        members = side_a
+        idx_b_type = idx_a_type
+    else:
+        side_b = flat(table_b, 1)
+        idx_b_type = side_b.schema["idx"].dataType
+        members = side_a.unionByName(side_b)
+        # the union lost the buckets' co-partitioning; pin the group
+        # exchange width so AQE cannot coalesce the narrow input into
+        # few fat pair-producing tasks
+        from .session import effective_parallelism
+
+        members = members.repartition(
+            2 * effective_parallelism(spark), F.col(BLOCK_KEY)
+        )
+
+    return _score_groups(
+        members, {k: fmap[k] for k in needed}, scorer, swap_cols, dedup,
+        idx_a_type, idx_b_type,
     )

@@ -219,6 +219,31 @@ class ThresholdMatcher:
                         f"{sorted(missing)} required by the scorer/"
                         f"filters/variator; re-save it with those columns"
                     )
+            from .grouped import (
+                grouped_scored_pairs_bucketed,
+                supports_grouped_scoring_bucketed,
+            )
+
+            if (
+                self._cfg.grouped_scoring
+                and self._score_partitions is None
+                and supports_grouped_scoring_bucketed(
+                    spark, self._keyed_tables, self._scorer,
+                    self._variator, self._filters,
+                )
+            ):
+                # dedup off buckets: grouped scoring with ZERO
+                # exchanges — HashPartitioning(block_key) from the
+                # bucket layout satisfies the group clustering
+                tbl_b = (
+                    self._keyed_tables[1]
+                    if len(self._keyed_tables) == 2
+                    else None
+                )
+                return grouped_scored_pairs_bucketed(
+                    spark, self._keyed_tables[0], self._scorer,
+                    table_b=tbl_b, variator=self._variator,
+                )
             pairs = bucketed_candidate_pairs(spark, *self._keyed_tables)
         else:
             pairs = candidate_pairs(

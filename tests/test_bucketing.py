@@ -183,3 +183,78 @@ def test_matcher_validates_all_keyed_tables(spark, warehouse):
     finally:
         spark.sql("DROP TABLE keyed_va")
         spark.sql("DROP TABLE keyed_vb")
+
+
+def test_bucketed_grouped_dedup_zero_exchange_and_parity(spark, warehouse):
+    """Grouped scoring off a bucketed table: ZERO exchanges in the plan
+    (bucket HashPartitioning satisfies the group clustering) and
+    bit-identical scores vs the bucketed JOIN path."""
+    from datamatch_spark import JaroWinklerSimilarity, ThresholdMatcher
+    from datamatch_spark.pairing import PairingConfig
+
+    rows = [(i, f"g{i % 7}", f"n{i % 19}", f"f{i % 11}") for i in range(250)]
+    df = spark.createDataFrame(rows, "id long, g string, last string, first string")
+    side = keyed_side(df, ColumnsIndex("g"), "id", ["last", "first"], "idx", "rec")
+    spark.sql("DROP TABLE IF EXISTS keyed_gb")
+    save_bucketed_keyed_side(side, "keyed_gb", n_buckets=8, path=f"{warehouse}/keyed_gb")
+    sims = {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()}
+
+    def build(grouped):
+        m = ThresholdMatcher(
+            ColumnsIndex("g"), sims, df, row_key="id", validate=False,
+            keyed_tables="keyed_gb", defer=True,
+            pairing_config=PairingConfig(grouped_scoring=grouped),
+        )
+        return m._build_scored()
+
+    scored = build(True)
+    plan = scored._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning" not in plan, plan  # ZERO exchanges
+    got = {(r["idx_a"], r["idx_b"]): r["sim_score"] for r in scored.collect()}
+    want = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"] for r in build(False).collect()
+    }
+    assert got == want and len(got) > 1000
+    spark.sql("DROP TABLE keyed_gb")
+
+
+def test_bucketed_grouped_match_parity(spark, warehouse):
+    from datamatch_spark import JaroWinklerSimilarity, ThresholdMatcher
+    from datamatch_spark.pairing import PairingConfig
+
+    rows_a = [(i, f"g{i % 5}", f"n{i % 13}") for i in range(120)]
+    rows_b = [(j + 500, f"g{j % 5}", f"n{j % 17}") for j in range(80)]
+    dfa = spark.createDataFrame(rows_a, "id long, g string, last string")
+    dfb = spark.createDataFrame(rows_b, "id long, g string, last string")
+    sa = keyed_side(dfa, ColumnsIndex("g"), "id", ["last"], "idx", "rec")
+    sb = keyed_side(dfb, ColumnsIndex("g"), "id", ["last"], "idx", "rec")
+    spark.sql("DROP TABLE IF EXISTS keyed_ga")
+    spark.sql("DROP TABLE IF EXISTS keyed_gbm")
+    save_bucketed_keyed_side(sa, "keyed_ga", n_buckets=4, path=f"{warehouse}/keyed_ga")
+    save_bucketed_keyed_side(sb, "keyed_gbm", n_buckets=4, path=f"{warehouse}/keyed_gbm")
+    sims = {"last": JaroWinklerSimilarity()}
+
+    def build(grouped):
+        m = ThresholdMatcher(
+            ColumnsIndex("g"), sims, dfa, dfb, row_key="id", validate=False,
+            keyed_tables=("keyed_ga", "keyed_gbm"), defer=True,
+            pairing_config=PairingConfig(grouped_scoring=grouped),
+        )
+        return m._build_scored()
+
+    scored = build(True)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    got = {(r["idx_a"], r["idx_b"]): r["sim_score"] for r in scored.collect()}
+    want = {
+        (r["idx_a"], r["idx_b"]): r["sim_score"] for r in build(False).collect()
+    }
+    assert got == want and len(got) > 1000
+    assert all(a < 500 <= b for a, b in got)
+    spark.sql("DROP TABLE keyed_ga")
+    spark.sql("DROP TABLE keyed_gbm")
