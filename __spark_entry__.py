@@ -100,6 +100,29 @@ def q_absnum_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A×B match-mode scoring through the grouped grid-cell path
+    (§2.3 MatchPairer + §2.5): even doc_ids vs odd doc_ids, blocked on
+    lang, AbsoluteNumericalSimilarity(50) on n_chars, slice
+    [0.5, 1.0]."""
+    from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
+
+    docs = _docs(spark, sf_dir)
+    side_a = docs.where(F.col("doc_id") % 2 == 0)
+    side_b = docs.where(F.col("doc_id") % 2 == 1)
+    m = ThresholdMatcher(
+        ColumnsIndex("lang"),
+        {"n_chars": AbsoluteNumericalSimilarity(50)},
+        side_a,
+        side_b,
+        row_key="doc_id",
+        validate=False,
+    )
+    return m.get_index_pairs_within_thresholds(0.5, 1.0).select(
+        "idx_a", "idx_b", F.round("sim_score", 6).alias("sim_score")
+    )
+
+
 def q_relnum_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RelativeNumericalSimilarity over orders blocked by
     (o_orderpriority, o_orderdate) (§2.5)."""
@@ -947,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_metrics": q_block_metrics,
         "candidate_pairs": q_candidate_pairs,
         "absnum_scored_pairs": q_absnum_scored_pairs,
+        "match_scored": q_match_scored,
         "relnum_scored_pairs": q_relnum_scored_pairs,
         "dissimilar_filter": q_dissimilar_filter,
         "nonoverlap_filter": q_nonoverlap_filter,
@@ -1051,6 +1075,40 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE abs(a.n_chars - b.n_chars) < 50
               AND (1.0 - abs(a.n_chars - b.n_chars) / 50.0) >= 0.5
+        """,
+        "match_scored": """
+            WITH RECURSIVE scored AS (
+              -- EVERY blocked pair participates in the greedy 1:1 pass
+              -- (zero-score pairs still claim their rows); the
+              -- [0.5, 1.0] slice happens after, like the engine
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     CASE WHEN abs(a.n_chars - b.n_chars) < 50
+                          THEN 1.0 - abs(a.n_chars - b.n_chars) / 50.0
+                          ELSE 0 END AS sim_score
+              FROM documents a JOIN documents b ON a.lang = b.lang
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            ), ranked AS (
+              SELECT idx_a, idx_b, sim_score,
+                     row_number() OVER (
+                       ORDER BY sim_score DESC, idx_a, idx_b) AS rn
+              FROM scored
+            ), g AS (
+              SELECT 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS ua,
+                     CAST([] AS BIGINT[]) AS ub
+              UNION ALL
+              SELECT nxt.rn, list_append(g.ua, nxt.idx_a),
+                     list_append(g.ub, nxt.idx_b)
+              FROM g, LATERAL (
+                SELECT r.rn, r.idx_a, r.idx_b FROM ranked r
+                WHERE r.rn > g.rn
+                  AND NOT list_contains(g.ua, r.idx_a)
+                  AND NOT list_contains(g.ub, r.idx_b)
+                ORDER BY r.rn LIMIT 1
+              ) nxt
+            )
+            SELECT r.idx_a, r.idx_b, round(r.sim_score, 6) AS sim_score
+            FROM ranked r JOIN g ON r.rn = g.rn
+            WHERE r.sim_score BETWEEN 0.5 AND 1.0
         """,
         "relnum_scored_pairs": """
             WITH p AS (
