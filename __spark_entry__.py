@@ -104,10 +104,12 @@ def q_match_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A×B match-mode scoring through the grouped grid-cell path
     (§2.3 MatchPairer + §2.5): even doc_ids vs odd doc_ids, blocked on
     lang, AbsoluteNumericalSimilarity(50) on n_chars, slice
-    [0.5, 1.0]."""
+    [0.5, 1.0]. Bounded to doc_id < 500 so the greedy-1:1 recursive
+    CTE oracle stays tractable at every sf (its cost is
+    selections x pairs x used-list length)."""
     from datamatch_spark import AbsoluteNumericalSimilarity, ColumnsIndex, ThresholdMatcher
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 2000)
     side_a = docs.where(F.col("doc_id") % 2 == 0)
     side_b = docs.where(F.col("doc_id") % 2 == 1)
     m = ThresholdMatcher(
@@ -1087,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0 END AS sim_score
               FROM documents a JOIN documents b ON a.lang = b.lang
               WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                AND a.doc_id < 500 AND b.doc_id < 500
             ), ranked AS (
               SELECT idx_a, idx_b, sim_score,
                      row_number() OVER (

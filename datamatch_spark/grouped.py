@@ -106,7 +106,8 @@ def supports_grouped_scoring(
         # runs. Missing columns also fall back so the join path raises
         # its usual loud error.
         needed = {row_key} | scorer.required_columns()
-        needed |= variator.required_columns()
+        if variator is not None:
+            needed |= variator.required_columns()
         ta = {f.name: f.dataType for f in dfa.schema.fields}
         tb = {f.name: f.dataType for f in dfb.schema.fields}
         for c in needed:
@@ -133,24 +134,24 @@ def supports_grouped_scoring_bucketed(
     for t in tables:
         if _table_multi_bucket(spark, t):
             return False
-    recs = []
+    # idx dtype tracked SEPARATELY from rec fields: a rec field that
+    # happens to be named 'idx' must not shadow the row-key type in
+    # the match-mode equality check (review r5)
+    idx_types, recs = [], []
     for t in tables:
         sch = spark.table(t).schema
+        idx_types.append(sch["idx"].dataType)
         recs.append(
-            {
-                "idx": sch["idx"].dataType,
-                **{
-                    f.name: f.dataType
-                    for f in sch["rec"].dataType.fields
-                },
-            }
+            {f.name: f.dataType for f in sch["rec"].dataType.fields}
         )
     if len(recs) == 2:
-        needed = {"idx"} | scorer.required_columns()
+        if idx_types[0] != idx_types[1]:
+            return False
+        needed = set(scorer.required_columns())
         if variator is not None:
             needed |= variator.required_columns()
         for c in needed:
-            if recs[0].get(c) != recs[1].get(c) or c not in recs[0]:
+            if c not in recs[0] or recs[0][c] != recs[1].get(c):
                 return False
     return _shape_ok(scorer, variator, recs)
 
@@ -186,6 +187,65 @@ def _flat_side(df, index, row_key, needed, fmap):
     )
 
 
+def _dedup_members(side: DataFrame, fcols: list, cfg: PairingConfig) -> DataFrame:
+    """Grid-cell membership frame for the dedup mode. A COLD row must
+    contribute exactly ONE member row — the module's O(rows) traffic
+    guarantee (pinned by tests/test_grouped.py's membership-count
+    test).
+
+    Shard counts come from HOT keys only: a map-side partial agg (the
+    shuffle carries (key, count) rows, never the corpus) whose top
+    ``max_hot_keys`` by size (largest first, so a biting cap leaves
+    the smallest offenders unsalted — same policy as _hot_blocks)
+    broadcast-LEFT-joins back onto the rows; cold rows miss the join
+    and coalesce to one shard. Catalyst left to its own estimates
+    plans an unfiltered counts join as an SMJ that re-shuffles the
+    whole corpus by key (plan-verified), hence the explicit broadcast
+    of the bounded hot tail. __s is computed INSIDE the hot frame:
+    computed from __n after the left join, cold rows would get __s=2,
+    not 1 — Spark's greatest() SKIPS nulls, so greatest(2, NULL) = 2
+    and the coalesce default never fires, silently doubling every
+    cold row's cell memberships (review r5)."""
+    if cfg.salt_enabled:
+        hot_counts = (
+            side.groupBy(BLOCK_KEY)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > cfg.salt_threshold)
+            .orderBy(F.col("__n").desc(), F.col(BLOCK_KEY).asc())
+            .limit(cfg.max_hot_keys)
+            .select(
+                BLOCK_KEY,
+                F.greatest(
+                    F.lit(2),
+                    F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard)),
+                ).cast("int").alias("__s_hot"),
+            )
+        )
+        tagged = side.join(
+            F.broadcast(hot_counts), on=BLOCK_KEY, how="left"
+        ).select(
+            side["*"],
+            F.coalesce(F.col("__s_hot"), F.lit(1)).alias("__s"),
+        )
+    else:
+        tagged = side.withColumn("__s", F.lit(1))
+    tagged = tagged.withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int"),
+    )
+    cells = F.expr(_dedup_cells_expr())
+    return tagged.select(
+        "idx", BLOCK_KEY, *fcols, cells.alias("__cell")
+    ).select(
+        "idx",
+        BLOCK_KEY,
+        *fcols,
+        F.col("__cell.l").alias("__l"),
+        F.col("__cell.t").alias("__t"),
+        F.col("__cell.pos").alias("__pos"),
+    )
+
+
 def grouped_scored_pairs(
     dfa: DataFrame,
     index: BaseIndex,
@@ -218,57 +278,8 @@ def grouped_scored_pairs(
     thr = float(cfg.salt_threshold * cfg.rows_per_shard)
 
     if dedup:
-        side = side_a
-        if cfg.salt_enabled:
-            # shard counts for HOT keys only, via a map-side partial
-            # agg (the shuffle carries (key, count) rows, never the
-            # corpus) and an explicit-broadcast LEFT join — the
-            # filtered aggregate is as small as the old
-            # driver-collected hot list (keys whose blocks exceed
-            # salt_threshold), but no collect: Catalyst left to its
-            # own estimates plans the unfiltered counts join as an SMJ
-            # and re-shuffles the whole corpus by key (plan-verified).
-            # Cold rows miss the join and default to one shard. The
-            # corpus is shuffled exactly ONCE in this path — the
-            # grid-cell exchange feeding applyInPandas.
-            # max_hot_keys bounds the broadcast exactly like the join
-            # path's _hot_blocks collect: top-k by size (largest first,
-            # so a biting cap leaves the SMALLEST offenders unsalted),
-            # as a distributed TakeOrdered — still no driver round-trip
-            hot_counts = (
-                side.groupBy(BLOCK_KEY)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .where(F.col("__n") > cfg.salt_threshold)
-                .orderBy(F.col("__n").desc(), F.col(BLOCK_KEY).asc())
-                .limit(cfg.max_hot_keys)
-            )
-            shards = F.greatest(
-                F.lit(2), F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard))
-            )
-            tagged = side.join(
-                F.broadcast(hot_counts), on=BLOCK_KEY, how="left"
-            ).select(
-                side["*"],
-                F.coalesce(shards.cast("int"), F.lit(1)).alias("__s"),
-            )
-        else:
-            tagged = side.withColumn("__s", F.lit(1))
-        tagged = tagged.withColumn(
-            "__shard",
-            F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int"),
-        )
-        cells = F.expr(_dedup_cells_expr())
-        members = tagged.select(
-            "idx", BLOCK_KEY, *fmap.values(), cells.alias("__cell")
-        ).select(
-            "idx",
-            BLOCK_KEY,
-            *fmap.values(),
-            F.col("__cell.l").alias("__l"),
-            F.col("__cell.t").alias("__t"),
-            F.col("__cell.pos").alias("__pos"),
-        )
-        idx_a_type = idx_b_type = side.schema["idx"].dataType
+        members = _dedup_members(side_a, list(fmap.values()), cfg)
+        idx_a_type = idx_b_type = side_a.schema["idx"].dataType
     else:
         side_b = _flat_side(dfb, index, row_key, needed, fmap)
         idx_a_type = side_a.schema["idx"].dataType
@@ -427,6 +438,7 @@ def grouped_scored_pairs_bucketed(
     scorer,
     table_b: str | None = None,
     variator=None,
+    dedupe_multi_bucket: bool | None = None,
 ) -> DataFrame:
     """Grouped scoring straight off bucketed keyed-side tables
     (bucketing.py): in dedup mode the plan has ZERO exchanges — the
@@ -438,8 +450,19 @@ def grouped_scored_pairs_bucketed(
 
     Like ``bucketed_candidate_pairs``, hot-block salting is NOT
     applied — one group per block; salt at write time for skewed
-    corpora or use the runtime path."""
+    corpora or use the runtime path.
+
+    ``dedupe_multi_bucket=None`` reads the ``datamatch.multi_bucket``
+    table property (OR across tables) like ``bucketed_candidate_pairs``
+    — for multi-bucket tables each N-bucket pair is scored N times
+    (identical bits) and deduplicated on output."""
+    from .bucketing import _table_multi_bucket
+
     dedup = table_b is None
+    if dedupe_multi_bucket is None:
+        dedupe_multi_bucket = _table_multi_bucket(spark, table_a) or (
+            table_b is not None and _table_multi_bucket(spark, table_b)
+        )
     swap_cols = None
     if variator is not None and not variator.is_noop:
         swap_cols = (variator._col_a, variator._col_b)
@@ -458,6 +481,11 @@ def grouped_scored_pairs_bucketed(
             F.lit(0).alias("__l"),
             F.lit(0).alias("__t"),
             F.lit(pos).alias("__pos"),
+        ).where(
+            # tables written by a pre-r5 keyed_side (or by hand) may
+            # carry NULL idx/key rows the join path dropped implicitly;
+            # a NULL idx crashes the group orientation compare
+            F.col("idx").isNotNull() & F.col(BLOCK_KEY).isNotNull()
         )
 
     side_a = flat(table_a, 0)
@@ -478,7 +506,12 @@ def grouped_scored_pairs_bucketed(
             2 * effective_parallelism(spark), F.col(BLOCK_KEY)
         )
 
-    return _score_groups(
+    scored = _score_groups(
         members, {k: fmap[k] for k in needed}, scorer, swap_cols, dedup,
         idx_a_type, idx_b_type,
     )
+    if dedupe_multi_bucket:
+        # copies of a pair from different buckets carry identical bits
+        # (same records, same kernel), so keeping any one is exact
+        scored = scored.dropDuplicates(["idx_a", "idx_b"])
+    return scored
