@@ -83,9 +83,20 @@ def main() -> int:
                     cwd=os.path.dirname(HERE),
                 )
                 rec["stdout"] = out.stdout.strip().splitlines()
-                got_measurement = any(
-                    "scaling_efficiency" in l for l in rec["stdout"]
-                )
+                # a VALID measurement only: the bench emits
+                # `"scaling_efficiency_1_to_4_executors": null` when
+                # every round tripped its superlinear>1.25
+                # contamination rule — that must not burn a fire
+                got_measurement = False
+                for l in rec["stdout"]:
+                    if "scaling_efficiency" in l:
+                        try:
+                            v = json.loads(l).get(
+                                "scaling_efficiency_1_to_4_executors")
+                            got_measurement = v is not None
+                        except ValueError:
+                            got_measurement = True
+                        break
                 # pair with a same-minute closing probe
                 rec["closing_probe"] = probe(args.probe_seconds)
             except Exception as e:  # noqa: BLE001
