@@ -532,8 +532,11 @@ def q_swap_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_date_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DateSimilarity over orders (§2.5; rows-only — stage 3 uses the
-    indel-ratio kernel, which DuckDB SQL cannot reproduce)."""
+    """DateSimilarity over orders, ALL three stages (§2.5). Hard oracle:
+    stage 3's indel-ratio is reproduced in pure DuckDB SQL by an LCS
+    recursive CTE (``_duckdb_lcs_chain`` — the kernel's cummax row
+    recurrence), so the full three-stage cascade is rows+schema+hash
+    checked (upgraded from rows-only in r5)."""
     from datamatch_spark import ColumnsIndex, DateSimilarity, ThresholdMatcher
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
@@ -633,8 +636,13 @@ def q_greedy_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jw_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaro-Winkler-scored dedup (§2.5 string kernels; rows-only —
-    the JW variant is not expressible in DuckDB SQL)."""
+    """Jaro-Winkler-scored dedup (§2.5 string kernels). Hard oracle:
+    the python-Levenshtein JW variant (phase-dependent window, greedy
+    matching, order-vs-rank transpositions, uncapped prefix) is
+    reproduced in pure DuckDB SQL by a recursive CTE whose state is the
+    matched-position list (``_duckdb_jw_chain``) — upgraded from
+    rows-only in r5. Transliteration is identity here (the corpus text
+    is ASCII; asserted by tests/test_entry.py)."""
     from datamatch_spark import ColumnsIndex, JaroWinklerSimilarity, ThresholdMatcher
 
     docs = _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 40))
@@ -1049,6 +1057,123 @@ def _duckdb_soundex(col: str) -> str:
         f"THEN substr({first} || {digits} || '000', 1, 4) "
         f"ELSE {col} END"
     )
+
+
+def _duckdb_jw_chain() -> str:
+    """python-Levenshtein-style Jaro-Winkler as DuckDB recursive-CTE
+    fragments (the exact algorithm of ``kernels.jaro_winkler_batch``:
+    phase-dependent matching window, greedy first-unmatched-position
+    match, order-vs-rank transposition count, UNCAPPED common prefix,
+    p=0.1). Expects a prior CTE ``jw_cand(idx_a, idx_b, s_a, s_b)``
+    inside a ``WITH RECURSIVE``; emits CTEs ending in
+    ``jw_scored(idx_a, idx_b, jw)``. The greedy state is the list of
+    matched s1 positions in match order: m = len(ord);
+    t = |{k : ord[k] != sort(ord)[k]}| — identical to the kernel's
+    order-vs-rank bookkeeping. Validated bit-identical (after round 6)
+    to the kernel on all 1,621 sf0.01 candidate pairs."""
+    return """
+jw_prep AS (
+  SELECT idx_a, idx_b, s_a, s_b,
+    CASE WHEN len(s_a) <= len(s_b) THEN s_a ELSE s_b END AS s1,
+    CASE WHEN len(s_a) <= len(s_b) THEN s_b ELSE s_a END AS s2,
+    least(len(s_a), len(s_b)) AS l1,
+    greatest(len(s_a), len(s_b)) AS l2,
+    (least(len(s_a), len(s_b)) + 1) // 2 AS halflen,
+    least(greatest(len(s_a), len(s_b)),
+          least(len(s_a), len(s_b))
+          + (least(len(s_a), len(s_b)) + 1) // 2) AS bound
+  FROM jw_cand
+),
+jw_greedy AS (
+  SELECT idx_a, idx_b, s1, s2, l1, l2, halflen, bound,
+         0 AS i, CAST([] AS INTEGER[]) AS ord
+  FROM jw_prep
+  UNION ALL
+  SELECT idx_a, idx_b, s1, s2, l1, l2, halflen, bound, i + 1,
+         CASE WHEN fj IS NULL THEN ord ELSE list_append(ord, fj) END
+  FROM (
+    SELECT g.*,
+      list_min(list_filter(
+        range(CASE WHEN g.i < g.halflen THEN 0 ELSE g.i - g.halflen END,
+              (CASE WHEN g.i < g.halflen
+                    THEN least(g.i + g.halflen, g.l1 - 1)
+                    ELSE g.l1 - 1 END) + 1),
+        j -> substr(g.s1, j + 1, 1) = substr(g.s2, g.i + 1, 1)
+             AND NOT list_contains(g.ord, j)
+      )) AS fj
+    FROM jw_greedy g
+    WHERE g.i < g.bound
+  )
+),
+jw_final AS (
+  SELECT idx_a, idx_b, s1, s2, l1, l2, ord,
+         len(ord) AS m, list_sort(ord) AS sord
+  FROM jw_greedy WHERE i = bound
+),
+jw_jaro AS (
+  SELECT idx_a, idx_b, s1, s2, l1, l2, m,
+    CASE WHEN m > 0 THEN
+      len(list_filter(range(1, m + 1), k -> ord[k] != sord[k]))
+    ELSE 0 END AS t
+  FROM jw_final
+),
+jw_parts AS (
+  SELECT idx_a, idx_b, l1, l2,
+    CASE WHEN m > 0 THEN
+      (m / CAST(l1 AS DOUBLE) + m / CAST(l2 AS DOUBLE)
+       + 1.0 - t / (2.0 * m)) / 3.0
+    ELSE 0.0 END AS jscore,
+    coalesce(
+      list_min(list_filter(range(1, l1 + 1),
+        k -> substr(s1, k, 1) != substr(s2, k, 1))) - 1,
+      l1) AS p
+  FROM jw_jaro
+),
+jw_scored AS (
+  -- both-empty pairs score 1.0 (kernel's explicit special case)
+  SELECT idx_a, idx_b,
+    CASE WHEN l1 = 0 AND l2 = 0 THEN 1.0
+         ELSE least(1.0, jscore + 0.1 * p * (1.0 - jscore)) END AS jw
+  FROM jw_parts
+)"""
+
+
+def _duckdb_lcs_chain() -> str:
+    """Indel-Levenshtein ratio (2*LCS/(la+lb)) as DuckDB recursive-CTE
+    fragments — the exact cummax row recurrence of
+    ``kernels.lev_ratio_batch``. Expects a prior CTE
+    ``lcs_in(idx_a, idx_b, fa, fb)``; emits
+    ``lcs_out(idx_a, idx_b, ratio)``. Per step i the DP row over fb
+    prefixes is cand[j] = max(prev[j-1]+eq, prev[j]) followed by a
+    cumulative max (valid because LCS rows are nondecreasing)."""
+    return """
+lcs_len AS (
+  SELECT idx_a, idx_b, fa, fb, len(fa) AS la, len(fb) AS lb FROM lcs_in
+),
+lcs_rec AS (
+  SELECT idx_a, idx_b, fa, fb, la, lb, 0 AS i,
+         list_transform(range(0, lb + 1), x -> 0) AS prev
+  FROM lcs_len
+  UNION ALL
+  SELECT idx_a, idx_b, fa, fb, la, lb, i + 1,
+    list_concat([0], list_transform(range(1, lb + 1),
+      j -> list_max(list_slice(cand, 1, j))))
+  FROM (
+    SELECT r.*,
+      list_transform(range(1, r.lb + 1),
+        j -> greatest(
+          r.prev[j] + CASE WHEN substr(r.fa, r.i + 1, 1)
+                              = substr(r.fb, j, 1) THEN 1 ELSE 0 END,
+          r.prev[j + 1])) AS cand
+    FROM lcs_rec r WHERE r.i < r.la
+  )
+),
+lcs_out AS (
+  SELECT idx_a, idx_b,
+    CASE WHEN la + lb > 0
+         THEN 2.0 * prev[lb + 1] / (la + lb) ELSE 1.0 END AS ratio
+  FROM lcs_rec WHERE i = la
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1588,6 +1713,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.idx_a, r.idx_b, round(r.sim_score, 6) AS sim_score
             FROM ranked r JOIN g ON r.rn = g.rn
             WHERE r.sim_score BETWEEN 0.5 AND 1.0
+        """,
+        "jw_dedup_pairs": f"""
+            WITH RECURSIVE
+            jw_cand AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     substr(a.text, 1, 40) AS s_a, substr(b.text, 1, 40) AS s_b
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            ),
+            {_duckdb_jw_chain()}
+            SELECT idx_a, idx_b, round(jw, 6) AS sim_score
+            FROM jw_scored
+            WHERE jw >= 0.75 AND jw <= 1.0
+        """,
+        "date_scored_pairs": f"""
+            WITH RECURSIVE
+            o AS (
+              SELECT o_orderkey, o_orderpriority, o_custkey,
+                     CAST(o_orderdate AS DATE) AS odate
+              FROM orders
+            ),
+            dcand AS (
+              SELECT a.o_orderkey AS idx_a, b.o_orderkey AS idx_b,
+                     a.odate AS da, b.odate AS db
+              FROM o a JOIN o b
+                ON a.o_orderpriority = b.o_orderpriority
+               AND a.o_custkey = b.o_custkey
+               AND a.o_orderkey < b.o_orderkey
+            ),
+            staged AS (
+              SELECT idx_a, idx_b,
+                abs(datediff('day', da, db)) AS days,
+                (year(da) = year(db)) AS same_year,
+                (month(da) = day(db) AND day(da) = month(db)) AS st2,
+                (year(da) = year(db) AND day(da) = day(db)) AS st3,
+                strftime(da, '%Y%m%d') AS fa,
+                strftime(db, '%Y%m%d') AS fb
+              FROM dcand
+            ),
+            lcs_in AS (
+              SELECT idx_a, idx_b, fa, fb FROM staged
+              WHERE days >= 30 AND NOT st2 AND st3
+            ),
+            {_duckdb_lcs_chain()},
+            scored AS (
+              SELECT s.idx_a, s.idx_b,
+                CASE
+                  WHEN s.days < 30 THEN 1.0 - s.days / 30.0
+                  WHEN s.same_year AND s.st2 THEN 0.5
+                  WHEN s.st3 THEN coalesce(l.ratio, 0.0)
+                  ELSE 0.0
+                END AS sim_score
+              FROM staged s LEFT JOIN lcs_out l USING (idx_a, idx_b)
+            )
+            SELECT idx_a, idx_b, round(sim_score, 6) AS sim_score
+            FROM scored
+            WHERE sim_score >= 0.4 AND sim_score <= 1.0
         """,
         "date_scored_pairs_sql": """
             WITH p AS (

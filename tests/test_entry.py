@@ -159,3 +159,84 @@ def test_phonetic_query_deterministic_across_partitioning(spark):
     )
     got = {(r["idx_a"], r["idx_b"]) for r in rp.collect()}
     assert got == want and len(want) > 0
+
+
+def test_jw_oracle_precondition_ascii_corpus():
+    """``_duckdb_jw_chain`` scores RAW strings while the engine
+    transliterates first (``unidecode_ascii``): the jw_dedup_pairs
+    oracle is valid iff transliteration is identity on the corpus.
+    Pin that precondition so a testdata regeneration can't silently
+    invalidate the oracle."""
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet' "
+        r"WHERE text IS NULL OR regexp_matches(text, '[^\x00-\x7f]')"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def _duck_pairs(con, pairs):
+    con.execute("CREATE OR REPLACE TABLE tp (idx_a INT, idx_b INT, s_a VARCHAR, s_b VARCHAR)")
+    con.executemany(
+        "INSERT INTO tp VALUES (?, ?, ?, ?)",
+        [(i, i, a, b) for i, (a, b) in enumerate(pairs)],
+    )
+
+
+ADVERSARIAL_PAIRS = [
+    ("", ""), ("", "abc"), ("abc", ""), ("a", "a"), ("a", "b"),
+    ("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
+    ("dwayne", "duane"), ("aaaaa", "aaaaa"), ("aaaaa", "aabaa"),
+    ("ab", "ba"), ("abcd", "dcba"), ("abcde", "edcba"),
+    ("xxxxxxxxxxyyyyyyyyyy", "yyyyyyyyyyxxxxxxxxxx"),
+    ("prefixmatch_long_tail_aaaa", "prefixmatch_long_tail_bbbb"),
+    ("the same exact forty char string here!!", "the same exact forty char string here!!"),
+    ("transposed pairs ab cd", "transposed pairs ba dc"),
+    ("short", "a much longer counterpart string"),
+    ("zzz", "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    ("19990212", "19991202"), ("20000101", "20001001"),
+    ("repeated e everywhere eeeee", "eeeee everywhere repeated e"),
+]
+
+
+def test_duckdb_jw_chain_matches_kernel_on_adversarial_pairs():
+    """The recursive-CTE JW must equal ``kernels.jaro_winkler_batch``
+    (the python-Levenshtein algorithm) on constructed hard cases:
+    transpositions, reversals, equal-length ties (s1 stays the A side),
+    big length skews, repeated characters, empties."""
+    from datamatch_spark import kernels
+
+    con = duckdb.connect()
+    _duck_pairs(con, ADVERSARIAL_PAIRS)
+    sql = (
+        "WITH RECURSIVE jw_cand AS (SELECT * FROM tp),"
+        + entry_mod._duckdb_jw_chain()
+        + " SELECT idx_a, jw FROM jw_scored ORDER BY idx_a"
+    )
+    got = dict(con.sql(sql).fetchall())
+    ker = kernels.jaro_winkler_batch(
+        [a for a, _ in ADVERSARIAL_PAIRS], [b for _, b in ADVERSARIAL_PAIRS], 0.1
+    )
+    for i, want in enumerate(ker):
+        assert abs(got[i] - float(want)) < 1e-12, (ADVERSARIAL_PAIRS[i], got[i], want)
+
+
+def test_duckdb_lcs_chain_matches_kernel_on_adversarial_pairs():
+    """The recursive-CTE indel ratio must equal
+    ``kernels.lev_ratio_batch`` on the same constructed cases."""
+    from datamatch_spark import kernels
+
+    con = duckdb.connect()
+    _duck_pairs(con, ADVERSARIAL_PAIRS)
+    sql = (
+        "WITH RECURSIVE lcs_in AS "
+        "(SELECT idx_a, idx_b, s_a AS fa, s_b AS fb FROM tp),"
+        + entry_mod._duckdb_lcs_chain()
+        + " SELECT idx_a, ratio FROM lcs_out ORDER BY idx_a"
+    )
+    got = dict(con.sql(sql).fetchall())
+    ker = kernels.lev_ratio_batch(
+        [a for a, _ in ADVERSARIAL_PAIRS], [b for _, b in ADVERSARIAL_PAIRS]
+    )
+    for i, want in enumerate(ker):
+        assert abs(got[i] - float(want)) < 1e-12, (ADVERSARIAL_PAIRS[i], got[i], want)
