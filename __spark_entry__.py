@@ -735,6 +735,20 @@ def q_swap_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighted-cosine similarity self-join (AllPairs-style
+    prefix filtering; extras/tfidf.py). Hard oracle: deterministic
+    float64 pipeline (single-space tokens, smoothed idf, L2 norm,
+    exact dot) reproduced verbatim in DuckDB SQL; the prefix filter is
+    recall-lossless so the oracle needs no pruning logic at all."""
+    from datamatch_spark.extras.tfidf import tfidf_cosine_pairs
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_cosine_pairs(docs, "doc_id", threshold=0.8).select(
+        "idx_a", "idx_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.text import with_token_count
 
@@ -1008,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jw_dedup_pairs": q_jw_dedup_pairs,
         "spans_corpus_clusters": q_spans_corpus_clusters,
         "swap_match": q_swap_match,
+        "tfidf_pairs": q_tfidf_pairs,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "quality": q_quality,
@@ -1808,6 +1823,46 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE abs(a.n_chars - b.n_chars) < 50
               AND (1.0 - abs(a.n_chars - b.n_chars) / 50.0) >= 0.8
+        """,
+        "tfidf_pairs": """
+            WITH toks AS (
+              SELECT doc_id, u.t AS term
+              FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
+              WHERE u.t != '' AND doc_id IS NOT NULL
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+              FROM toks GROUP BY 1, 2
+            ),
+            n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n
+              FROM documents WHERE doc_id IS NOT NULL
+            ),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ),
+            w AS (
+              SELECT doc_id, term,
+                     tf * (ln((1.0 + n.n) / (1.0 + df)) + 1.0) AS w_raw
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            nrm AS (
+              SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS nn
+              FROM w GROUP BY 1
+            ),
+            u AS (
+              SELECT w.doc_id, term, w_raw / nn AS w
+              FROM w JOIN nrm USING (doc_id)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     sum(a.w * b.w) AS cosine
+              FROM u a JOIN u b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT idx_a, idx_b, round(cosine, 6) AS cosine
+            FROM pairs WHERE cosine >= 0.8
         """,
         "token_count": """
             SELECT doc_id,
