@@ -658,6 +658,127 @@ def q_jw_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jw_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL dedup composition under one hard oracle (§2.5 + §2.8):
+    JW kernel scoring -> inclusive threshold slice -> connected
+    components -> greedy clique split -> (cluster_rep, member). The
+    oracle chains ``_duckdb_jw_chain`` into
+    ``_duckdb_greedy_clique_chain`` — the first rows+schema+hash check
+    of the clique-split stage on NON-clique components (threshold 0.70
+    gives 15 of them here; ``cluster_exact``'s exact-key components are
+    always cliques so its oracle never exercised the split)."""
+    from datamatch_spark import ColumnsIndex, JaroWinklerSimilarity, ThresholdMatcher
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 40))
+    m = ThresholdMatcher(
+        ColumnsIndex(["lang", "source"]),
+        {"prefix": JaroWinklerSimilarity()},
+        docs,
+        row_key="doc_id",
+        validate=False,
+    )
+    asg = m.get_cluster_assignments(0.70, 1.0)
+    w = Window.partitionBy("cluster_id")
+    return asg.select(
+        F.min("row_key").over(w).alias("cluster_rep"),
+        F.col("row_key").alias("doc_id"),
+    )
+
+
+def q_spans_matcher_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition under a HARD oracle: interleaved
+    (doc_id, spans) input -> span-kind field projection -> THREE-sim
+    matcher (JW last + JW first + DateSimilarity dob, SimSumScorer
+    RMS) -> inclusive threshold slice -> connected components ->
+    greedy clique split -> (cluster_rep, doc_id). The spans array is
+    built deterministically from ``documents.parquet`` with
+    SQL-expressible transforms so DuckDB can reconstruct the same
+    fields; the oracle chains ``_duckdb_jw_chain`` (both name fields
+    in one pass via +1e8 pair-id offsetting), the 3-stage date logic
+    + ``_duckdb_lcs_chain``, RMS, and
+    ``_duckdb_greedy_clique_chain``. Unlike ``jw_clusters`` (single
+    sim), this value-checks the multi-similarity RMS composition and
+    the BASELINE.json input shape end-to-end."""
+    from datamatch_spark import (
+        ColumnsIndex,
+        DateSimilarity,
+        JaroWinklerSimilarity,
+        ThresholdMatcher,
+    )
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, 18).alias("lastn"),
+        F.substring("text", 20, 10).alias("firstn"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            ((F.col("doc_id") * 13) % 700).cast("int"),
+        ).alias("dob"),
+    )
+    nul = F.lit(None).cast("string")
+    spans_docs = base.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("name").alias("kind"),
+                F.concat_ws("|", "lastn", "firstn").alias("text"),
+                nul.alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("meta").alias("kind"),
+                F.concat_ws(":", "lang", "source").alias("text"),
+                nul.alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("dob").alias("kind"),
+                F.col("dob").cast("string").alias("text"),
+                nul.alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                nul.alias("text"),
+                F.concat(F.lit("img://"), F.col("doc_id")).alias("media_ref"),
+                F.lit(3).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    name = F.expr("filter(spans, s -> s.kind = 'name')[0].text")
+    meta = F.expr("filter(spans, s -> s.kind = 'meta')[0].text")
+    fields = spans_docs.select(
+        "doc_id",
+        F.split(name, "\\|", 2).getItem(0).alias("lastn"),
+        F.split(name, "\\|", 2).getItem(1).alias("firstn"),
+        F.split(meta, ":", 2).getItem(0).alias("lang"),
+        F.split(meta, ":", 2).getItem(1).alias("source"),
+        F.to_date(F.expr("filter(spans, s -> s.kind = 'dob')[0].text")).alias("dob"),
+    )
+    m = ThresholdMatcher(
+        ColumnsIndex(["lang", "source"]),
+        {
+            "lastn": JaroWinklerSimilarity(),
+            "firstn": JaroWinklerSimilarity(),
+            "dob": DateSimilarity(),
+        },
+        fields,
+        row_key="doc_id",
+        validate=False,
+    )
+    asg = m.get_cluster_assignments(0.60, 1.0)
+    w = Window.partitionBy("cluster_id")
+    return asg.select(
+        F.min("row_key").over(w).alias("cluster_rep"),
+        F.col("row_key").alias("doc_id"),
+    )
+
+
 def q_spans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: interleaved (doc_id, spans) corpus -> field projection
     -> JW+date matcher -> cluster assignments (rows-only; exercises the
@@ -1020,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision": q_decision,
         "greedy_one_to_one": q_greedy_one_to_one,
         "jw_dedup_pairs": q_jw_dedup_pairs,
+        "jw_clusters": q_jw_clusters,
+        "spans_matcher_clusters": q_spans_matcher_clusters,
         "spans_corpus_clusters": q_spans_corpus_clusters,
         "swap_match": q_swap_match,
         "tfidf_pairs": q_tfidf_pairs,
@@ -1188,6 +1311,99 @@ lcs_out AS (
     CASE WHEN la + lb > 0
          THEN 2.0 * prev[lb + 1] / (la + lb) ELSE 1.0 END AS ratio
   FROM lcs_rec WHERE i = la
+)"""
+
+
+def _duckdb_greedy_clique_chain() -> str:
+    """The engine's greedy clique split (``clustering._greedy_cliques``:
+    seeds ascending, LIFO stack, neighbors ascending, add a neighbor
+    only when adjacent to EVERY current member, emit clusters of
+    size > 1) as DuckDB recursive-CTE fragments. Expects a prior CTE
+    ``edges(idx_a, idx_b)``; emits ``cliq(cluster_rep, doc_id)`` with
+    ``cluster_rep = min(member)``.
+
+    The walk is one sequential fold, so the CTE evolves a SINGLE state
+    row (clustered set, current cluster, stack, closed clusters); each
+    recursion step pops one stack node and folds its sorted neighbor
+    list with ``list_reduce`` (the one list accumulator is the growing
+    cluster — DuckDB 1.0's list_reduce mis-threads STRUCT accumulators
+    AND any lambda branch that returns ``acc`` unchanged, so the
+    clustered-check decomposes into the fixed row-start set plus the
+    accumulator, and the reject branch appends a NULL sentinel —
+    ``list_contains`` stays FALSE-not-NULL and ``list_has_all``
+    ignores NULL needles — stripped by a final ``list_filter``). Running the greedy globally equals the engine's
+    per-component runs: a seed's walk can only reach its own component.
+    Validated row-identical to ``_greedy_cliques`` on the sf0.01 JW
+    graph (15 non-clique components) and on constructed graphs
+    (tests/test_entry.py)."""
+    return """
+adj_pairs AS (
+  SELECT idx_a AS n, idx_b AS nb FROM edges
+  UNION ALL
+  SELECT idx_b AS n, idx_a AS nb FROM edges
+),
+adj AS (
+  SELECT n, list_sort(list(nb)) AS nbrs FROM adj_pairs GROUP BY n
+),
+gg AS (
+  SELECT map_from_entries(list({'k': n, 'v': nbrs})) AS amap,
+         list_sort(list(n)) AS seeds
+  FROM adj
+),
+walk AS (
+  SELECT 0 AS i, FALSE AS done,
+         CAST([] AS BIGINT[]) AS clustered,
+         CAST([] AS BIGINT[]) AS cluster,
+         CAST([] AS BIGINT[]) AS stack,
+         CAST([] AS BIGINT[][]) AS outcl
+  UNION ALL
+  SELECT i + 1,
+    CASE WHEN stk_empty THEN nxt IS NULL ELSE FALSE END AS done,
+    CASE WHEN stk_empty
+         THEN CASE WHEN nxt IS NULL THEN clustered
+                   ELSE list_append(clustered, nxt) END
+         ELSE list_concat(clustered, added) END AS clustered,
+    CASE WHEN stk_empty
+         THEN CASE WHEN nxt IS NULL THEN CAST([] AS BIGINT[])
+                   ELSE [nxt] END
+         ELSE cl_end END AS cluster,
+    CASE WHEN stk_empty
+         THEN CASE WHEN nxt IS NULL THEN CAST([] AS BIGINT[])
+                   ELSE [nxt] END
+         ELSE list_concat(rest, added) END AS stack,
+    CASE WHEN stk_empty THEN closed ELSE outcl END AS outcl
+  FROM (
+    SELECT w.*,
+      len(w.stack) = 0 AS stk_empty,
+      CASE WHEN len(w.cluster) > 1 THEN list_append(w.outcl, w.cluster)
+           ELSE w.outcl END AS closed,
+      list_min(list_filter(gg.seeds,
+        s -> NOT list_contains(w.clustered, s))) AS nxt,
+      list_slice(w.stack, 1, len(w.stack) - 1) AS rest,
+      CASE WHEN len(w.stack) > 0 THEN
+        list_filter(list_reduce(
+          [w.cluster] || list_transform(
+            map_extract(gg.amap, w.stack[-1])[1], nb -> [nb]),
+          (acc, x) -> CASE
+            WHEN NOT list_contains(w.clustered, x[1])
+                 AND NOT list_contains(acc, x[1])
+                 AND list_has_all(map_extract(gg.amap, x[1])[1], acc)
+            THEN list_append(acc, x[1])
+            ELSE list_append(acc, NULL) END), e -> e IS NOT NULL)
+      ELSE CAST([] AS BIGINT[]) END AS cl_end
+    FROM walk w, gg
+    WHERE NOT w.done
+  ) step(i, done, clustered, cluster, stack, outcl,
+         stk_empty, closed, nxt, rest, cl_end),
+  LATERAL (
+    SELECT list_slice(cl_end, len(cluster) + 1, len(cl_end)) AS added
+  ) d
+),
+clusters AS (
+  SELECT unnest(outcl) AS cl FROM walk WHERE done
+),
+cliq AS (
+  SELECT list_min(cl) AS cluster_rep, unnest(cl) AS doc_id FROM clusters
 )"""
 
 
@@ -1742,6 +1958,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT idx_a, idx_b, round(jw, 6) AS sim_score
             FROM jw_scored
             WHERE jw >= 0.75 AND jw <= 1.0
+        """,
+        "jw_clusters": f"""
+            WITH RECURSIVE
+            jw_cand AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     substr(a.text, 1, 40) AS s_a, substr(b.text, 1, 40) AS s_b
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            ),
+            {_duckdb_jw_chain()},
+            edges AS (
+              SELECT idx_a, idx_b FROM jw_scored
+              WHERE jw >= 0.70 AND jw <= 1.0
+            ),
+            {_duckdb_greedy_clique_chain()}
+            SELECT cluster_rep, doc_id FROM cliq
+        """,
+        "spans_matcher_clusters": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id, lang, source,
+                     substr(text, 1, 18) AS lastn,
+                     substr(text, 20, 10) AS firstn,
+                     DATE '1995-01-01'
+                       + CAST((doc_id * 13) % 700 AS INT) AS dob
+              FROM documents
+            ),
+            cand AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     a.lastn AS al, b.lastn AS bl,
+                     a.firstn AS af, b.firstn AS bf,
+                     a.dob AS da, b.dob AS db
+              FROM base a JOIN base b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id
+            ),
+            jw_cand AS (
+              SELECT idx_a, idx_b, al AS s_a, bl AS s_b FROM cand
+              UNION ALL
+              SELECT idx_a + 100000000, idx_b + 100000000,
+                     af AS s_a, bf AS s_b FROM cand
+            ),
+            {_duckdb_jw_chain()},
+            jwboth AS (
+              SELECT
+                CASE WHEN idx_a >= 100000000
+                     THEN idx_a - 100000000 ELSE idx_a END AS idx_a,
+                CASE WHEN idx_b >= 100000000
+                     THEN idx_b - 100000000 ELSE idx_b END AS idx_b,
+                max(CASE WHEN idx_a < 100000000 THEN jw END) AS jw_last,
+                max(CASE WHEN idx_a >= 100000000 THEN jw END) AS jw_first
+              FROM jw_scored GROUP BY 1, 2
+            ),
+            staged AS (
+              SELECT idx_a, idx_b,
+                abs(datediff('day', da, db)) AS days,
+                (year(da) = year(db)) AS same_year,
+                (month(da) = day(db) AND day(da) = month(db)) AS st2,
+                (year(da) = year(db) AND day(da) = day(db)) AS st3,
+                strftime(da, '%Y%m%d') AS fa,
+                strftime(db, '%Y%m%d') AS fb
+              FROM cand
+            ),
+            lcs_in AS (
+              SELECT idx_a, idx_b, fa, fb FROM staged
+              WHERE days >= 30 AND NOT st2 AND st3
+            ),
+            {_duckdb_lcs_chain()},
+            datesim AS (
+              SELECT s.idx_a, s.idx_b,
+                CASE
+                  WHEN s.days < 30 THEN 1.0 - s.days / 30.0
+                  WHEN s.same_year AND s.st2 THEN 0.5
+                  WHEN s.st3 THEN coalesce(l.ratio, 0.0)
+                  ELSE 0.0
+                END AS dsim
+              FROM staged s LEFT JOIN lcs_out l USING (idx_a, idx_b)
+            ),
+            edges AS (
+              SELECT j.idx_a, j.idx_b
+              FROM jwboth j JOIN datesim d
+                ON j.idx_a = d.idx_a AND j.idx_b = d.idx_b
+              WHERE sqrt((j.jw_last * j.jw_last + j.jw_first * j.jw_first
+                          + d.dsim * d.dsim) / 3) BETWEEN 0.60 AND 1.0
+            ),
+            {_duckdb_greedy_clique_chain()}
+            SELECT cluster_rep, doc_id FROM cliq
         """,
         "date_scored_pairs": f"""
             WITH RECURSIVE

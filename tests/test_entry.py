@@ -240,3 +240,60 @@ def test_duckdb_lcs_chain_matches_kernel_on_adversarial_pairs():
     )
     for i, want in enumerate(ker):
         assert abs(got[i] - float(want)) < 1e-12, (ADVERSARIAL_PAIRS[i], got[i], want)
+
+
+def _clique_chain_rows(con, edges):
+    con.execute("CREATE OR REPLACE TABLE te (idx_a BIGINT, idx_b BIGINT)")
+    if edges:
+        con.executemany("INSERT INTO te VALUES (?, ?)", edges)
+    sql = (
+        "WITH RECURSIVE edges AS (SELECT idx_a, idx_b FROM te),"
+        + entry_mod._duckdb_greedy_clique_chain()
+        + " SELECT cluster_rep, doc_id FROM cliq"
+    )
+    return set(con.sql(sql).fetchall())
+
+
+def test_duckdb_greedy_clique_chain_matches_engine_on_constructed_graphs():
+    """The recursive-CTE greedy clique split must reproduce
+    ``clustering._greedy_cliques`` (seeds ascending, LIFO stack,
+    neighbors ascending, adjacent-to-all acceptance) exactly on graphs
+    where the greedy ORDER matters: paths, stars, diamonds, bowties,
+    barbells, plus a seeded random battery."""
+    import random
+
+    from datamatch_spark.clustering import _greedy_cliques
+
+    graphs = [
+        [],  # empty
+        [(1, 2)],  # single edge
+        [(1, 2), (2, 3)],  # path: split depends on walk order
+        [(1, 2), (2, 3), (3, 4), (4, 5)],  # longer path
+        [(1, 2), (1, 3), (1, 4), (1, 5)],  # star
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5)],  # bowtie at 3
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],  # diamond + chord
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],  # barbell
+        [(10, 2), (2, 30), (30, 10), (7, 8)],  # unsorted ids, 2 comps
+    ]
+    rng = random.Random(42)
+    for _ in range(12):
+        n = rng.randint(4, 14)
+        m = rng.randint(n - 1, min(n * (n - 1) // 2, 3 * n))
+        es = set()
+        while len(es) < m:
+            a, b = rng.sample(range(n), 2)
+            es.add((min(a, b), max(a, b)))
+        graphs.append(sorted(es))
+
+    con = duckdb.connect()
+    for edges in graphs:
+        adjacency = {}
+        for a, b in edges:
+            adjacency.setdefault(a, set()).add(b)
+            adjacency.setdefault(b, set()).add(a)
+        want = set()
+        for members in _greedy_cliques(adjacency.keys(), adjacency):
+            rep = min(members)
+            want |= {(rep, m) for m in members}
+        got = _clique_chain_rows(con, edges)
+        assert got == want, (edges, sorted(got), sorted(want))
