@@ -870,6 +870,38 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag train
+    docs sharing any 5-token-gram with a held-out eval set (here the
+    deterministic doc_id %% 20 == 0 slice). Broadcast eval grams, one
+    narrow groupBy — the 100 TB shape (extras/decontam.py). Hard
+    oracle: the hash_grams=True engine path must produce counts
+    identical to DuckDB's gram-STRING join (collision-free check)."""
+    from datamatch_spark.extras.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        n=5,
+    )
+
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-8-gram fraction per document (the
+    Gopher/RefinedWeb duplicate-text-fraction signal): inverted-index
+    aggregate, df>1 filter BEFORE the join back
+    (extras/decontam.py)."""
+    from datamatch_spark.extras.decontam import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(spark, sf_dir), n=8).select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.text import with_token_count
 
@@ -1146,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_corpus_clusters": q_spans_corpus_clusters,
         "swap_match": q_swap_match,
         "tfidf_pairs": q_tfidf_pairs,
+        "decontaminate": q_decontaminate,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "quality": q_quality,
@@ -2167,6 +2201,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT idx_a, idx_b, round(cosine, 6) AS cosine
             FROM pairs WHERE cosine >= 0.8
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[j.j : j.j + 4], ' ') AS gram
+              FROM toks, LATERAL UNNEST(range(1, len(t) - 3)) AS j(j)
+              WHERE len(t) >= 5
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+            hits AS (
+              SELECT doc_id, count(*) AS n FROM tr
+              JOIN ev USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n, 0) AS n_contaminated_ngrams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "dup_ngram_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[j.j : j.j + 7], ' ') AS gram
+              FROM toks, LATERAL UNNEST(range(1, len(t) - 6)) AS j(j)
+              WHERE len(t) >= 8
+            ),
+            dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            dup AS (
+              SELECT doc_id, count(*) AS n_dup_grams FROM g
+              JOIN dupg USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(t.n_grams, 0) AS n_grams,
+                   coalesce(u.n_dup_grams, 0) AS n_dup_grams,
+                   round(CASE WHEN coalesce(t.n_grams, 0) > 0
+                         THEN coalesce(u.n_dup_grams, 0)
+                              / CAST(t.n_grams AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_fraction
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN dup u USING (doc_id)
         """,
         "token_count": """
             SELECT doc_id,

@@ -1,0 +1,136 @@
+"""Corpus-hygiene operators for training-data pipelines:
+benchmark decontamination and corpus-wide duplicated-n-gram metrics.
+
+Both operate on a documents table (id + single-space-tokenized text)
+and are expressed as pure Column pipelines — explode / broadcast-join /
+partial-aggregate — with no Python in the hot path.
+
+Scale story (100 TB corpus):
+
+- ``decontaminate``: the eval/benchmark side is small by construction
+  (benchmarks are thousands of documents, not billions), so its
+  distinct-n-gram set is broadcast; the exploded train side never
+  shuffles its gram strings — the only wide exchange is the final
+  ``groupBy(id)`` over (id, partial-count) rows with map-side combine.
+  With ``hash_grams=True`` (default) grams travel as xxhash64 longs,
+  so the broadcast table is 8 bytes/gram.
+- ``dup_ngram_stats``: the inverted-index shape — explode distinct
+  grams, count docs per gram (map-side combine), keep grams with
+  df > 1 (a tiny minority in real corpora), then a semi-join back and
+  a per-doc count. Gram keys are 8-byte hashes; the df > 1 filter
+  happens BEFORE the join so the join's build side carries only
+  duplicated grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_expr
+
+__all__ = ["decontaminate", "dup_ngram_stats"]
+
+
+def _gram_col(text_col: str, n: int, hash_grams: bool) -> Column:
+    g = shingles_expr(text_col, n)
+    if hash_grams:
+        return F.transform(g, lambda x: F.xxhash64(x))
+    return g
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hash_grams: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any token ``n``-gram with an
+    evaluation/benchmark set (GPT-3 appendix-C-style decontamination).
+
+    Returns ``train``'s (id) plus ``n_contaminated_ngrams`` (count of
+    DISTINCT train-doc n-grams that appear anywhere in ``eval_df``)
+    and boolean ``contaminated``. Every train row is preserved
+    (left join), so the output can drive either a filter or an audit.
+
+    ``hash_grams=True`` ships xxhash64(gram) longs instead of strings
+    (identical results absent 64-bit collisions; the driver oracle
+    cross-checks the string path at small scale).
+    """
+    eval_grams = (
+        eval_df.select(F.explode(_gram_col(text_col, n, hash_grams)).alias("gram"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    train_grams = train.select(
+        F.col(id_col), F.explode(_gram_col(text_col, n, hash_grams)).alias("gram")
+    )
+    hits = (
+        train_grams.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction measured CORPUS-WIDE
+    (the Gopher/RefinedWeb "duplicate text fraction" signal): for each
+    document, the share of its distinct token ``n``-grams that also
+    occur in at least one OTHER document.
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction); documents with
+    fewer than ``n`` tokens get (0, 0, 0.0).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(_gram_col(text_col, n, hash_grams)).alias("gram")
+    )
+    # shingles_expr output is already distinct per doc, so count(*)
+    # per gram == distinct-document frequency
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > 1)
+        .select("gram")
+    )
+    per_doc_dup = grams.join(dup, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_dup_grams")
+    )
+    per_doc_tot = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        df.select(id_col)
+        .join(per_doc_tot, id_col, "left")
+        .join(per_doc_dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

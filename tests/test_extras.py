@@ -663,3 +663,89 @@ def test_decode_ppm_malformed_headers_raise_cleanly():
         M._decode_ppm(b"P6\n640 ", 16)
     with _pytest.raises(ValueError, match="unterminated header comment"):
         M._decode_ppm(b"P6\n# comment", 16)
+
+
+# ---------- decontamination / duplicated-n-gram stats ----------
+
+
+def _hygiene_docs(spark):
+    rows = [
+        (0, "a b c d e f g h"),          # 8 tokens
+        (1, "a b c d e f g h"),          # exact dup of 0
+        (2, "x y z a b c d e f w"),      # shares 5-grams with 0/1
+        (3, "p q r s"),                  # shorter than n=5: no grams
+        (4, "unique tokens only here never repeated anywhere at all"),
+        (5, ""),                         # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_and_counts(spark):
+    from datamatch_spark.extras.decontam import decontaminate
+
+    docs = _hygiene_docs(spark)
+    out = decontaminate(
+        docs.where("doc_id > 0"),
+        docs.where("doc_id = 0"),
+        n=5,
+    )
+    got = {r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"]) for r in out.collect()}
+    # doc 1 is an exact dup: all 4 of its distinct 5-grams hit
+    # doc 2 shares exactly 'a b c d e' ... grams of 0: grams of 2 are
+    # [x y z a b, y z a b c, z a b c d, a b c d e, b c d e f, c d e f w];
+    # eval grams of 0 are [a b c d e, b c d e f, c d e f g, d e f g h]
+    assert got[1] == (4, True)
+    assert got[2] == (2, True)
+    assert got[3] == (0, False)   # too short for any gram
+    assert got[4] == (0, False)
+    assert got[5] == (0, False)
+    assert set(got) == {1, 2, 3, 4, 5}  # every train row preserved
+
+
+def test_decontaminate_hash_vs_string_grams_identical(spark):
+    from datamatch_spark.extras.decontam import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where("doc_id % 20 != 0")
+    ev = docs.where("doc_id % 20 = 0")
+    a = sorted(decontaminate(train, ev, n=5, hash_grams=True).collect())
+    b = sorted(decontaminate(train, ev, n=5, hash_grams=False).collect())
+    assert a == b and len(a) > 0
+
+
+def test_dup_ngram_stats_corpus_wide(spark):
+    from datamatch_spark.extras.decontam import dup_ngram_stats
+
+    docs = _hygiene_docs(spark)
+    out = dup_ngram_stats(docs, n=5)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], round(r["dup_fraction"], 6))
+        for r in out.collect()
+    }
+    # docs 0 and 1 are identical: all 4 grams duplicated
+    assert got[0] == (4, 4, 1.0)
+    assert got[1] == (4, 4, 1.0)
+    # doc 2: 6 grams, 2 shared with docs 0/1
+    assert got[2] == (6, 2, round(2 / 6, 6))
+    assert got[3] == (0, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+
+
+def test_dup_ngram_stats_hash_vs_string_identical(spark):
+    from datamatch_spark.extras.decontam import dup_ngram_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(dup_ngram_stats(docs, n=8, hash_grams=True).collect())
+    b = sorted(dup_ngram_stats(docs, n=8, hash_grams=False).collect())
+    assert a == b and len(a) > 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from datamatch_spark.extras.decontam import decontaminate
+
+    docs = _hygiene_docs(spark)
+    plan = decontaminate(
+        docs.where("doc_id > 0"), docs.where("doc_id = 0"), n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
