@@ -902,6 +902,25 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (extras/sampling.py):
+    per-language keep rates decided by content hash (md5 buckets), so
+    the kept set is identical on any partitioning/retry/engine — the
+    reproducibility property df.sample() lacks. Hard oracle: same md5
+    arithmetic in DuckDB."""
+    from datamatch_spark.extras.sampling import stratified_deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_deterministic_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "zh": 1.0},
+        default_fraction=0.1,
+        salt="r5",
+    ).select("doc_id", "lang")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.text import with_token_count
 
@@ -1180,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "decontaminate": q_decontaminate,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "stratified_sample": q_stratified_sample,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "quality": q_quality,
@@ -2250,6 +2270,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN dup u USING (doc_id)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(
+                    md5(concat_ws(chr(31), 'r5', CAST(doc_id AS VARCHAR))),
+                    1, 8) AS BIGINT) % 10000
+                  < CASE lang WHEN 'zh' THEN 10000 WHEN 'de' THEN 2500
+                              WHEN 'en' THEN 5000 ELSE 1000 END
         """,
         "token_count": """
             SELECT doc_id,

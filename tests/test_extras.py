@@ -749,3 +749,41 @@ def test_decontaminate_broadcasts_eval_side(spark):
         docs.where("doc_id > 0"), docs.where("doc_id = 0"), n=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from datamatch_spark.extras.sampling import deterministic_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), 0.3, "doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    # a different salt draws a genuinely different sample
+    c = sorted(
+        r["doc_id"] for r in deterministic_sample(docs, 0.3, "doc_id", salt="x").collect()
+    )
+    assert c != a
+
+
+def test_stratified_sample_rates_and_validation(spark):
+    import pytest as _pytest
+
+    from datamatch_spark.extras.sampling import (
+        deterministic_sample,
+        stratified_deterministic_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_deterministic_sample(
+        docs, "doc_id", "lang", {"en": 1.0}, default_fraction=0.0
+    )
+    got = {(r["doc_id"], r["lang"]) for r in out.select("doc_id", "lang").collect()}
+    want = {(r["doc_id"], r["lang"]) for r in docs.where("lang = 'en'").select("doc_id", "lang").collect()}
+    assert got == want  # fraction 1.0 keeps every row of the stratum, 0.0 none
+    with _pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5, "doc_id")
+    with _pytest.raises(ValueError):
+        stratified_deterministic_sample(docs, "doc_id", "lang", {"en": -0.1})
