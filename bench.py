@@ -17,6 +17,7 @@ Headline workloads:
 * lsh_ann        — LSH-bucketed approximate top-k (16 planes,
   multiprobe) over the same tiled embeddings.
 * text_pipeline  — token/quality/fingerprint/lang-id over tiled docs.
+* hygiene        — corpus-wide duplicated-8-gram stats, dup-heavy worst case.
 
 Self-evidencing on a noisy host (VERDICT r4): per-query times are
 MEDIANS of $SPARK_GRAFT_REPEATS (default 3) interleaved full passes —
@@ -325,6 +326,30 @@ def bench_text(spark, sf_dir: str, sf: float):
     return time.time() - t0, n
 
 
+def bench_hygiene(spark, sf_dir: str, sf: float):
+    """Corpus-wide duplicated-8-gram stats over the tiled corpus —
+    tiling makes every doc an exact dup, so the inverted-index join
+    back runs at its worst case (every gram df > 1, full O(grams)
+    join traffic)."""
+    from datamatch_spark.extras.decontam import dup_ngram_stats
+
+    tile = max(4, int(400 * sf))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
+        .select((F.col("doc_id") * tile + F.col("copy")).alias("doc_id"), "text")
+        .repartition(64)
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    n = (
+        dup_ngram_stats(big, n=8)
+        .where(F.col("dup_fraction") >= 1.0)
+        .count()
+    )
+    return time.time() - t0, n
+
+
 def _warmup(spark, sf_dir: str):
     """Miniature pre-runs of every pipeline: JVM whole-stage-codegen
     classes get generated + JIT-compiled and Python UDF workers spawn
@@ -426,6 +451,9 @@ def _run_suite(spark, sf_dir: str, sf: float, clear_rdd_cache) -> tuple[dict, di
     clear_rdd_cache()
     t_txt, n_txt = bench_text(spark, sf_dir, sf)
     times["text_pipeline"], counts["text_rows"] = t_txt, n_txt
+    clear_rdd_cache()
+    t_hy, n_hy = bench_hygiene(spark, sf_dir, sf)
+    times["hygiene"], counts["hygiene_dup_docs"] = t_hy, n_hy
     clear_rdd_cache()
     return times, counts
 
