@@ -873,7 +873,7 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C style): flag train
     docs sharing any 5-token-gram with a held-out eval set (here the
-    deterministic doc_id %% 20 == 0 slice). Broadcast eval grams, one
+    deterministic doc_id % 20 == 0 slice). Broadcast eval grams, one
     narrow groupBy — the 100 TB shape (extras/decontam.py). Hard
     oracle: the hash_grams=True engine path must produce counts
     identical to DuckDB's gram-STRING join (collision-free check)."""

@@ -297,3 +297,19 @@ def test_duckdb_greedy_clique_chain_matches_engine_on_constructed_graphs():
             want |= {(rep, m) for m in members}
         got = _clique_chain_rows(con, edges)
         assert got == want, (edges, sorted(got), sorted(want))
+
+
+def test_spans_matcher_oracle_precondition_no_separator_chars():
+    """``spans_matcher_clusters`` round-trips (lastn, firstn) through
+    ``concat_ws('|')`` + limit-2 split and (lang, source) through
+    ':' — valid iff neither separator occurs in the corpus text or
+    lang/source values. Pin it so a testdata regeneration can't
+    silently desync the Spark projection from the oracle's direct
+    field derivation."""
+    con = duckdb.connect()
+    n = con.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/documents.parquet'
+            WHERE text LIKE '%|%' OR lang LIKE '%|%' OR lang LIKE '%:%'
+               OR source LIKE '%|%' OR source LIKE '%:%'"""
+    ).fetchone()[0]
+    assert n == 0
