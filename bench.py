@@ -389,6 +389,9 @@ def _warmup(spark, sf_dir: str):
     minhash_lsh_pairs(docs, "doc_id", n=3, n_perm=64, threshold=0.9).count()
     out = with_lang_id(with_quality(with_fingerprint(with_token_count(docs))))
     out.where(F.col("quality_score") > 0).count()
+    from datamatch_spark.extras.decontam import dup_ngram_stats
+
+    dup_ngram_stats(docs, n=8).where(F.col("dup_fraction") >= 1.0).count()
 
 
 def _ceiling_probe(seconds: float = 2.0) -> dict:
@@ -654,6 +657,7 @@ def main():
         "semantic_kept": n_sd,
         "semantic_corpus_rows": counts["semantic_corpus_rows"],
         "text_rows": n_txt,
+        "hygiene_dup_docs": counts["hygiene_dup_docs"],
     }
     if sf1 is not None:
         result["sf1"] = sf1

@@ -32,11 +32,34 @@ from .dedup import shingles_expr
 __all__ = ["decontaminate", "dup_ngram_stats"]
 
 
+def _hashed_grams_expr(text_col: str, n: int) -> Column:
+    """Distinct n-gram hashes WITHOUT materializing gram strings:
+    tokens hashed once, each gram mixes its n token hashes via
+    multi-arg xxhash64 (same construction as dedup.with_shingle_hashes
+    — ~n x less string work, the hot path at corpus scale). NOTE this
+    hash differs from xxhash64(gram string); equality semantics are
+    identical absent 64-bit collisions, which is all the gram-set
+    operations here rely on."""
+    toks = f"transform(split({text_col}, ' '), t -> xxhash64(t))"
+    if n == 1:
+        return F.expr(f"array_distinct({toks})")
+    args = ", ".join(f"h[i + {j}]" for j in range(n))
+    # array(toks) + outer transform = a let-binding: the token-hash
+    # array is computed ONCE and bound as `h` for both the guard and
+    # the gram loop (plain SQL has no `let`, and a Column API caller
+    # can't add a two-step withColumn here)
+    return F.expr(
+        f"transform(array({toks}), h -> "
+        f"  case when size(h) < {n} then cast(array() as array<bigint>) "
+        f"  else array_distinct(transform(sequence(0, size(h) - {n}), "
+        f"    i -> xxhash64({args}))) end)[0]"
+    )
+
+
 def _gram_col(text_col: str, n: int, hash_grams: bool) -> Column:
-    g = shingles_expr(text_col, n)
     if hash_grams:
-        return F.transform(g, lambda x: F.xxhash64(x))
-    return g
+        return _hashed_grams_expr(text_col, n)
+    return shingles_expr(text_col, n)
 
 
 def decontaminate(
@@ -116,10 +139,14 @@ def dup_ngram_stats(
     per_doc_dup = grams.join(dup, "gram").groupBy(id_col).agg(
         F.count("*").alias("n_dup_grams")
     )
-    per_doc_tot = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # total = size of the (already distinct) gram array — a scan-side
+    # projection, NOT a third explode + corpus-wide aggregation
+    per_doc_tot = df.select(
+        F.col(id_col),
+        F.size(_gram_col(text_col, n, hash_grams)).alias("n_grams"),
+    )
     return (
-        df.select(id_col)
-        .join(per_doc_tot, id_col, "left")
+        per_doc_tot
         .join(per_doc_dup, id_col, "left")
         .select(
             id_col,

@@ -36,8 +36,14 @@ def deterministic_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    thr = int(fraction * _BUCKETS)
-    return df.where(_bucket(F.col(key_col), salt) < F.lit(thr))
+    # round, don't truncate: int(0.57 * 10000) is 5699 under binary
+    # floats, which would silently disagree with the documented rate
+    # and any external (e.g. SQL) reproduction writing `< 5700`
+    return df.where(_bucket(F.col(key_col), salt) < F.lit(_threshold(fraction)))
+
+
+def _threshold(fraction: float) -> int:
+    return int(round(fraction * _BUCKETS))
 
 
 def stratified_deterministic_sample(
@@ -58,10 +64,12 @@ def stratified_deterministic_sample(
             raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
-    thr: Column = F.lit(int(default_fraction * _BUCKETS))
+    # one flat CaseWhen (chained .when), not a nested tree per stratum
+    thr: Column | None = None
     for k in sorted(fractions):
-        thr = (
-            F.when(F.col(strata_col) == F.lit(k), F.lit(int(fractions[k] * _BUCKETS)))
-            .otherwise(thr)
-        )
+        cond = F.col(strata_col) == F.lit(k)
+        val = F.lit(_threshold(fractions[k]))
+        thr = F.when(cond, val) if thr is None else thr.when(cond, val)
+    default = F.lit(_threshold(default_fraction))
+    thr = default if thr is None else thr.otherwise(default)
     return df.where(_bucket(F.col(key_col), salt) < thr)

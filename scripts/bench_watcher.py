@@ -63,17 +63,27 @@ def main() -> int:
             flush=True,
         )
         if ok:
-            r = subprocess.run(
-                [sys.executable, str(ROOT / "bench.py")],
-                capture_output=True,
-                text=True,
-                timeout=3600,
-                cwd=str(ROOT),
-            )
-            line = ""
-            for ln in r.stdout.splitlines():
-                if ln.startswith('{"metric"'):
-                    line = ln
+            # the fire path must survive anything (a mid-run host
+            # collapse, a bench crash, malformed output): losing the
+            # one healthy window AND dying would be the worst outcome
+            bench_json, rc, err = None, None, None
+            try:
+                r = subprocess.run(
+                    [sys.executable, str(ROOT / "bench.py")],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                    cwd=str(ROOT),
+                )
+                rc = r.returncode
+                for ln in r.stdout.splitlines():
+                    if ln.startswith('{"metric"'):
+                        try:
+                            bench_json = json.loads(ln)
+                        except ValueError:
+                            err = f"unparseable bench line: {ln[:200]}"
+            except Exception as exc:
+                err = f"bench run failed: {exc}"
             closing = None
             try:
                 closing = probe()
@@ -83,14 +93,21 @@ def main() -> int:
                 pass
             out = {
                 "trigger_probe": p,
-                "bench": json.loads(line) if line else None,
+                "bench": bench_json,
                 "closing_probe": closing,
-                "rc": r.returncode,
+                "rc": rc,
+                "error": err,
             }
-            with open(args.out, "w") as fh:
-                json.dump(out, fh, indent=1)
-            print(f"bench fired, rc={r.returncode}, saved {args.out}", flush=True)
-            return 0
+            try:
+                with open(args.out, "w") as fh:
+                    json.dump(out, fh, indent=1)
+            except Exception as exc:
+                print(f"could not save {args.out}: {exc}", flush=True)
+            print(f"bench fired, rc={rc}, err={err}, saved {args.out}", flush=True)
+            if bench_json is not None:
+                return 0
+            # else keep watching: the window was consumed but produced
+            # no usable measurement
         time.sleep(args.interval)
 
 

@@ -787,3 +787,10 @@ def test_stratified_sample_rates_and_validation(spark):
         deterministic_sample(docs, 1.5, "doc_id")
     with _pytest.raises(ValueError):
         stratified_deterministic_sample(docs, "doc_id", "lang", {"en": -0.1})
+
+
+def test_sampling_threshold_rounds_not_truncates():
+    from datamatch_spark.extras.sampling import _threshold
+
+    assert _threshold(0.57) == 5700  # int(0.57*10000) would give 5699
+    assert _threshold(0.0) == 0 and _threshold(1.0) == 10000
