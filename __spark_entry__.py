@@ -967,8 +967,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (rows-only: xxhash64 is Spark-side; the
-    verification stage makes the output precision-exact)."""
+    """MinHash+LSH near-dup over the PRODUCTION xxhash64 gram-hash path
+    (rows-only: DuckDB has no xxhash64). The identical pipeline under
+    hash_fn='md5' is hard-oracled by ``minhash_det`` — same parameters,
+    every stage (gram hashing, splitmix64 permutations, banding,
+    estimate prefilter, exact-Jaccard verify) replicated in SQL."""
     from datamatch_spark.extras.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -976,11 +979,64 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# parameter packs shared by the deterministic-hash dedup queries and
+# their DuckDB oracle generators — ONE definition so they cannot drift
+_MINHASH_DET = dict(n=2, n_perm=64, bands=16, threshold=0.5, est_margin=0.12)
+_SIMHASH_DET = dict(n=2, max_hamming=8)
+_MINHASH_GROUPS_DET = dict(n=3, n_perm=64, bands=8, threshold=0.8, est_margin=0.12)
+
+
+def q_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH near-dup pipeline under a hard DuckDB
+    oracle: hash_fn='md5' derives gram hashes from md5 hex (identical
+    in any engine), so the oracle (``_duckdb_minhash_sql``) replicates
+    every stage — distinct word-bigram md5-64 hashes, 64 splitmix64
+    permutation mins, 16 splitmix64-fold band hashes, band-bucket
+    candidate join, signature-estimate prefilter, exact hashed-shingle
+    Jaccard — in mod-2^64 HUGEINT SQL. Upgrades the LSH family from
+    rows-only (xxhash64 is Spark-only) to rows+schema+hash."""
+    from datamatch_spark.extras.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", hash_fn="md5", **_MINHASH_DET
+    )
+
+
+def q_minhash_groups_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup GROUPS (MinHash-LSH pairs → connected
+    components → min-id representative) under a hard oracle: the
+    ``_duckdb_minhash_sql`` pair CTE chained into the recursive-CTE
+    reachability closure (the ``semantic_dedup`` oracle's CC pattern).
+    Trigram variant at threshold 0.8 — different (n, bands, threshold)
+    than ``minhash_det`` so the two exercise distinct band folds."""
+    from datamatch_spark.extras.dedup import minhash_dedup_groups
+
+    p = dict(_MINHASH_GROUPS_DET)
+    return minhash_dedup_groups(
+        _docs(spark, sf_dir), "doc_id", hash_fn="md5", **p
+    ).withColumn("keep", F.col("keep").cast("boolean"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs over the PRODUCTION xxhash64 path
+    (rows-only); the identical pipeline under hash_fn='md5' is
+    hard-oracled by ``simhash_det``."""
     from datamatch_spark.extras.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), "doc_id", n=2, max_hamming=8)
+
+
+def q_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs under a hard DuckDB oracle (hash_fn='md5'
+    gram hashes; the oracle recomputes the 64 sign-sums, the
+    fingerprint, and bit_count(xor) over ALL pairs — the engine's
+    pigeonhole chunk candidacy is recall-lossless at
+    n_chunks = max_hamming + 1, so all-pairs is the same set)."""
+    from datamatch_spark.extras.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id", hash_fn="md5", **_SIMHASH_DET
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,12 +1099,34 @@ def q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only; recall vs brute force is asserted
-    in tests)."""
+    """LSH-bucketed ANN over the default seeded-Gaussian planes
+    (rows-only: RandomState streams are not SQL-reproducible; recall vs
+    brute force is asserted in tests). The identical pipeline under
+    splitmix64-derived ±1 planes is hard-oracled by ``lsh_ann_det``."""
     from datamatch_spark.extras.simsearch import lsh_topk
 
     emb = _emb(spark, sf_dir)
     return lsh_topk(emb, emb.where(F.col("vec_id") < 25), k=3, n_planes=6)
+
+
+_LSH_ANN_DET = dict(k=3, n_planes=6, seed=42)
+
+
+def q_lsh_ann_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN under a hard DuckDB oracle:
+    plane_kind='rademacher' derives the ±1 hyperplane entries from
+    splitmix64 (SQL-reproducible), so the oracle replicates the WHOLE
+    approximate pipeline — plane bank, sign codes, 1-bit-flip
+    multiprobe, bucket candidacy, exact-cosine rescoring, top-k — not
+    just an exact brute-force equivalent."""
+    from datamatch_spark.extras.simsearch import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    p = _LSH_ANN_DET
+    return lsh_topk(
+        emb, emb.where(F.col("vec_id") < 25), k=p["k"], n_planes=p["n_planes"],
+        seed=p["seed"], plane_kind="rademacher",
+    )
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,18 +1285,288 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_det": q_minhash_det,
+        "minhash_groups_det": q_minhash_groups_det,
         "simhash": q_simhash,
+        "simhash_det": q_simhash_det,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_cells": q_semantic_dedup_cells,
         "minhash_groups": q_minhash_groups,
         "lsh_ann": q_lsh_ann,
+        "lsh_ann_det": q_lsh_ann_det,
         "ivf_ann": q_ivf_ann,
         "incremental_link": q_incremental_link,
         "media_features": q_media_features,
         "media_decode_ppm": q_media_decode_ppm,
     }
+
+
+_SM_W64 = 1 << 64
+_SM_K1 = 0x9E3779B97F4A7C15
+_SM_K2 = 0xBF58476D1CE4E5B9
+_SM_K3 = 0x94D049BB133111EB
+
+
+def _duckdb_u64(e: str) -> str:
+    """Wrap a non-negative HUGEINT expression to uint64."""
+    return f"CAST((({e}) % {_SM_W64}) AS UBIGINT)"
+
+
+def _duckdb_mul64(a: str, b: int) -> str:
+    """a*b mod 2^64 without HUGEINT overflow: 32-bit-limb split of
+    ``a`` keeps every partial product under 2^96 (HUGEINT max ~2^127;
+    a straight u64×u64 product would reach 2^128 and overflow)."""
+    A = f"CAST({a} AS HUGEINT)"
+    return _duckdb_u64(
+        f"({A} % 4294967296) * {b} + "
+        f"(({A} // 4294967296) * {b} % 4294967296) * 4294967296"
+    )
+
+
+def _duckdb_sm64_ctes(prefix: str, src: str, keys: list[str], x: str) -> str:
+    """Four chained CTEs applying splitmix64 (the exact finalizer of
+    ``dedup._splitmix64``) to expression ``x`` of CTE ``src``; the
+    final CTE ``{prefix}4`` carries ``keys`` + ``h``. Staged through
+    CTE columns because DuckDB has no common-subexpression elimination
+    across a textually-inlined mix chain (each xor(z, z>>k) step
+    references z twice — full inlining is 8 copies of the innermost
+    expression)."""
+    kc = (", ".join(keys) + ", ") if keys else ""
+    return (
+        f"{prefix}1 AS (SELECT {kc}"
+        f"{_duckdb_u64(f'CAST({x} AS HUGEINT) + {_SM_K1}')} AS z FROM {src}),\n"
+        f"{prefix}2 AS (SELECT {kc}"
+        f"{_duckdb_mul64('xor(z, z >> 30)', _SM_K2)} AS z FROM {prefix}1),\n"
+        f"{prefix}3 AS (SELECT {kc}"
+        f"{_duckdb_mul64('xor(z, z >> 27)', _SM_K3)} AS z FROM {prefix}2),\n"
+        f"{prefix}4 AS (SELECT {kc}xor(z, z >> 31) AS h FROM {prefix}3)"
+    )
+
+
+def _duckdb_hex2u64(hh: str) -> str:
+    """uint64 from the first 16 hex chars of column ``hh`` (the md5-64
+    gram hash of ``dedup._md5_hash_sql``, unsigned view). Positional
+    digit sum with literal 16^k weights — NOT list_reduce, whose
+    DuckDB 1.0 lambda mis-threads when a step returns the accumulator
+    unchanged (leading-zero digests hit acc*16+0 == acc == 0)."""
+    terms = " + ".join(
+        f"(CAST(strpos('0123456789abcdef', substr({hh}, {j}, 1)) AS HUGEINT)"
+        f" - 1) * {16 ** (16 - j)}"
+        for j in range(1, 17)
+    )
+    return f"CAST(({terms}) AS UBIGINT)"
+
+
+def _duckdb_gram_hash_ctes(n: int) -> str:
+    """CTEs ``toks → grams → gramh → gh(doc_id, g)``: distinct word
+    n-grams of documents.text and their md5-64 uint64 hashes — the
+    DuckDB replica of ``with_shingle_hashes(..., hash_fn='md5')``
+    including its ``_has_shingles`` row filter. ``gramh`` stages the
+    md5 so the 16 hex-digit extractions share one digest."""
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {n}
+), grams AS (
+  SELECT DISTINCT doc_id, {gram} AS s
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+), gramh AS (
+  SELECT doc_id, md5(s) AS hh FROM grams
+), gh AS (
+  SELECT DISTINCT doc_id, {_duckdb_hex2u64('hh')} AS g FROM gramh
+)"""
+
+
+def _duckdb_minhash_ctes(
+    n: int, n_perm: int, bands: int, threshold: float, est_margin: float
+) -> str:
+    """CTE chain replicating ``minhash_lsh_pairs(hash_fn='md5')`` stage
+    by stage (datamatch_spark/extras/dedup.py): per-permutation seeds
+    splitmix64(p+1), signature mins, per-band splitmix64 fold seeded by
+    splitmix64(band + 0x5EED), band-bucket candidate self-join,
+    signature-estimate prefilter at threshold - est_margin, exact
+    hashed-shingle Jaccard rounded to 6dp with the threshold applied to
+    the ROUNDED value (as the engine does). Ends in
+    ``mh_pairs(idx_a, idx_b, jaccard)``."""
+    r = n_perm // bands
+    fold = []
+    prev = "binit4"
+    for step in range(1, r + 1):
+        head = (
+            f"bf{step}_0 AS (SELECT c.doc_id, c.band, c.cs, "
+            f"xor(b.h, c.cs[{step}]) AS x "
+            f"FROM comp c JOIN {prev} b USING (band))"
+            if step == 1
+            else f"bf{step}_0 AS (SELECT doc_id, band, cs, "
+            f"xor(h, cs[{step}]) AS x FROM {prev})"
+        )
+        fold.append(head)
+        fold.append(
+            _duckdb_sm64_ctes(
+                f"bf{step}_", f"bf{step}_0", ["doc_id", "band", "cs"], "x"
+            )
+        )
+        prev = f"bf{step}_4"
+    est_thr = repr(threshold - est_margin)
+    return f"""{_duckdb_gram_hash_ctes(n)}, seeds0 AS (
+  SELECT CAST(p AS INT) AS p, CAST(p + 1 AS UBIGINT) AS x
+  FROM range({n_perm}) t(p)
+),
+{_duckdb_sm64_ctes('seeds', 'seeds0', ['p'], 'x')},
+perm0 AS (
+  SELECT gh.doc_id, s.p, xor(gh.g, s.h) AS x FROM gh CROSS JOIN seeds4 s
+),
+{_duckdb_sm64_ctes('perm', 'perm0', ['doc_id', 'p'], 'x')},
+sig AS (SELECT doc_id, p, min(h) AS s FROM perm4 GROUP BY 1, 2),
+sigl AS (SELECT doc_id, list(s ORDER BY p) AS sl FROM sig GROUP BY 1),
+comp AS (
+  SELECT doc_id, CAST(p // {r} AS INT) AS band, list(s ORDER BY p) AS cs
+  FROM sig GROUP BY 1, 2
+), binit0 AS (
+  SELECT CAST(band AS INT) AS band, CAST(band + {0x5EED} AS UBIGINT) AS x
+  FROM range({bands}) t(band)
+),
+{_duckdb_sm64_ctes('binit', 'binit0', ['band'], 'x')},
+{','.join(fold)},
+bandt AS (SELECT doc_id, band, h FROM {prev}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
+  FROM bandt a JOIN bandt b
+    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+), ghl AS (SELECT doc_id, list(g) AS gl FROM gh GROUP BY 1),
+ver AS (
+  SELECT c.idx_a, c.idx_b,
+         len(list_intersect(ga.gl, gb.gl)) AS inter,
+         len(ga.gl) + len(gb.gl) - len(list_intersect(ga.gl, gb.gl)) AS uni
+  FROM cand c
+  JOIN sigl sa ON sa.doc_id = c.idx_a
+  JOIN sigl sb ON sb.doc_id = c.idx_b
+  JOIN ghl ga ON ga.doc_id = c.idx_a
+  JOIN ghl gb ON gb.doc_id = c.idx_b
+  WHERE len(list_filter(range(1, {n_perm + 1}),
+            i -> sa.sl[CAST(i AS INT)] = sb.sl[CAST(i AS INT)]))
+        / {float(n_perm)} >= {est_thr}
+), mh_pairs AS (
+  SELECT idx_a, idx_b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+  FROM ver WHERE round(CAST(inter AS DOUBLE) / uni, 6) >= {threshold}
+)"""
+
+
+def _duckdb_minhash_sql(
+    n: int, n_perm: int, bands: int, threshold: float, est_margin: float
+) -> str:
+    return (
+        f"WITH {_duckdb_minhash_ctes(n, n_perm, bands, threshold, est_margin)}"
+        "\nSELECT idx_a, idx_b, jaccard FROM mh_pairs"
+    )
+
+
+def _duckdb_minhash_groups_sql(
+    n: int, n_perm: int, bands: int, threshold: float, est_margin: float
+) -> str:
+    """``minhash_dedup_groups(hash_fn='md5')``: the mh_pairs chain fed
+    into the recursive-CTE reachability closure (the ``semantic_dedup``
+    oracle's CC pattern) over ALL documents — unpaired docs are their
+    own group with keep=true, like ``groups_from_pairs``."""
+    return f"""
+WITH RECURSIVE {_duckdb_minhash_ctes(n, n_perm, bands, threshold, est_margin)},
+edges AS (
+  SELECT idx_a AS src, idx_b AS dst FROM mh_pairs
+  UNION SELECT idx_b, idx_a FROM mh_pairs
+), reach(node, rt) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.rt FROM reach JOIN edges e ON e.src = reach.node
+), cmp AS (
+  SELECT node, min(rt) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS group_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cmp c ON c.node = d.doc_id
+"""
+
+
+def _duckdb_simhash_sql(n: int, max_hamming: int) -> str:
+    """``simhash_near_pairs(hash_fn='md5')``: 64 per-bit ±1 sign-sums
+    over the distinct gram hashes, fingerprint = bits with positive
+    sum, then bit_count(xor) over ALL id-ordered pairs — equivalent to
+    the engine's pigeonhole chunk candidacy, which is recall-lossless
+    at its default n_chunks = max_hamming + 1."""
+    return f"""
+WITH {_duckdb_gram_hash_ctes(n)}, bits AS (
+  SELECT gh.doc_id, b.b,
+         sum(CASE WHEN ((gh.g >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM gh CROSS JOIN (SELECT CAST(x AS INT) AS b FROM range(64) t(x)) b
+  GROUP BY 1, 2
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << b ELSE 0 END)
+              AS UBIGINT) AS v
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+       CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= {max_hamming}
+"""
+
+
+def _duckdb_lsh_ann_sql(k: int, n_planes: int, seed: int, dim: int = 64) -> str:
+    """``lsh_topk(plane_kind='rademacher')`` end-to-end: splitmix64 ±1
+    plane bank over the flat (plane, dim) index xor seed, sign codes
+    packed little-endian, the query code plus its n_planes 1-bit flips
+    (multiprobe), bucket-equality candidates, exact cosine rounded to
+    6dp, row_number top-k with (cos DESC, neighbor_id) ties. ``dim`` is
+    pinned to the fixture's embedding width (the engine reads it from
+    data). Sign boundaries: both sides sum the same float64 products,
+    order-dependent rounding could flip a sign only for |dot| ≲ 1e-13
+    — same acceptance as the existing cosine oracles' 6dp rounding."""
+    probes = ", ".join(["code"] + [f"xor(code, {1 << i})" for i in range(n_planes)])
+    return f"""
+WITH pl0 AS (
+  SELECT CAST(x // {dim} AS INT) AS p, CAST(x % {dim} AS INT) AS d,
+         xor(CAST(x + 1 AS UBIGINT), CAST({seed} AS UBIGINT)) AS xx
+  FROM range({n_planes * dim}) t(x)
+),
+{_duckdb_sm64_ctes('pl', 'pl0', ['p', 'd'], 'xx')},
+planes AS (
+  SELECT p, d, CASE WHEN (h & 1) = 1 THEN 1.0 ELSE -1.0 END AS w FROM pl4
+), vals AS (
+  SELECT vec_id, CAST(t.d AS INT) AS d,
+         CAST(embedding[CAST(t.d AS INT) + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) t(d)
+), dots AS (
+  SELECT v.vec_id, pl.p, sum(pl.w * v.v) AS dot
+  FROM vals v JOIN planes pl ON pl.d = v.d GROUP BY 1, 2
+), codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+              AS BIGINT) AS code
+  FROM dots GROUP BY 1
+), qcodes AS (SELECT vec_id AS query_id, code FROM codes WHERE vec_id < 25),
+probes AS (
+  SELECT query_id, pr.pc FROM qcodes, UNNEST([{probes}]) pr(pc)
+), cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN codes c ON c.code = p.pc
+  WHERE c.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 6) AS cos
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def _duckdb_soundex(col: str) -> str:
@@ -2330,6 +2678,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS lang_pred
             FROM h
         """,
+        "lsh_ann_det": _duckdb_lsh_ann_sql(**_LSH_ANN_DET),
+        "minhash_det": _duckdb_minhash_sql(**_MINHASH_DET),
+        "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
+        "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),
         "exact_dedup": """
             WITH h AS (
               SELECT doc_id, md5(lower(substring(text, 1, 25))) AS hh FROM documents

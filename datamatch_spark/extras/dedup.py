@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
+    "GRAM_HASH_FNS",
     "shingles_expr",
     "content_fingerprint",
     "exact_duplicates",
@@ -49,29 +50,81 @@ def shingles_expr(text_col: str, n: int) -> Column:
     return _shingles_expr(text_col, n)
 
 
-def _shingles_expr(text_col: str, n: int) -> Column:
+def _shingles_sql(text_col: str, n: int) -> str:
     toks = f"split({text_col}, ' ')"
     if n == 1:
-        return F.expr(f"array_distinct({toks})")
+        return f"array_distinct({toks})"
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] and feed
     # slice() a zero start — short docs get an empty shingle set instead
-    return F.expr(
+    return (
         f"case when size({toks}) < {n} then array() "
         f"else array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
         f"i -> concat_ws(' ', slice({toks}, i, {n})))) end"
     )
 
 
+def _shingles_expr(text_col: str, n: int) -> Column:
+    return F.expr(_shingles_sql(text_col, n))
+
+
+#: supported gram-hash functions for the hashing dedup family.
+#: ``xxhash64`` (default) is the fast JVM path; ``md5`` derives the
+#: 64-bit gram hash from the first 16 hex chars of md5(gram string) —
+#: slower (materializes gram strings + a cryptographic hash per gram)
+#: but reproducible in ANY engine with an md5 function, which makes the
+#: whole MinHash/SimHash pipeline auditable end-to-end by an external
+#: SQL oracle (the driver's DuckDB correctness gate uses it).
+GRAM_HASH_FNS = ("xxhash64", "md5")
+
+
+def _md5_hash_sql(g: str) -> str:
+    """SQL fragment: signed-int64 reinterpretation of the big-endian
+    first 8 md5 bytes of string expression ``g``. Built from two 32-bit
+    ``conv`` halves because conv(16-hex-digit,16,10) yields unsigned
+    decimals ≥ 2^63 that cannot cast to bigint; shiftleft wraps to the
+    same two's-complement bits numpy's uint64→int64 view produces
+    (parity pinned in tests against hashlib.md5)."""
+    return (
+        f"shiftleft(cast(conv(substr(md5({g}),1,8),16,10) as bigint), 32) | "
+        f"cast(conv(substr(md5({g}),9,8),16,10) as bigint)"
+    )
+
+
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in GRAM_HASH_FNS:
+        raise ValueError(
+            f"hash_fn must be one of {GRAM_HASH_FNS}, got {hash_fn!r}"
+        )
+
+
 def with_shingle_hashes(
-    df: DataFrame, text_col: str, n: int, out_col: str
+    df: DataFrame, text_col: str, n: int, out_col: str,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Adds ``out_col``: distinct word-n-gram hashes (array<long>)
-    WITHOUT materializing shingle strings — tokens are hashed once,
-    each n-gram hash mixes its n token hashes (multi-arg xxhash64).
-    ~n× less string work than building shingle strings; this is the
-    hot path for MinHash/SimHash at corpus scale. Two projections so
-    the token-hash array is computed once (Catalyst does not collapse
-    non-cheap aliases referenced repeatedly)."""
+    """Adds ``out_col``: distinct word-n-gram hashes (array<long>).
+
+    ``hash_fn="xxhash64"`` (default, the corpus-scale hot path) never
+    materializes shingle strings — tokens are hashed once, each n-gram
+    hash mixes its n token hashes (multi-arg xxhash64), ~n× less string
+    work. Two projections so the token-hash array is computed once
+    (Catalyst does not collapse non-cheap aliases referenced
+    repeatedly).
+
+    ``hash_fn="md5"`` hashes the gram STRING via md5 (see
+    ``GRAM_HASH_FNS``) — the deterministic cross-engine variant used by
+    the driver's DuckDB oracle; same output schema. The outer
+    array_distinct keeps set semantics under (vanishingly rare) 64-bit
+    collisions of distinct grams, matching the xxhash64 path's
+    distinct-over-hashes."""
+    _check_hash_fn(hash_fn)
+    if hash_fn == "md5":
+        grams = _shingles_sql(text_col, n)
+        return df.withColumn(
+            out_col,
+            F.expr(
+                f"array_distinct(transform({grams}, g -> {_md5_hash_sql('g')}))"
+            ),
+        )
     tmp = f"__tokh_{out_col}"
     out = df.withColumn(
         tmp, F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))")
@@ -289,6 +342,7 @@ def minhash_signatures(
     n: int = 3,
     n_perm: int = 64,
     partitions: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
@@ -311,7 +365,7 @@ def minhash_signatures(
     base = _ensure_width(
         df.select(F.col(id_col).alias("__id"), text_col), partitions
     ).where(_has_shingles(text_col, n))
-    sh = with_shingle_hashes(base, text_col, n, "__sh")
+    sh = with_shingle_hashes(base, text_col, n, "__sh", hash_fn)
     return sh.select(F.col("__id").alias(id_col), sig_udf(F.col("__sh")).alias("sig"))
 
 
@@ -412,6 +466,7 @@ def minhash_lsh_pairs(
     est_margin: float = 0.12,
     checkpoint_dir: str | None = None,
     band_fn_weight: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(idx_a, idx_b, jaccard) near-duplicate pairs: LSH banding for
     candidates, signature-estimate prefilter, exact hashed-shingle
@@ -437,7 +492,12 @@ def minhash_lsh_pairs(
     contract as the matcher's resumable checkpoints; at deployment
     scale this is the Iceberg-snapshot analogue), so a restarted dedup
     job skips signature computation; default is an in-memory
-    localCheckpoint."""
+    localCheckpoint.
+
+    ``hash_fn``: gram-hash function (``GRAM_HASH_FNS``); "md5" is the
+    slower cross-engine-deterministic variant the driver's DuckDB
+    oracle replicates end-to-end."""
+    _check_hash_fn(hash_fn)
     if bands is None:
         if not (0.0 <= band_fn_weight <= 1.0):
             raise ValueError(
@@ -457,7 +517,7 @@ def minhash_lsh_pairs(
         _has_shingles(text_col, n)
     )
     info = (
-        with_shingle_hashes(base, text_col, n, "sh")
+        with_shingle_hashes(base, text_col, n, "sh", hash_fn)
         .select("__id", "sh", sig_bands_udf(F.col("sh")).alias("sb"))
         .select(
             "__id",
@@ -477,8 +537,11 @@ def minhash_lsh_pairs(
         import re as _re
 
         cols = _re.sub(r"\W+", "_", f"{id_col}__{text_col}")
+        # non-default hash_fn is part of the cache identity; the
+        # default keeps its historical key so existing caches still hit
+        hkey = "" if hash_fn == "xxhash64" else f"_h{hash_fn}"
         info = StageManifest(checkpoint_dir).materialize(
-            f"minhash_info_n{n}_p{n_perm}_b{bands}_c{cols}",
+            f"minhash_info_n{n}_p{n_perm}_b{bands}_c{cols}{hkey}",
             info,
             df.sparkSession,
         )
@@ -541,7 +604,10 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 2) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(id, simhash long): 64-bit sign-sum fingerprint over shingle
     hashes — 64 conditional-sum aggregates, all map-side combinable."""
     sh = with_shingle_hashes(
@@ -549,6 +615,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 2) -> D
         text_col,
         n,
         "__sh",
+        hash_fn,
     ).select("__id", F.explode("__sh").alias("h"))
     aggs = [
         F.sum(
@@ -574,6 +641,7 @@ def simhash_near_pairs(
     n: int = 2,
     max_hamming: int = 3,
     n_chunks: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(idx_a, idx_b, hamming) pairs with simhash Hamming distance <=
     max_hamming. Candidates by chunk equality, verified with
@@ -598,7 +666,7 @@ def simhash_near_pairs(
     base, rem = divmod(64, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sh = simhash(df, id_col, text_col, n)
+    sh = simhash(df, id_col, text_col, n, hash_fn)
     chunks = sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -651,6 +719,7 @@ def minhash_dedup_groups(
     threshold: float = 0.7,
     est_margin: float = 0.12,
     checkpoint_dir: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end text near-dedup: MinHash-LSH near-dup pairs →
     connected components over the near-dup graph → one canonical
@@ -669,6 +738,6 @@ def minhash_dedup_groups(
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, n=n, n_perm=n_perm, bands=bands,
         threshold=threshold, est_margin=est_margin,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, hash_fn=hash_fn,
     )
     return groups_from_pairs(df, id_col, pairs)

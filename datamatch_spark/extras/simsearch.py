@@ -239,9 +239,31 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+#: hyperplane generators for sign-LSH. "gaussian" (default) draws from
+#: a seeded RandomState; "rademacher" derives ±1 entries from
+#: splitmix64 bit-0 over the flat (plane, dim) index — deterministic
+#: AND reproducible in plain SQL (the driver's DuckDB oracle), with the
+#: same sign-LSH collision-probability family (±1 random projections:
+#: Achlioptas, JCSS 2003).
+PLANE_KINDS = ("gaussian", "rademacher")
+
+
+def _hyperplanes(
+    dim: int, n_planes: int, seed: int, kind: str = "gaussian"
+) -> np.ndarray:
+    if kind == "gaussian":
+        rng = np.random.RandomState(seed)
+        return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    if kind == "rademacher":
+        from .dedup import _splitmix64
+
+        # seed participates so distinct seeds give distinct banks; the
+        # oracle pins seed=42's stream. +1 keeps index 0 off the
+        # splitmix64 fixed-ish low states.
+        idx = np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(1)
+        bits = _splitmix64(idx ^ np.uint64(seed)) & np.uint64(1)
+        return np.where(bits == 1, 1.0, -1.0).reshape(n_planes, dim)
+    raise ValueError(f"plane kind must be one of {PLANE_KINDS}, got {kind!r}")
 
 
 def _attach_codes(
@@ -311,13 +333,15 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
+    plane_kind: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket(s).
     The bucket equi-join replaces the full N×Q scan — the scale path.
     ``multiprobe`` also probes every 1-bit-flip bucket of the query's
     code (n_planes+1 probes), the standard recall lever: the query
     side (small) is exploded, the corpus is still touched via an
-    equi-join."""
+    equi-join. ``plane_kind``: see ``PLANE_KINDS`` — "rademacher" is
+    the SQL-reproducible variant the driver's DuckDB oracle checks."""
     first = corpus.select(vec_col).first()
     if first is None:  # empty corpus (e.g. upstream filter): no probe dim
         id_type = dict(corpus.dtypes)[id_col]
@@ -326,7 +350,7 @@ def lsh_topk(
             f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int",
         )
     dim = len(first[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(dim, n_planes, seed, plane_kind)
     c = _attach_codes(corpus, planes, id_col, vec_col, "neighbor_id", "__cv")
     q = _attach_codes(queries, planes, id_col, vec_col, "query_id", "__qv")
     if multiprobe:

@@ -137,6 +137,43 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6, recall  # 6-bit multiprobe on clustered data
 
 
+def test_lsh_topk_rademacher_recall_and_validation(spark):
+    """plane_kind='rademacher' (the SQL-reproducible ±1 bank) keeps the
+    multiprobe recall contract; unknown kinds raise."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    centers = rng.standard_normal((20, 16))
+    vecs = (
+        centers[rng.randint(0, 20, 200)]
+        + 0.25 * rng.standard_normal((200, 16))
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where("vec_id < 10")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(
+            df, queries, k=3, n_planes=6, plane_kind="rademacher"
+        ).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, recall
+    with pytest.raises(ValueError, match="plane kind"):
+        S._hyperplanes(4, 2, 42, "uniform")
+    # the ±1 bank is deterministic and seed-sensitive
+    a = S._hyperplanes(8, 4, 42, "rademacher")
+    assert set(np.unique(a)) == {-1.0, 1.0}
+    assert (a == S._hyperplanes(8, 4, 42, "rademacher")).all()
+    assert (a != S._hyperplanes(8, 4, 43, "rademacher")).any()
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0], "a"),
@@ -627,6 +664,95 @@ def test_minhash_checkpoint_keyed_by_text_col(spark, tmp_path):
         checkpoint_dir=d,
     ).count()
     assert p1 == 1 and p2 == 0  # titles identical, bodies disjoint
+
+
+def test_md5_gram_hash_matches_hashlib(spark):
+    """hash_fn='md5' gram hashes equal the int64 view of the big-endian
+    first 8 md5 bytes of each distinct bigram (the cross-engine
+    contract the DuckDB oracle relies on)."""
+    import hashlib
+
+    import numpy as np
+
+    texts = [
+        "the quick brown fox",
+        "ünïcode tökens here too",
+        "a b",
+        "repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["h"])
+        for r in D.with_shingle_hashes(df, "text", 2, "h", "md5").collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        grams = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        want = {
+            int(np.uint64(int(hashlib.md5(g.encode()).hexdigest()[:16], 16))
+                .astype(np.int64))
+            for g in grams
+        }
+        assert got[i] == want, f"doc {i}"
+
+
+def test_md5_mode_minhash_planted_near_dups(spark):
+    """The deterministic-hash variant keeps the LSH contract: planted
+    near-dups recalled, precision exact (same corpus as the xxhash64
+    test above)."""
+    rows = []
+    for i in range(40):
+        words = " ".join(f"w{(i // 2) * 50 + j}" for j in range(30))
+        if i % 2 == 1:
+            words = words.replace(f"w{(i // 2) * 50 + 3}", "zz", 1)
+        rows.append((i, words))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["idx_a"], r["idx_b"])
+        for r in D.minhash_lsh_pairs(
+            df, "doc_id", n=2, n_perm=64, bands=16, threshold=0.5,
+            hash_fn="md5",
+        ).collect()
+    }
+    want = {(2 * k, 2 * k + 1) for k in range(20)}
+    assert len(got & want) >= 18
+    assert not (got - want)
+
+
+def test_simhash_md5_mode_exact_dup_is_hamming_zero(docs):
+    got = {
+        (r["idx_a"], r["idx_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(
+            docs, "doc_id", n=2, max_hamming=8, hash_fn="md5"
+        ).collect()
+    }
+    assert got[(1, 3)] == 0  # exact dup
+    assert (1, 2) in got  # one-word near dup
+
+
+def test_hash_fn_validated():
+    import pandas as pd  # noqa: F401 — pyspark import guard parity
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        D._check_hash_fn("sha1")
+
+
+def test_minhash_checkpoint_keyed_by_hash_fn(spark, tmp_path):
+    """An xxhash64 signature cache must MISS for an md5 rerun (the two
+    paths' signatures are incompatible bit streams)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    d = str(tmp_path / "ck")
+    k = dict(n=2, n_perm=32, threshold=0.5, checkpoint_dir=d)
+    assert D.minhash_lsh_pairs(df, "id", **k).count() == 1
+    assert D.minhash_lsh_pairs(df, "id", hash_fn="md5", **k).count() == 1
+    stages = {p.name for p in (tmp_path / "ck").iterdir()}
+    assert any("_hmd5" in s for s in stages), stages
+    assert any("_hmd5" not in s for s in stages), stages
 
 
 def test_decode_wav_24bit_pcm(spark):
