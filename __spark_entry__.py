@@ -951,6 +951,83 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared by q_repetition_signals and its oracle generator
+_REP_TOP_NS = (2, 3)
+_REP_DUP_NS = (5,)
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document Gopher repetition signals (extras/text.py
+    repetition_signals): top-{2,3}-gram character fraction + duplicated
+    5-gram character fraction — one (id, n, gram) count shuffle with
+    map-side combine, no UDFs. Hard oracle: identical gram/count/mass
+    arithmetic in DuckDB."""
+    from datamatch_spark.extras.text import repetition_signals
+
+    return repetition_signals(
+        _docs(spark, sf_dir), top_ns=_REP_TOP_NS, dup_ns=_REP_DUP_NS
+    )
+
+
+def _duckdb_repetition_sql(
+    top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> str:
+    """DuckDB replica of ``repetition_signals``: per-n ALL-gram unions
+    (with repeats), (doc, n, gram) counts, per-(doc, n) top mass
+    max(count·len) and dup mass sum(count·len | count ≥ 2), widened by
+    conditional aggregation, fractions over len(text) with the dup cap
+    at 1.0 and 0.0 for empty/NULL text."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    parts = []
+    for n in all_ns:
+        gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        # range(1, len - n + 2) is empty when len(t) < n — short docs
+        # contribute no n-grams, like the Spark side's empty array
+        parts.append(
+            f"SELECT doc_id, {n} AS n, {gram} AS g "
+            f"FROM toks, UNNEST(range(1, len(t) - {n - 2})) u(i)"
+        )
+    union = "\n  UNION ALL ".join(parts)
+    sel_top = ", ".join(
+        f"max(CASE WHEN n = {n} THEN topm END) AS topm_{n}" for n in top_ns
+    )
+    sel_dup = ", ".join(
+        f"max(CASE WHEN n = {n} THEN dupm END) AS dupm_{n}" for n in dup_ns
+    )
+    out_top = ", ".join(
+        f"round(CASE WHEN b.n_chars > 0 THEN COALESCE(w.topm_{n}, 0) / "
+        f"CAST(b.n_chars AS DOUBLE) ELSE 0.0 END, 6) "
+        f"AS top_{n}gram_char_frac"
+        for n in top_ns
+    )
+    out_dup = ", ".join(
+        f"round(least(1.0, CASE WHEN b.n_chars > 0 THEN "
+        f"COALESCE(w.dupm_{n}, 0) / CAST(b.n_chars AS DOUBLE) "
+        f"ELSE 0.0 END), 6) AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+), allg AS (
+  {union}
+), cnts AS (
+  SELECT doc_id, n, g, count(*) AS c FROM allg GROUP BY 1, 2, 3
+), per AS (
+  SELECT doc_id, n, max(c * len(g)) AS topm,
+         sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dupm
+  FROM cnts GROUP BY 1, 2
+), wide AS (
+  SELECT doc_id, {sel_top}, {sel_dup} FROM per GROUP BY doc_id
+), base AS (
+  SELECT doc_id, COALESCE(len(text), 0) AS n_chars FROM documents
+)
+SELECT b.doc_id, CAST(b.n_chars AS INT) AS n_chars, {out_top}, {out_dup}
+FROM base b LEFT JOIN wide w USING (doc_id)
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.dedup import exact_duplicates
 
@@ -1282,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "quality": q_quality,
         "lang_id": q_lang_id,
+        "repetition_signals": q_repetition_signals,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2679,6 +2757,9 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "lsh_ann_det": _duckdb_lsh_ann_sql(**_LSH_ANN_DET),
+        "repetition_signals": _duckdb_repetition_sql(
+            _REP_TOP_NS, _REP_DUP_NS
+        ),
         "minhash_det": _duckdb_minhash_sql(**_MINHASH_DET),
         "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
         "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),

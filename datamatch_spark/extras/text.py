@@ -17,6 +17,7 @@ __all__ = [
     "with_fingerprint",
     "with_quality",
     "with_lang_id",
+    "repetition_signals",
     "LANG_MARKERS",
 ]
 
@@ -92,3 +93,117 @@ def with_lang_id(df: DataFrame, col: str = "text") -> DataFrame:
     for lang, c in hit_cols.items():
         out = out.withColumn(f"hits_{lang}", c)
     return out.withColumn("lang_pred", pred)
+
+
+def _gram_list(col: str, n: int) -> Column:
+    """ALL word n-grams of single-space-tokenized ``col`` (WITH
+    repeats — repetition counting needs every occurrence, unlike the
+    dedup family's distinct shingles in extras/dedup.py)."""
+    toks = f"split({col}, ' ')"
+    if n == 1:
+        return F.expr(toks)
+    return F.expr(
+        f"case when size({toks}) < {n} then array() "
+        f"else transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) end"
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6),
+) -> DataFrame:
+    """WITHIN-document repetition quality signals, per Gopher's
+    repetition filters (Rae et al. 2021, "Scaling Language Models",
+    Table A1), adapted to the space-tokenized corpus:
+
+    * ``top_{n}gram_char_frac`` (n in ``top_ns``): character mass of
+      the heaviest n-gram — max over grams of count × chars(gram),
+      over the document's character count. A deterministic variant of
+      Gopher's "fraction of characters in the most frequent n-gram"
+      that needs no tie-break rule: the max is taken over the PRODUCT,
+      so the value is unique even when several grams share the top
+      count.
+    * ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters in ALL
+      occurrences of n-grams that appear ≥ 2 times, over the character
+      count, capped at 1.0 (overlapping occurrences can exceed the
+      document length — the Dolma/NeMo-Curator counting convention).
+
+    Distinct from ``decontam.dup_ngram_stats``: that measures
+    CROSS-document duplication via an inverted index; these are
+    per-document self-repetition scores (the "repetitious document"
+    Gopher filter, applied before dedup at corpus scale).
+
+    Shape at scale: one explode per n unioned, ONE shuffle on
+    (id, n, gram) with map-side combine (counts), then a per-(id, n)
+    aggregate and a conditional-aggregation widening on id — no UDFs,
+    no joins against the gram space. Docs shorter than n tokens score
+    0.0 (no grams → no repetition evidence). Returns
+    (id_col, n_chars, signal columns, rounded to 6dp).
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    if not all_ns or min(all_ns) < 1:
+        raise ValueError("top_ns/dup_ns must be non-empty, all n >= 1")
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.lit(n).alias("__n"),
+            F.explode(_gram_list(col, n)).alias("__g"),
+        )
+        for n in all_ns
+    ]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = grams.unionByName(p)
+    cnts = grams.groupBy(id_col, "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    mass = F.col("__c") * F.length("__g")
+    per_n = cnts.groupBy(id_col, "__n").agg(
+        F.max(mass).alias("__top_mass"),
+        F.sum(F.when(F.col("__c") >= 2, mass).otherwise(F.lit(0))).alias(
+            "__dup_mass"
+        ),
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("__n") == n, F.col("__top_mass"))).alias(
+                f"__tm_{n}"
+            )
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(F.when(F.col("__n") == n, F.col("__dup_mass"))).alias(
+                f"__dm_{n}"
+            )
+        )
+    wide = per_n.groupBy(id_col).agg(*aggs)
+    # NULL/empty text: n_chars 0 and every signal 0.0 (no repetition
+    # evidence) — also keeps 0/0 NaN (Spark) vs NULL (other engines)
+    # out of the output
+    out = df.select(
+        id_col, F.coalesce(F.length(col), F.lit(0)).alias("n_chars")
+    ).join(wide, on=id_col, how="left")
+    nc = F.col("n_chars").cast("double")
+
+    def _frac(mass_col: str) -> Column:
+        return F.when(
+            nc > 0, F.coalesce(F.col(mass_col), F.lit(0)).cast("double") / nc
+        ).otherwise(F.lit(0.0))
+
+    for n in top_ns:
+        out = out.withColumn(
+            f"top_{n}gram_char_frac", F.round(_frac(f"__tm_{n}"), 6)
+        )
+    for n in dup_ns:
+        out = out.withColumn(
+            f"dup_{n}gram_char_frac",
+            F.round(F.least(F.lit(1.0), _frac(f"__dm_{n}")), 6),
+        )
+    return out.drop(
+        *[f"__tm_{n}" for n in top_ns], *[f"__dm_{n}" for n in dup_ns]
+    )

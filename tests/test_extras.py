@@ -920,3 +920,49 @@ def test_sampling_threshold_rounds_not_truncates():
 
     assert _threshold(0.57) == 5700  # int(0.57*10000) would give 5699
     assert _threshold(0.0) == 0 and _threshold(1.0) == 10000
+
+
+def test_repetition_signals_goldens(spark):
+    """Hand-computed Gopher repetition signals. Doc 0: 'a b a b a b'
+    (11 chars; bigrams 'a b'x3 + 'b a'x2 -> top2 mass 9; 5-grams
+    'a b a b a'x1 + 'b a b a b'x1 -> dup5 0). Doc 1: no repetition.
+    Doc 2: '' and doc 3: NULL -> all signals 0.0."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),
+            (1, "one two three four five six"),
+            (2, ""),
+            (3, None),
+            (4, "x y z x y z x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in T.repetition_signals(
+            df, top_ns=(2,), dup_ns=(2, 5)
+        ).collect()
+    }
+    assert got[0]["n_chars"] == 11
+    assert got[0]["top_2gram_char_frac"] == pytest.approx(9 / 11, abs=1e-6)
+    # dup2: 'a b'x3 (9 chars) + 'b a'x2 (6) = 15/11 capped at 1.0
+    assert got[0]["dup_2gram_char_frac"] == 1.0
+    assert got[0]["dup_5gram_char_frac"] == 0.0
+    # no repeats: the heaviest bigram is 'three four' (10 chars x 1)
+    assert got[1]["top_2gram_char_frac"] == pytest.approx(10 / 27, abs=1e-6)
+    assert got[1]["dup_2gram_char_frac"] == 0.0
+    for d in (2, 3):
+        assert got[d]["n_chars"] == 0
+        assert got[d]["top_2gram_char_frac"] == 0.0
+        assert got[d]["dup_2gram_char_frac"] == 0.0
+    # doc 4: 23 chars; 5-grams: 'x y z x y'x2, 'y z x y z'x2,
+    # 'z x y z x'x2, then x2, then the remaining 5-grams unique?
+    # tokens = 12 -> eight 5-grams, pattern period 3: starts 1..8,
+    # grams at starts 1,4 / 2,5 / 3,6 equal (x2 each), starts 7,8
+    # equal to 1,2's grams -> counts: g1 x3, g2 x3, g3 x2.
+    # dup mass = (3+3+2)*9 = 72 -> capped 1.0; top2: 'x y'x4? bigrams:
+    # x y (4), y z (4), z x (3) -> top mass 4*3=12 -> 12/23.
+    assert got[4]["top_2gram_char_frac"] == pytest.approx(12 / 23, abs=1e-6)
+    assert got[4]["dup_5gram_char_frac"] == 1.0
+    with pytest.raises(ValueError, match="top_ns/dup_ns"):
+        T.repetition_signals(df, top_ns=(), dup_ns=())
