@@ -951,6 +951,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-budget estimators (extras/text.py): GPT-2-style
+    pre-tokenizer piece count via a Java/RE2-shared regex + the
+    chars/4 heuristic. Hard oracle: same regex under DuckDB's RE2."""
+    from datamatch_spark.extras.text import with_bpe_token_estimate
+
+    return with_bpe_token_estimate(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bpe_pieces", "est_tokens_chars"
+    )
+
+
 # shared by q_repetition_signals and its oracle generator
 _REP_TOP_NS = (2, 3)
 _REP_DUP_NS = (5,)
@@ -1360,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "repetition_signals": q_repetition_signals,
+        "bpe_tokens": q_bpe_tokens,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2760,6 +2772,16 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _duckdb_repetition_sql(
             _REP_TOP_NS, _REP_DUP_NS
         ),
+        "bpe_tokens": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_extract_all(text,
+                          ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
+                   END AS n_bpe_pieces,
+                   CAST(ceil(COALESCE(len(text), 0) / 4.0) AS INT)
+                     AS est_tokens_chars
+            FROM documents
+        """,
         "minhash_det": _duckdb_minhash_sql(**_MINHASH_DET),
         "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
         "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),

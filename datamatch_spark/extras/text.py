@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "with_token_count",
+    "with_bpe_token_estimate",
+    "BPE_PIECE_RE",
     "with_fingerprint",
     "with_quality",
     "with_lang_id",
@@ -42,6 +44,39 @@ def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
     t = tokens(F.col(col))
     return df.withColumn("n_tokens", F.size(t)).withColumn(
         "n_distinct_tokens", F.size(F.array_distinct(t))
+    )
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to the syntax subset
+#: shared by Java regex (Spark) and RE2 (DuckDB, no lookaround):
+#: a piece is an optional-space-prefixed letter run, digit run, or
+#: punctuation run, or a residual space run. Counting these pieces is
+#: the standard cheap proxy for BPE token count (every BPE merge
+#: happens WITHIN a pre-token, so piece count <= true token count,
+#: with the gap shrinking as vocabulary coverage grows).
+BPE_PIECE_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def with_bpe_token_estimate(df: DataFrame, col: str = "text") -> DataFrame:
+    """Adds two LLM-token-budget estimators, both pure Column exprs:
+
+    * ``n_bpe_pieces`` — count of ``BPE_PIECE_RE`` pre-tokenizer
+      pieces (the whitespace+BPE-ish-regex token counter; a lower
+      bound on any BPE tokenizer's count over the same pre-tokens).
+    * ``est_tokens_chars`` — ``ceil(chars / 4)``, the classic
+      chars-per-token heuristic, as a cross-check column.
+
+    NULL text scores 0 for both (budget of nothing is nothing).
+    """
+    pieces = F.expr(
+        f"size(regexp_extract_all({col}, '{BPE_PIECE_RE}', 0))"
+    )
+    return df.withColumn(
+        "n_bpe_pieces",
+        F.when(F.col(col).isNull(), F.lit(0)).otherwise(pieces),
+    ).withColumn(
+        "est_tokens_chars",
+        F.ceil(F.coalesce(F.length(col), F.lit(0)) / F.lit(4.0)).cast("int"),
     )
 
 

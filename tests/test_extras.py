@@ -966,3 +966,32 @@ def test_repetition_signals_goldens(spark):
     assert got[4]["dup_5gram_char_frac"] == 1.0
     with pytest.raises(ValueError, match="top_ns/dup_ns"):
         T.repetition_signals(df, top_ns=(), dup_ns=())
+
+
+def test_bpe_token_estimate_goldens(spark):
+    """Pre-tokenizer piece counts on hand-tokenized strings; the regex
+    must agree between Java (Spark) and RE2 (DuckDB oracle) — both
+    leftmost-first alternation, no lookaround used."""
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),        # 'hello', ' world'
+            (1, "it's 42 tokens!"),    # 'it', \"'\", 's', ' 42, ' tokens', '!'
+            (2, ""),                   # no pieces
+            (3, None),                 # NULL -> 0 by contract
+            (4, "a  b"),               # 'a', ' b' -- wait: 'a', ' ', ' b'? see below
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_pieces"], r["est_tokens_chars"])
+        for r in T.with_bpe_token_estimate(df).collect()
+    }
+    assert got[0] == (2, 3)   # 11 chars -> ceil(11/4) = 3
+    assert got[1] == (6, 4)   # 15 chars -> 4
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    # 'a  b': 'a' then ' ' matches '[a-zA-Z]+' with optional space?
+    # leftmost at pos 1: ' ?[a-zA-Z]+' consumes ' ' then needs letter,
+    # sees ' ' -> fails; digit/punct same; ' +' matches one ' ' (next
+    # char starts ' b' letter piece). Pieces: 'a', ' ', ' b' -> 3.
+    assert got[4] == (3, 1)
