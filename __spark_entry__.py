@@ -962,6 +962,24 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duckdb_bpe_tokens_sql() -> str:
+    """Interpolates the ONE regex definition (text.BPE_PIECE_RE) so
+    engine and oracle cannot drift — the pattern uses only the
+    Java/RE2 shared syntax subset and contains no SQL-quote chars."""
+    from datamatch_spark.extras.text import BPE_PIECE_RE
+
+    assert "'" not in BPE_PIECE_RE
+    return f"""
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(regexp_extract_all(text, '{BPE_PIECE_RE}'))
+               END AS n_bpe_pieces,
+               CAST(ceil(COALESCE(len(text), 0) / 4.0) AS INT)
+                 AS est_tokens_chars
+        FROM documents
+    """
+
+
 # shared by q_repetition_signals and its oracle generator
 _REP_TOP_NS = (2, 3)
 _REP_DUP_NS = (5,)
@@ -1437,7 +1455,7 @@ def _duckdb_sm64_ctes(prefix: str, src: str, keys: list[str], x: str) -> str:
 
 def _duckdb_hex2u64(hh: str) -> str:
     """uint64 from the first 16 hex chars of column ``hh`` (the md5-64
-    gram hash of ``dedup._md5_hash_sql``, unsigned view). Positional
+    gram hash of ``dedup._hex16_to_int64_sql``, unsigned view). Positional
     digit sum with literal 16^k weights — NOT list_reduce, whose
     DuckDB 1.0 lambda mis-threads when a step returns the accumulator
     unchanged (leading-zero digests hit acc*16+0 == acc == 0)."""
@@ -2772,16 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _duckdb_repetition_sql(
             _REP_TOP_NS, _REP_DUP_NS
         ),
-        "bpe_tokens": """
-            SELECT doc_id,
-                   CASE WHEN text IS NULL THEN 0
-                        ELSE len(regexp_extract_all(text,
-                          ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
-                   END AS n_bpe_pieces,
-                   CAST(ceil(COALESCE(len(text), 0) / 4.0) AS INT)
-                     AS est_tokens_chars
-            FROM documents
-        """,
+        "bpe_tokens": _duckdb_bpe_tokens_sql(),
         "minhash_det": _duckdb_minhash_sql(**_MINHASH_DET),
         "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
         "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),

@@ -186,7 +186,12 @@ def build_scorer(spec: dict) -> BaseScorer:
         return SimSumScorer(_build_fields(spec))
     t, kw = _take(spec, "scorer")
     if t == "simsum":
-        return SimSumScorer(_build_fields(kw.pop("fields", None)))
+        fields = kw.pop("fields", None)
+        if kw:
+            raise ValueError(
+                f"bad scorer spec for SimSumScorer: unknown keys {sorted(kw)}"
+            )
+        return SimSumScorer(_build_fields(fields))
     if t == "absolute":
         # JSON-friendly names: column/score
         kw.setdefault("column_name", kw.pop("column", None))
@@ -285,8 +290,10 @@ def _read_input(spark: SparkSession, spec: dict) -> DataFrame:
         df = reader.json(spec["path"])
     elif fmt in ("table", "iceberg"):
         # Iceberg tables register in the catalog (session.py configs);
-        # both read through spark.table
-        df = spark.table(spec["path"])
+        # DataFrameReader.table applies the accumulated options
+        # (snapshot-id / as-of-timestamp time travel etc.) to v2
+        # sources — spark.table() would silently drop them
+        df = reader.table(spec["path"])
     else:
         raise ValueError(f"unknown input format {fmt!r}")
     cols = spec.get("columns")
@@ -329,7 +336,12 @@ def _write_outputs(
             else:
                 raise ValueError(f"unknown output format {fmt!r}")
         elif kind == "decision":
-            matcher.print_decision(thr)
+            # stdout is reserved for main()'s single JSON summary line;
+            # the human-readable report goes to stderr
+            import contextlib
+
+            with contextlib.redirect_stdout(sys.stderr):
+                matcher.print_decision(thr)
         else:
             raise ValueError(f"unknown output kind {kind!r}")
         written.append({"kind": kind, "format": fmt, "path": path})
@@ -350,6 +362,19 @@ def run_job(spark: SparkSession, config: dict) -> dict:
     if threshold is None:
         raise ValueError("config.threshold is required")
     threshold = float(threshold)
+    if "scorer" not in config:
+        raise ValueError("config.scorer is required")
+
+    # the sink goes INTO the matcher (its native lineage path records
+    # wall_ms and per-block candidate stats alongside the partitions
+    # table — re-recording after the fact would lose both)
+    metrics_path = config.get("metrics_path")
+    if metrics_path:
+        from .metrics import MetricsSink
+
+        sink = MetricsSink(spark, metrics_path)
+    else:
+        sink = None
 
     pairing = config.get("pairing")
     matcher = ThresholdMatcher(
@@ -368,17 +393,9 @@ def run_job(spark: SparkSession, config: dict) -> dict:
         checkpoint_dir=config.get("checkpoint_dir"),
         score_partitions=config.get("score_partitions"),
         keyed_tables=config.get("keyed_tables"),
+        metrics_sink=sink,
     )
-
-    metrics_path = config.get("metrics_path")
-    if metrics_path:
-        from .metrics import MetricsSink
-
-        sink = MetricsSink(spark, metrics_path)
-        sink.record_partitions("scored_pairs", matcher.scored_pairs)
-        run_id = sink.run_id
-    else:
-        run_id = None
+    run_id = sink.run_id if sink is not None else None
 
     drow = matcher.decision_counts(threshold).collect()[0]
     decision = {
@@ -409,18 +426,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--master",
         default=None,
-        help="Spark master override (omit under spark-submit, which "
-        "sets it; defaults to local[*] when standalone)",
+        help="Spark master override (omit under spark-submit, whose "
+        "--master is inherited; defaults to local[$SPARK_GRAFT_CPUS] "
+        "when standalone)",
     )
     args = p.parse_args(argv)
     with open(args.config) as f:
         config = json.load(f)
 
+    import os
+
     from .session import get_spark
 
     sconf = config.get("spark") or {}
+    master = args.master or sconf.get("master")
+    if master is None and os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # launched by spark-submit: the JVM gateway already exists and
+        # carries the submit-time --master conf. Setting a builder
+        # master here would OVERRIDE it (e.g. force a yarn job onto
+        # local mode) — inherit instead.
+        master = "inherit"
     spark = get_spark(
-        master=args.master or sconf.get("master"),
+        master=master,
         shuffle_partitions=sconf.get("shuffle_partitions"),
         extra_conf=sconf.get("conf"),
     )

@@ -77,16 +77,20 @@ def _shingles_expr(text_col: str, n: int) -> Column:
 GRAM_HASH_FNS = ("xxhash64", "md5")
 
 
-def _md5_hash_sql(g: str) -> str:
-    """SQL fragment: signed-int64 reinterpretation of the big-endian
-    first 8 md5 bytes of string expression ``g``. Built from two 32-bit
-    ``conv`` halves because conv(16-hex-digit,16,10) yields unsigned
-    decimals ≥ 2^63 that cannot cast to bigint; shiftleft wraps to the
-    same two's-complement bits numpy's uint64→int64 view produces
-    (parity pinned in tests against hashlib.md5)."""
+def _hex16_to_int64_sql(hh: str) -> str:
+    """SQL fragment: signed-int64 reinterpretation of the first 16 hex
+    chars of digest expression ``hh`` (big-endian first 8 md5 bytes).
+    Built from two 32-bit ``conv`` halves because
+    conv(16-hex-digit,16,10) yields unsigned decimals ≥ 2^63 that
+    cannot cast to bigint; shiftleft wraps to the same two's-complement
+    bits numpy's uint64→int64 view produces (parity pinned in tests
+    against hashlib.md5). Takes the HEX, not the gram: interpreted
+    higher-order-function lambdas get no common-subexpression
+    elimination, so the digest must be staged once by the caller or
+    every gram pays the cryptographic hash twice."""
     return (
-        f"shiftleft(cast(conv(substr(md5({g}),1,8),16,10) as bigint), 32) | "
-        f"cast(conv(substr(md5({g}),9,8),16,10) as bigint)"
+        f"shiftleft(cast(conv(substr({hh},1,8),16,10) as bigint), 32) | "
+        f"cast(conv(substr({hh},9,8),16,10) as bigint)"
     )
 
 
@@ -119,10 +123,14 @@ def with_shingle_hashes(
     _check_hash_fn(hash_fn)
     if hash_fn == "md5":
         grams = _shingles_sql(text_col, n)
+        # nested transform stages md5(g) ONCE per gram; inlining the
+        # digest into both conv halves would hash every gram twice
+        # (interpreted HOF lambdas have no CSE)
         return df.withColumn(
             out_col,
             F.expr(
-                f"array_distinct(transform({grams}, g -> {_md5_hash_sql('g')}))"
+                f"array_distinct(transform(transform({grams}, g -> md5(g)), "
+                f"hh -> {_hex16_to_int64_sql('hh')}))"
             ),
         )
     tmp = f"__tokh_{out_col}"

@@ -72,6 +72,10 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``master="inherit"`` never calls ``builder.master()`` — use it under
+    spark-submit so the submit-time ``--master`` conf wins (builder
+    options would override it); shuffle partitions are then also left
+    to the submit conf unless passed explicitly.
     ``shuffle_partitions`` defaults to the local core count so that
     local runs don't pay 200 empty-partition task launches.
 
@@ -86,7 +90,11 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        if master.startswith("local["):
+        if master == "inherit":
+            # the submit environment decides parallelism; Spark's own
+            # default (or a submit-time conf) governs shuffle width
+            shuffle_partitions = None
+        elif master.startswith("local["):
             # 'local[N,maxFailures]' is a legal Spark master form —
             # only the first field is the core count
             inner = master[len("local[") : -1].split(",")[0]
@@ -99,10 +107,20 @@ def get_spark(
             )
         else:
             shuffle_partitions = 200
-    builder = SparkSession.builder.master(master).appName(app_name)
+    # master="inherit": do NOT call builder.master() — builder options
+    # override the submit-time conf, so a cluster job launched via
+    # spark-submit --master yarn would otherwise silently run local.
+    # The master then comes from the existing gateway / spark.master.
+    if master == "inherit":
+        builder = SparkSession.builder.appName(app_name)
+    else:
+        builder = SparkSession.builder.master(master).appName(app_name)
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
-    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = builder.config("spark.ui.enabled", "false")
     if iceberg_warehouse:
         for k, v in iceberg_confs(iceberg_catalog, iceberg_warehouse).items():

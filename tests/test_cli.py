@@ -242,3 +242,52 @@ def test_cli_config_errors(spark, tmp_path):
     bad_fmt = dict(base, input={"a": {"path": src, "format": "orcx"}})
     with pytest.raises(ValueError, match="unknown input format"):
         cli.run_job(spark, bad_fmt)
+
+
+def test_cli_inherits_master_under_spark_submit(tmp_path, monkeypatch):
+    """Under spark-submit (PYSPARK_GATEWAY_PORT set) with no explicit
+    master, main() must pass master='inherit' so the submit-time
+    --master conf is not overridden by a builder local default."""
+    import datamatch_spark.cli as cli_mod
+    import datamatch_spark.session as sess
+
+    cfg = tmp_path / "j.json"
+    cfg.write_text(json.dumps({"input": {"a": {"path": "x"}},
+                               "scorer": {"f": {"type": "string"}},
+                               "threshold": 0.5}))
+    seen = {}
+
+    def fake_get_spark(master=None, **kw):
+        seen["master"] = master
+        raise RuntimeError("stop before touching Spark")
+
+    monkeypatch.setattr(sess, "get_spark", fake_get_spark)
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "50000")
+    with pytest.raises(RuntimeError, match="stop before"):
+        cli_mod.main(["--config", str(cfg)])
+    assert seen["master"] == "inherit"
+    # an explicit --master always wins over inheritance
+    with pytest.raises(RuntimeError, match="stop before"):
+        cli_mod.main(["--config", str(cfg), "--master", "local[2]"])
+    assert seen["master"] == "local[2]"
+    # standalone (no gateway): default local sizing path (None)
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT")
+    with pytest.raises(RuntimeError, match="stop before"):
+        cli_mod.main(["--config", str(cfg)])
+    assert seen["master"] is None
+
+
+def test_simsum_spec_rejects_unknown_keys():
+    with pytest.raises(ValueError, match="unknown keys"):
+        cli.build_scorer(
+            {"type": "simsum", "fields": {"f": {"type": "string"}},
+             "weights": [1, 2]}
+        )
+
+
+def test_missing_scorer_is_loud(spark, tmp_path):
+    src = str(tmp_path / "n.parquet")
+    _write_names(spark, src)
+    with pytest.raises(ValueError, match="scorer is required"):
+        cli.run_job(spark, {"input": {"a": {"path": src}},
+                            "threshold": 0.8})
