@@ -1057,6 +1057,113 @@ FROM base b LEFT JOIN wide w USING (doc_id)
 """
 
 
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic line boundaries: the corpus text
+    has no newlines, so every literal ' table ' becomes one (both
+    sides: Spark replace() and DuckDB replace() are the same
+    left-to-right non-overlapping literal substitution)."""
+    return _docs(spark, sf_dir).withColumn(
+        "text", F.expr("replace(text, ' table ', '\\n')")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact line-level dedup (C4/CCNet keep-first; see
+    extras/cleaning.py): every distinct non-empty line keeps only its
+    (doc_id, position)-minimal occurrence across the corpus and each
+    document is reassembled. One md5-keyed agg+join — hot/empty lines
+    exempted BEFORE the shuffle. Hard oracle: DuckDB window-free
+    arg-min replica keyed on the line STRING, so it also
+    collision-checks the engine's md5 join keys."""
+    from datamatch_spark.extras.cleaning import dedup_lines
+
+    return dedup_lines(_docs_with_lines(spark, sf_dir))
+
+
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-line quality filter (extras/cleaning.py): keep
+    lines with >= 3 space-separated words that don't contain the stop
+    phrase 'slow slow'; zero-shuffle pure-Column plan. Hard oracle:
+    list_filter replica in DuckDB."""
+    from datamatch_spark.extras.cleaning import filter_lines
+
+    return filter_lines(
+        _docs_with_lines(spark, sf_dir),
+        min_words=3,
+        drop_if_contains=("slow slow",),
+    ).select("doc_id", "n_lines", "n_lines_kept", "text_filtered")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (extras/cleaning.py): emails/IPv4/phones ->
+    typed placeholders with staged per-doc counts. The corpus has no
+    natural PII, so deterministic PII is appended to every 7th doc on
+    BOTH sides (same SQL expression) — the oracle then checks real
+    replacements, not a no-op. Patterns are Java-regex ∩ RE2 so DuckDB
+    runs the identical strings."""
+    from datamatch_spark.extras.cleaning import redact_pii
+
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_PII_SEED_EXPR))
+    return redact_pii(docs).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"
+    )
+
+
+#: appended PII seed — one shared SQL expression, valid in BOTH Spark
+#: SQL and DuckDB (concat, %, lpad over varchar)
+_PII_SEED_EXPR = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', "
+    "CAST(doc_id AS STRING), '@example.com or 10.0.', "
+    "CAST(doc_id % 200 AS STRING), '.', CAST(doc_id % 250 AS STRING), "
+    "' tel 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE text END"
+)
+
+
+def _duckdb_pii_sql() -> str:
+    """Interpolates the ONE set of PII pattern definitions
+    (cleaning.EMAIL_RE / IPV4_RE / PHONE_RE) so engine and oracle
+    cannot drift. Staged like the engine: emails counted+replaced
+    first, then IPv4 on the email-redacted text, then phones — DuckDB
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default; counts are len(regexp_extract_all) since
+    DuckDB has no regexp_count."""
+    from datamatch_spark.extras.cleaning import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    for pat in (EMAIL_RE, IPV4_RE, PHONE_RE):
+        assert "'" not in pat
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, {_PII_SEED_EXPR} AS text FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id, text,
+                 CASE WHEN text IS NULL THEN 0
+                      ELSE len(regexp_extract_all(text, '{EMAIL_RE}')) END
+                   AS n_emails,
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM seeded
+        ),
+        s2 AS (
+          SELECT doc_id, text, n_emails,
+                 CASE WHEN text IS NULL THEN 0
+                      ELSE len(regexp_extract_all(t1, '{IPV4_RE}')) END
+                   AS n_ips,
+                 regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               CAST(n_emails AS INT) AS n_emails,
+               CAST(n_ips AS INT) AS n_ips,
+               CAST(CASE WHEN text IS NULL THEN 0
+                    ELSE len(regexp_extract_all(t2, '{PHONE_RE}')) END AS INT)
+                 AS n_phones,
+               regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g')
+                 AS text_redacted
+        FROM s2
+    """
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.dedup import exact_duplicates
 
@@ -1390,6 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition_signals": q_repetition_signals,
         "bpe_tokens": q_bpe_tokens,
+        "line_dedup": q_line_dedup,
+        "line_filter": q_line_filter,
+        "pii_redact": q_pii_redact,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2794,6 +2904,68 @@ def oracle_sql() -> dict[str, str]:
         "minhash_det": _duckdb_minhash_sql(**_MINHASH_DET),
         "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
         "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+              FROM documents
+            ),
+            ex AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) - 1 AS pos
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)
+            ),
+            keepers AS (
+              -- arg-min by (doc_id, pos): struct min is lexicographic
+              SELECT line,
+                     min(struct_pack(doc_id := doc_id, pos := pos)) AS k
+              FROM ex WHERE length(line) >= 1 GROUP BY line
+            ),
+            kept AS (
+              SELECT e.doc_id, e.pos, e.line
+              FROM ex e LEFT JOIN keepers kk ON e.line = kk.line
+              WHERE length(e.line) < 1
+                 OR (kk.k.doc_id = e.doc_id AND kk.k.pos = e.pos)
+            ),
+            re AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN d.text IS NULL THEN 0
+                        ELSE len(string_split(d.text, chr(10))) END AS INT)
+                     AS n_lines,
+                   CAST(COALESCE(r.n_kept, 0) AS INT) AS n_lines_kept,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE COALESCE(r.text_dedup, '') END AS text_dedup
+            FROM d LEFT JOIN re r USING (doc_id)
+        """,
+        "line_filter": """
+            WITH d AS (
+              SELECT doc_id,
+                     string_split(replace(text, ' table ', chr(10)), chr(10))
+                       AS ls
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, ls,
+                     list_filter(ls, x ->
+                       len(string_split(x, ' ')) >= 3
+                       AND NOT contains(x, 'slow slow')) AS kept
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(COALESCE(len(ls), 0) AS INT) AS n_lines,
+                   CAST(COALESCE(len(kept), 0) AS INT) AS n_lines_kept,
+                   -- DuckDB array_to_string([]) is NULL; Spark
+                   -- array_join([]) is '' (NULL only for NULL input)
+                   CASE WHEN ls IS NULL THEN NULL
+                        ELSE COALESCE(array_to_string(kept, chr(10)), '')
+                   END AS text_filtered
+            FROM k
+        """,
+        "pii_redact": _duckdb_pii_sql(),
         "exact_dedup": """
             WITH h AS (
               SELECT doc_id, md5(lower(substring(text, 1, 25))) AS hh FROM documents

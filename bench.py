@@ -18,6 +18,8 @@ Headline workloads:
   multiprobe) over the same tiled embeddings.
 * text_pipeline  — token/quality/fingerprint/lang-id over tiled docs.
 * hygiene        — corpus-wide duplicated-8-gram stats, dup-heavy worst case.
+* line_dedup     — global exact line dedup (C4-style keep-first) over
+  the tiled corpus: every line duplicated, hot-fingerprint worst case.
 
 Self-evidencing on a noisy host (VERDICT r4): per-query times are
 MEDIANS of $SPARK_GRAFT_REPEATS (default 3) interleaved full passes —
@@ -350,6 +352,30 @@ def bench_hygiene(spark, sf_dir: str, sf: float):
     return time.time() - t0, n
 
 
+def bench_cleaning(spark, sf_dir: str, sf: float):
+    """Global exact line dedup over the tiled corpus with synthesized
+    line boundaries — tiling makes EVERY line a corpus-wide duplicate,
+    so the keeper join runs at its hot-fingerprint worst case (the
+    skew regime the short-line exemption + AQE skew-join are for)."""
+    from datamatch_spark.extras.cleaning import dedup_lines
+
+    tile = max(4, int(400 * sf))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.crossJoin(spark.range(tile).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("doc_id") * tile + F.col("copy")).alias("doc_id"),
+            F.expr("replace(text, ' table ', '\\n')").alias("text"),
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    out = dedup_lines(big)
+    n_kept = out.agg(F.sum("n_lines_kept")).collect()[0][0]
+    return time.time() - t0, int(n_kept or 0)
+
+
 def _warmup(spark, sf_dir: str):
     """Miniature pre-runs of every pipeline: JVM whole-stage-codegen
     classes get generated + JIT-compiled and Python UDF workers spawn
@@ -457,6 +483,9 @@ def _run_suite(spark, sf_dir: str, sf: float, clear_rdd_cache) -> tuple[dict, di
     clear_rdd_cache()
     t_hy, n_hy = bench_hygiene(spark, sf_dir, sf)
     times["hygiene"], counts["hygiene_dup_docs"] = t_hy, n_hy
+    clear_rdd_cache()
+    t_cl, n_cl = bench_cleaning(spark, sf_dir, sf)
+    times["line_dedup"], counts["lines_kept"] = t_cl, n_cl
     clear_rdd_cache()
     return times, counts
 
@@ -658,6 +687,7 @@ def main():
         "semantic_corpus_rows": counts["semantic_corpus_rows"],
         "text_rows": n_txt,
         "hygiene_dup_docs": counts["hygiene_dup_docs"],
+        "lines_kept": counts["lines_kept"],
     }
     if sf1 is not None:
         result["sf1"] = sf1
