@@ -4,10 +4,13 @@
 SURVEY.md §2 (+ the training-data extras); each callable takes
 (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for every
-SQL-expressible query (same column names, floats rounded identically).
-Ops whose semantics are not SQL-expressible (Jaro-Winkler scoring,
-greedy 1:1 pruning, LSH internals, Swap variators) have no oracle
-entry and get the driver's rows-only check.
+SQL-expressible query (same column names, floats rounded identically),
+including recursive-CTE replicas of the JW/LCS kernels, the greedy
+1:1 / clique-split graph ops, and deterministic-hash twins of the
+MinHash/SimHash/sign-LSH pipelines. The remaining rows-only queries
+are each structurally non-SQL (production xxhash64/Gaussian paths
+whose det twins ARE oracled, streaming state, binary media decode)
+and carry pytest equivalence/recall evidence instead.
 """
 
 from __future__ import annotations
@@ -1164,6 +1167,118 @@ def _duckdb_pii_sql() -> str:
     """
 
 
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cleaning COMPOSITION under one hard oracle: PII-seed ->
+    line synthesis -> C4 per-line filter (min 2 words) -> GLOBAL
+    keep-first line dedup -> staged PII redaction. Every stage's
+    output feeds the next (the seeded PII rides a surviving line
+    through filter+dedup and is redacted at the end), so the oracle
+    checks the stage interfaces, not just each stage alone."""
+    from datamatch_spark.extras.cleaning import (
+        dedup_lines,
+        filter_lines,
+        redact_pii,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("text", F.expr(_PII_SEED_EXPR))
+        .withColumn("text", F.expr("replace(text, ' table ', '\\n')"))
+    )
+    filtered = filter_lines(docs, min_words=2).select(
+        "doc_id", F.col("text_filtered").alias("text")
+    )
+    out = redact_pii(
+        dedup_lines(filtered), col="text_dedup", out_col="text_clean"
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_lines_kept",
+        "n_emails", "n_ips", "n_phones", "text_clean",
+    )
+
+
+def _duckdb_clean_pipeline_sql() -> str:
+    """Chained replica of q_clean_pipeline: seed+split, list_filter,
+    the arg-min line-dedup chain, then the 3-stage PII redaction over
+    the deduped text — one SQL statement, stage outputs feeding the
+    next exactly like the Spark plan."""
+    from datamatch_spark.extras.cleaning import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 replace({_PII_SEED_EXPR}, ' table ', chr(10)) AS text
+          FROM documents
+        ),
+        filt AS (
+          SELECT doc_id,
+                 CASE WHEN ls IS NULL THEN NULL
+                      ELSE COALESCE(array_to_string(
+                        list_filter(ls,
+                          x -> len(string_split(x, ' ')) >= 2),
+                        chr(10)), '')
+                 END AS text
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM seeded)
+        ),
+        ex AS (
+          SELECT doc_id, unnest(ls) AS line,
+                 generate_subscripts(ls, 1) - 1 AS pos
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM filt)
+        ),
+        keepers AS (
+          SELECT line,
+                 min(struct_pack(doc_id := doc_id, pos := pos)) AS k
+          FROM ex WHERE length(line) >= 1 GROUP BY line
+        ),
+        kept AS (
+          SELECT e.doc_id, e.pos, e.line
+          FROM ex e LEFT JOIN keepers kk ON e.line = kk.line
+          WHERE length(e.line) < 1
+             OR (kk.k.doc_id = e.doc_id AND kk.k.pos = e.pos)
+        ),
+        re AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        dd AS (
+          SELECT f.doc_id,
+                 CAST(CASE WHEN f.text IS NULL THEN 0
+                      ELSE len(string_split(f.text, chr(10))) END AS INT)
+                   AS n_lines,
+                 CAST(COALESCE(r.n_kept, 0) AS INT) AS n_lines_kept,
+                 CASE WHEN f.text IS NULL THEN NULL
+                      ELSE COALESCE(r.text_dedup, '') END AS td
+          FROM filt f LEFT JOIN re r USING (doc_id)
+        ),
+        p1 AS (
+          SELECT *, CASE WHEN td IS NULL THEN 0
+                      ELSE len(regexp_extract_all(td, '{EMAIL_RE}')) END
+                   AS n_emails,
+                 regexp_replace(td, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM dd
+        ),
+        p2 AS (
+          SELECT *, CASE WHEN td IS NULL THEN 0
+                      ELSE len(regexp_extract_all(t1, '{IPV4_RE}')) END
+                   AS n_ips,
+                 regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+          FROM p1
+        )
+        SELECT doc_id, n_lines, n_lines_kept,
+               CAST(n_emails AS INT) AS n_emails,
+               CAST(n_ips AS INT) AS n_ips,
+               CAST(CASE WHEN td IS NULL THEN 0
+                    ELSE len(regexp_extract_all(t2, '{PHONE_RE}')) END
+                 AS INT) AS n_phones,
+               regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g')
+                 AS text_clean
+        FROM p2
+    """
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.dedup import exact_duplicates
 
@@ -1500,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "line_filter": q_line_filter,
         "pii_redact": q_pii_redact,
+        "clean_pipeline": q_clean_pipeline,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2966,6 +3082,7 @@ def oracle_sql() -> dict[str, str]:
             FROM k
         """,
         "pii_redact": _duckdb_pii_sql(),
+        "clean_pipeline": _duckdb_clean_pipeline_sql(),
         "exact_dedup": """
             WITH h AS (
               SELECT doc_id, md5(lower(substring(text, 1, 25))) AS hh FROM documents

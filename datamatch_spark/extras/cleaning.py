@@ -84,6 +84,10 @@ def dedup_lines(
     The keeper choice is a plain ``min`` over a two-field struct, so
     the result is deterministic under any partitioning, retry, or
     engine — the property the DuckDB oracle checks end-to-end.
+
+    ``id_col`` values are assumed unique per row (the corpus contract
+    shared by every operator here); duplicate ids would merge their
+    documents' lines in the reassembly step.
     """
     lines = _split_literal(F.col(col), sep)
     ex = df.select(

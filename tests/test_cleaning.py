@@ -158,7 +158,9 @@ class TestRedactPii:
         ) == (2, 2, 1)
 
 
-@pytest.mark.parametrize("query", ["line_dedup", "line_filter", "pii_redact"])
+@pytest.mark.parametrize(
+    "query", ["line_dedup", "line_filter", "pii_redact", "clean_pipeline"]
+)
 def test_duckdb_oracle_parity_smoke(spark, query):
     """Tiny-scale replica of the driver's oracle gate (the full one
     runs via scripts/oracle_check.py at sf0.01)."""
