@@ -1279,6 +1279,67 @@ def _duckdb_clean_pipeline_sql() -> str:
     """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (Lee et al. 2022 ExactSubstr at
+    fixed window n=8; extras/cleaning.py): every token covered by a
+    corpus-duplicated 8-gram window is cut, all occurrences removed.
+    Hard oracle: gram-STRING-keyed DuckDB replica (collision-checks
+    the engine's md5 gram transport)."""
+    from datamatch_spark.extras.cleaning import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), n=8, min_count=2)
+
+
+def _duckdb_dup_span_sql(n: int = 8, min_count: int = 2) -> str:
+    """DuckDB replica of remove_duplicate_spans: positioned n-gram
+    windows, HAVING count >= min_count over the gram string, covered
+    token indices via range-unnest, anti-join, ordered string_agg."""
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        w AS (
+          SELECT doc_id, i - 1 AS pos, {gram} AS g
+          FROM toks, UNNEST(range(1, len(t) - {n - 2})) u(i)
+        ),
+        dup AS (
+          SELECT g FROM w GROUP BY g HAVING count(*) >= {min_count}
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + j AS ti
+          FROM (SELECT doc_id, pos FROM w JOIN dup USING (g)),
+               UNNEST(range(0, {n})) v(j)
+        ),
+        tex AS (
+          SELECT doc_id, generate_subscripts(t, 1) - 1 AS ti,
+                 unnest(t) AS tok
+          FROM toks
+        ),
+        kept AS (
+          SELECT e.doc_id, e.ti, e.tok
+          FROM tex e LEFT JOIN cov c
+            ON e.doc_id = c.doc_id AND e.ti = c.ti
+          WHERE c.ti IS NULL
+        ),
+        re AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text_cut,
+                 count(*) AS nk
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN d.text IS NULL THEN 0
+                    ELSE len(string_split(d.text, ' ')) END AS INT)
+                 AS n_tokens,
+               CAST(CASE WHEN d.text IS NULL THEN 0
+                    ELSE len(string_split(d.text, ' ')) END
+                    - COALESCE(r.nk, 0) AS INT) AS n_tokens_removed,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(r.text_cut, '') END AS text_cut
+        FROM documents d LEFT JOIN re r USING (doc_id)
+    """
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.dedup import exact_duplicates
 
@@ -1616,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_filter": q_line_filter,
         "pii_redact": q_pii_redact,
         "clean_pipeline": q_clean_pipeline,
+        "dup_span_removal": q_dup_span_removal,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -3083,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": _duckdb_pii_sql(),
         "clean_pipeline": _duckdb_clean_pipeline_sql(),
+        "dup_span_removal": _duckdb_dup_span_sql(),
         "exact_dedup": """
             WITH h AS (
               SELECT doc_id, md5(lower(substring(text, 1, 25))) AS hh FROM documents

@@ -42,6 +42,7 @@ __all__ = [
     "dedup_lines",
     "filter_lines",
     "redact_pii",
+    "remove_duplicate_spans",
     "EMAIL_RE",
     "IPV4_RE",
     "PHONE_RE",
@@ -176,6 +177,98 @@ def filter_lines(
         )
         .withColumn("n_lines_kept", F.coalesce(F.size(kept), F.lit(0)))
         .withColumn(out_col, F.array_join(kept, sep))
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal, the within-document surgery of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr) approximated at fixed window size:
+    every token covered by an n-token window whose exact text occurs
+    at least ``min_count`` times across the WHOLE corpus (within-doc
+    repeats included) is cut from the document; surviving tokens are
+    re-joined in order. Like the released ExactSubstr tool, ALL
+    occurrences of a duplicated span are removed — no global
+    keeper-election pass is needed, which is what makes the operator
+    one aggregate + two joins instead of an iterative fixpoint.
+
+    Distinct from :func:`~datamatch_spark.extras.decontam.
+    dup_ngram_stats` (which only MEASURES the duplicated fraction):
+    this one rewrites the text. Returns ``(id_col, n_tokens,
+    n_tokens_removed, out_col)``; NULL text stays NULL, docs shorter
+    than ``n`` tokens are never cut.
+
+    Plan shape at scale: gram df aggregate with map-side combine
+    (shuffle carries (md5, count), never text), md5-keyed join back
+    (dup side unique per fingerprint -> AQE skew-join splittable —
+    the same hot-key story as :func:`dedup_lines`), covered-index
+    explode bounded by n x duplicated-window count, one left-anti
+    join, one per-doc rebuild aggregate. All JVM Column ops.
+    """
+    from .text import _gram_list
+
+    if n < 2:
+        raise ValueError("n must be >= 2 (n=1 would cut every dup token)")
+    grams = df.select(
+        F.col(id_col), F.posexplode(_gram_list(col, n)).alias("__pos", "__g")
+    )
+    dup = (
+        grams.groupBy(F.md5("__g").alias("__fp"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__fp")
+    )
+    dupw = grams.join(dup, F.md5(grams["__g"]) == dup["__fp"]).select(
+        id_col, "__pos"
+    )
+    covered = dupw.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__ti"),
+    ).distinct()
+    toks_ex = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(col), " ")).alias(
+            "__ti", "__tok"
+        )
+    )
+    kept = toks_ex.join(covered, on=[id_col, "__ti"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ti", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(col).alias("__orig"),
+        F.coalesce(F.size(F.split(F.col(col), " ")), F.lit(0)).alias(
+            "n_tokens"
+        ),
+    )
+    n_tok = F.when(F.col("__orig").isNull(), F.lit(0)).otherwise(
+        F.col("n_tokens")
+    )
+    return base.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        (n_tok - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_tokens_removed"),
+        F.when(F.col("__orig").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("__text"), F.lit("")))
+        .alias(out_col),
     )
 
 

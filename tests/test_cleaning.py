@@ -13,6 +13,7 @@ from datamatch_spark.extras.cleaning import (
     dedup_lines,
     filter_lines,
     redact_pii,
+    remove_duplicate_spans,
 )
 
 
@@ -158,8 +159,72 @@ class TestRedactPii:
         ) == (2, 2, 1)
 
 
+class TestRemoveDuplicateSpans:
+    def test_cross_doc_span_removed_everywhere(self, spark):
+        # 'a b c' occurs in both docs -> ALL occurrences cut
+        df = spark.createDataFrame(
+            [(0, "x a b c y"), (1, "a b c z")], ["doc_id", "text"]
+        )
+        out = _rows(remove_duplicate_spans(df, n=3))
+        assert out[0]["text_cut"] == "x y"
+        assert out[1]["text_cut"] == "z"
+        assert out[0]["n_tokens_removed"] == 3
+        assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (4, 3)
+
+    def test_within_doc_repeat_counts(self, spark):
+        # the SAME doc repeating an n-gram reaches min_count alone
+        df = spark.createDataFrame(
+            [(0, "a b c q a b c")], ["doc_id", "text"]
+        )
+        out = _rows(remove_duplicate_spans(df, n=3))
+        assert out[0]["text_cut"] == "q"
+
+    def test_overlapping_windows_merge_coverage(self, spark):
+        # 'a b c' and 'b c d' both duplicated -> union of covered
+        # indices, tokens removed once each
+        df = spark.createDataFrame(
+            [(0, "a b c d x"), (1, "a b c d y")], ["doc_id", "text"]
+        )
+        out = _rows(remove_duplicate_spans(df, n=3))
+        assert out[0]["text_cut"] == "x"
+        assert out[0]["n_tokens_removed"] == 4
+
+    def test_short_and_null_docs_untouched(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, None), (2, "a b")],
+            "doc_id long, text string",
+        )
+        out = _rows(remove_duplicate_spans(df, n=3))
+        # 2-token docs have no 3-gram windows, even though they are
+        # exact duplicates of each other
+        assert out[0]["text_cut"] == "a b"
+        assert out[2]["text_cut"] == "a b"
+        assert out[1]["text_cut"] is None
+        assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (0, 0)
+
+    def test_whole_doc_removed(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b c")], ["doc_id", "text"]
+        )
+        out = _rows(remove_duplicate_spans(df, n=3))
+        assert out[0]["text_cut"] == ""
+        assert out[1]["text_cut"] == ""
+
+    def test_n_must_be_at_least_two(self, spark):
+        df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            remove_duplicate_spans(df, n=1)
+
+
 @pytest.mark.parametrize(
-    "query", ["line_dedup", "line_filter", "pii_redact", "clean_pipeline"]
+    "query",
+    [
+        "line_dedup",
+        "line_filter",
+        "pii_redact",
+        "clean_pipeline",
+        "dup_span_removal",
+    ],
 )
 def test_duckdb_oracle_parity_smoke(spark, query):
     """Tiny-scale replica of the driver's oracle gate (the full one
