@@ -33,6 +33,11 @@ mode, seconds = sys.argv[1], float(sys.argv[2])
 if mode == "memcpy":
     src = np.empty(64 << 20, dtype=np.uint8)  # 64 MB >> LLC
     dst = np.empty_like(src)
+    # fault ALL pages before timing: first touch costs ~1 s/proc on
+    # this VM (host-side page allocation), which used to eat most of
+    # a 2-3 s budget and report ~0.2 GB/s for a 23 GB/s core
+    src[:] = 1
+    np.copyto(dst, src)
     n, t0 = 0, time.perf_counter()
     while time.perf_counter() - t0 < seconds:
         np.copyto(dst, src)
