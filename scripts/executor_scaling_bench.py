@@ -27,12 +27,17 @@ import sys
 WORKER = r"""
 import json, os, sys, time
 n_exec = int(sys.argv[1]); cores = int(sys.argv[2]); mem = int(sys.argv[3])
-n_docs = int(sys.argv[4])
+n_docs = int(sys.argv[4]); waves = int(sys.argv[5])
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder
     .master(f"local-cluster[{n_exec},{cores},{mem}]")
     .appName(f"exec-scaling-{n_exec}")
-    .config("spark.sql.shuffle.partitions", str(cores * n_exec))
+    # `waves` tasks per core, not 1: a single wave makes the wall
+    # equal to the SLOWEST of K tasks, and max-of-32 draws is worse
+    # than max-of-8 — one-wave scheduling systematically penalizes
+    # the 4N level. Multi-wave is also what any real 4N-executor
+    # deployment runs (2-4x tasks per core is the standard guidance).
+    .config("spark.sql.shuffle.partitions", str(waves * cores * n_exec))
     .config("spark.driver.memory", "8g")
     # executor Python workers run under the standalone worker's cwd;
     # they need an ABSOLUTE path to import the package (the deployment
@@ -64,11 +69,32 @@ print(json.dumps({"executors": n_exec, "pairs": n, "seconds": round(el, 3),
 """
 
 
+def hw_probe(seconds: float = 2.0) -> dict:
+    """Same-window hardware 8->32-core scaling (scripts/ceiling_probe.py).
+
+    The probe's `cpu_ceiling_eff` is what the host's vCPUs themselves
+    scale to between the two pinned core sets — the hard upper bound
+    any CPU-bound job can reach in that window (this virtualized box
+    runs 8-core sets ~25-40% faster per core than 32-core sets).
+    """
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "ceiling_probe.py"),
+             "--seconds", str(seconds)],
+            capture_output=True, text=True, timeout=240,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # probe failure must not kill the bench
+        return {"error": str(exc)[:200], "valid": False}
+
+
 def run_level(n_exec: int, cores: int, mem: int, n_docs: int,
-              pin: bool = False) -> dict:  # noqa: D103
+              pin: bool = False, waves: int = 4) -> dict:  # noqa: D103
     last_err = ""
     cmd = [sys.executable, "-c", WORKER, str(n_exec), str(cores), str(mem),
-           str(n_docs)]
+           str(n_docs), str(waves)]
     if pin:
         # bound the WHOLE tree (driver JVM + standalone worker +
         # executors + Python workers) to n_exec*cores host cores — the
@@ -102,16 +128,20 @@ def main():
     ap.add_argument("--warmup", action="store_true",
                     help="one discarded small run first (first JVM after "
                          "idle is reproducibly ~4x slow on this host)")
+    ap.add_argument("--waves", type=int, default=4,
+                    help="shuffle tasks per core (multi-wave load balance)")
     args = ap.parse_args()
 
     if args.warmup:
-        run_level(1, args.exec_cores, args.exec_mem_mb, 30_000, args.pin)
+        run_level(1, args.exec_cores, args.exec_mem_mb, 30_000, args.pin,
+                  args.waves)
     rounds = []
     for _ in range(args.repeats):
+        probe = hw_probe()
         r1 = run_level(1, args.exec_cores, args.exec_mem_mb, args.n_docs,
-                       args.pin)
+                       args.pin, args.waves)
         r4 = run_level(4, args.exec_cores, args.exec_mem_mb, args.n_docs,
-                       args.pin)
+                       args.pin, args.waves)
         e = (r4["pairs_per_sec"] / r1["pairs_per_sec"]) / 4.0
         # Pre-registered validity rule: a CPU-bound job cannot scale
         # superlinearly by more than scheduling noise. eff > 1.25 means
@@ -120,8 +150,19 @@ def main():
         # at a time) — the round is contamination, discarded exactly
         # like a contaminated sublinear loss would be.
         valid = e <= 1.25
-        rounds.append({"low": r1, "high": r4, "eff": round(e, 3),
-                       "valid_round": valid})
+        hw_eff = probe.get("cpu_ceiling_eff")
+        rounds.append({
+            "low": r1, "high": r4, "eff": round(e, 3),
+            "valid_round": valid,
+            "hw_cpu_eff_same_window": hw_eff,
+            "hw_probe_valid": bool(probe.get("valid")),
+            # engine scaling as a fraction of what the host's own
+            # vCPUs scaled to in the same window (only meaningful
+            # when the probe itself was healthy)
+            "eff_vs_hw_ceiling": (
+                round(e / hw_eff, 3)
+                if probe.get("valid") and hw_eff else None),
+        })
         print(json.dumps(rounds[-1]), flush=True)
     usable = [r for r in rounds if r["valid_round"]]
     if not usable:
@@ -133,8 +174,14 @@ def main():
         return 1
     mid = sorted(usable, key=lambda r: r["eff"])[len(usable) // 2]
     r1, r4, eff = mid["low"], mid["high"], mid["eff"]
+    hw_effs = [r["hw_cpu_eff_same_window"] for r in usable
+               if r.get("hw_probe_valid")]
+    norm = [r["eff_vs_hw_ceiling"] for r in usable
+            if r.get("eff_vs_hw_ceiling")]
     print(json.dumps({"rounds": [r["eff"] for r in rounds],
                       "valid_rounds": [r["eff"] for r in usable],
+                      "hw_cpu_effs": hw_effs,
+                      "eff_vs_hw_ceiling": norm,
                       "scaling_efficiency_1_to_4_executors": eff}))
 
     pin_note = (
@@ -152,15 +199,19 @@ per-executor shape at both levels; the faithful sandbox analogue of the
 north rule's N -> 4N executors. {args.repeats} interleaved rounds,
 median-efficiency VALID round reported (rounds with implied eff > 1.25
 are host-regime contamination and excluded — see the pre-registered
-rule in the script):
+rule in the script); {args.waves} task waves per core:
 Round efficiencies: {[r['eff'] for r in rounds]} (valid: {[r['eff'] for r in usable]})
+Same-window hardware 8->32-core CPU scaling (pinned probe): {hw_effs}
+Engine efficiency / hardware ceiling: {norm}
 
 | executors | pairs scored | wall (s) | pairs/sec |
 |---|---|---|---|
 | 1 x {args.exec_cores} cores | {r1['pairs']:,} | {r1['seconds']} | {r1['pairs_per_sec']:,} |
 | 4 x {args.exec_cores} cores | {r4['pairs']:,} | {r4['seconds']} | {r4['pairs_per_sec']:,} |
 
-**Executor-scaling efficiency (1 -> 4): {eff:.3f}** (target >= 0.8).
+**Executor-scaling efficiency (1 -> 4): {eff:.3f}** (target >= 0.8;
+same-window hardware ceiling bounds any CPU-bound job — see the
+normalized row above).
 """
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "BENCH.md"), "a") as f:
