@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 US = "\x1f"  # key component separator used by datamatch_spark.indices
@@ -1627,6 +1627,193 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _url_expr() -> Column:
+    """Deterministic synthetic absolute URLs keyed on doc_id (the
+    documents table carries no URL column): five shapes covering every
+    canonicalization branch — uppercase scheme/host, default and
+    non-default ports, tracking params leading/trailing/solo,
+    fragments, two-level public suffix, bare IP host. The DuckDB
+    oracle builds the IDENTICAL strings in SQL."""
+    s = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    return (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/a/"), s,
+            F.lit("?utm_source=feed&id="), s, F.lit("&fbclid=XYZ#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://News.Site.co.uk:443/story/"), s,
+            F.lit("?id="), s, F.lit("&utm_campaign=np")))
+        .when(m == 2, F.concat(
+            F.lit("https://ads.Tracker.example.org/p/"), s))
+        .when(m == 3, F.concat(
+            F.lit("http://sub.shop.com.au/item/"), s,
+            F.lit("?utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://192.168.0.1:8080/raw/"), s))
+    )
+
+
+# Shared DuckDB CTE chain: synthesize the _url_expr strings, canonicalize
+# (mirrors extras/urls.py canonicalize_url step by step), and extract the
+# registered domain (mirrors registered_domain). Ends at d4 exposing
+# (doc_id, url_canon, domain). Used by the url_pipeline and domain_stats
+# oracles so the two stay provably on one spec.
+_DUCKDB_URL_DOMAIN_CTE = """
+            WITH u AS (
+              SELECT doc_id, CASE doc_id % 5
+                WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/'
+                            || CAST(doc_id AS VARCHAR)
+                            || '?utm_source=feed&id='
+                            || CAST(doc_id AS VARCHAR) || '&fbclid=XYZ#frag'
+                WHEN 1 THEN 'https://News.Site.co.uk:443/story/'
+                            || CAST(doc_id AS VARCHAR) || '?id='
+                            || CAST(doc_id AS VARCHAR) || '&utm_campaign=np'
+                WHEN 2 THEN 'https://ads.Tracker.example.org/p/'
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN 'http://sub.shop.com.au/item/'
+                            || CAST(doc_id AS VARCHAR) || '?utm_campaign=x'
+                ELSE 'https://192.168.0.1:8080/raw/'
+                     || CAST(doc_id AS VARCHAR)
+              END AS url FROM documents
+            ), c2 AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     regexp_replace(regexp_replace(url, '#.*', ''),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM u
+            ), c3 AS (
+              SELECT *,
+                     lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+                     substr(rest,
+                            length(regexp_extract(rest, '^([^/?]*)', 1)) + 1)
+                       AS tail
+              FROM c2
+            ), c4 AS (
+              SELECT *,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS host,
+                regexp_extract(tail, '^([^?]*)', 1) AS path,
+                substr(tail,
+                       length(regexp_extract(tail, '^([^?]*)', 1)) + 2)
+                  AS query
+              FROM c3
+            ), c5 AS (
+              SELECT *,
+                array_to_string(list_filter(string_split(query, '&'),
+                    p -> len(p) > 0 AND NOT regexp_matches(p,
+                         '^(utm_[^=]*|fbclid|gclid)(=|$)')), '&') AS q2
+              FROM c4
+            ), c6 AS (
+              SELECT doc_id,
+                CASE WHEN scheme = '' THEN url
+                     ELSE scheme || '://' || host || path ||
+                          CASE WHEN length(q2) > 0 THEN '?' || q2
+                               ELSE '' END
+                END AS url_canon
+              FROM c5
+            ), d2 AS (
+              SELECT doc_id, url_canon,
+                lower(regexp_extract(url_canon,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host2
+              FROM c6
+            ), d3 AS (
+              SELECT *, string_split(host2, '.') AS labels FROM d2
+            ), d4 AS (
+              SELECT doc_id, url_canon,
+                CASE WHEN regexp_matches(host2, '^[0-9.]+$') THEN host2
+                     WHEN len(labels) <= 2 THEN host2
+                     WHEN (labels[-2] || '.' || labels[-1]) IN
+                          ('co.uk','org.uk','ac.uk','gov.uk','com.au',
+                           'net.au','org.au','co.jp','ne.jp','or.jp',
+                           'com.br','com.mx','co.in','co.nz','com.cn',
+                           'com.sg','co.za','com.tr')
+                       THEN labels[-3] || '.' || labels[-2] || '.'
+                            || labels[-1]
+                     ELSE labels[-2] || '.' || labels[-1]
+                END AS domain
+              FROM d3
+            )
+"""
+
+
+def q_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene trio (extras/urls.py): canonicalize (fragment /
+    default-port / tracking-param stripping, scheme+host lowercased),
+    registered-domain extraction (two-level public suffixes, IP
+    pass-through), domain-blocklist flagging. Pure Column exprs; hard
+    DuckDB oracle replicates every step in SQL."""
+    from datamatch_spark.extras.urls import (
+        canonicalize_url,
+        filter_blocked_domains,
+        registered_domain,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", _url_expr().alias("url"))
+    canon = docs.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("url_canon")
+    )
+    flagged = filter_blocked_domains(
+        canon, "url_canon", ["example.org", "shop.com.au"],
+        flag_col="blocked",
+    )
+    return flagged.select(
+        "doc_id",
+        "url_canon",
+        registered_domain(F.col("url_canon")).alias("domain"),
+        "blocked",
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus analytics (extras/urls.py
+    domain_stats): docs per domain, distinct canonical URLs per
+    domain, mean quality score — the reporting aggregate a crawl
+    pipeline runs right after URL hygiene. One map-side-combinable
+    groupBy; hard DuckDB oracle over the shared URL CTE chain."""
+    from datamatch_spark.extras.text import with_quality
+    from datamatch_spark.extras.urls import domain_stats
+
+    docs = with_quality(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select("doc_id", "quality_score", _url_expr().alias("url"))
+    return domain_stats(
+        docs, "url",
+        aggs={"avg_quality": F.round(F.avg("quality_score"), 6)},
+    )
+
+
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection (extras/dedup.py
+    keep_best_in_groups): exact-duplicate groups over a 25-char text
+    prefix, then keep the HIGHEST-quality_score member per group (ties
+    -> lowest id) instead of the minimum-id canonical. One
+    map-side-combinable max_by aggregate, no window sort."""
+    from datamatch_spark.extras.dedup import (
+        exact_duplicates,
+        keep_best_in_groups,
+    )
+    from datamatch_spark.extras.text import with_quality
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "prefix", F.substring("text", 1, 25)
+    )
+    dups = exact_duplicates(docs, "doc_id", "prefix")
+    groups = dups.select(
+        F.col("canonical_id").alias("group_id"), "doc_id"
+    ).unionByName(
+        dups.select(
+            F.col("canonical_id").alias("group_id"),
+            F.col("canonical_id").alias("doc_id"),
+        ).distinct()
+    )
+    return keep_best_in_groups(
+        groups, with_quality(docs), "doc_id", "quality_score"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": q_block_stats,
@@ -1679,6 +1866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_pipeline": q_clean_pipeline,
         "dup_span_removal": q_dup_span_removal,
         "exact_dedup": q_exact_dedup,
+        "url_pipeline": q_url_pipeline,
+        "domain_stats": q_domain_stats,
+        "keep_best": q_keep_best,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "minhash_det": q_minhash_det,
@@ -3146,6 +3336,70 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _duckdb_pii_sql(),
         "clean_pipeline": _duckdb_clean_pipeline_sql(),
         "dup_span_removal": _duckdb_dup_span_sql(),
+        "url_pipeline": _DUCKDB_URL_DOMAIN_CTE + """
+            SELECT doc_id, url_canon, domain,
+                   domain IN ('example.org', 'shop.com.au') AS blocked
+            FROM d4
+        """,
+        "domain_stats": _DUCKDB_URL_DOMAIN_CTE + """
+            , q AS (
+              SELECT doc_id,
+                     round((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                            + CAST(n_dis AS DOUBLE) / n_tokens
+                            + least(1.0,
+                                (CAST(n_chars - n_tokens + 1 AS DOUBLE)
+                                 / n_tokens) / 8.0)) / 3.0, 6)
+                       AS quality_score
+              FROM (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                       len(list_distinct(string_split(text, ' '))) AS n_dis,
+                       length(text) AS n_chars
+                FROM documents
+              )
+            )
+            SELECT d4.domain,
+                   count(*) AS n_docs,
+                   count(DISTINCT d4.url_canon) AS n_urls,
+                   round(avg(q.quality_score), 6) AS avg_quality
+            FROM d4 JOIN q USING (doc_id)
+            GROUP BY d4.domain
+        """,
+        "keep_best": """
+            WITH h AS (
+              SELECT doc_id, md5(lower(substring(text, 1, 25))) AS hh
+              FROM documents
+            ), g AS (
+              SELECT hh, min(doc_id) AS canonical_id, count(*) AS n
+              FROM h GROUP BY hh
+            ), mem AS (
+              SELECT g.canonical_id AS group_id, h.doc_id
+              FROM h JOIN g USING (hh) WHERE g.n > 1
+            ), t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_dis,
+                     length(text) AS n_chars
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     round((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                            + CAST(n_dis AS DOUBLE) / n_tokens
+                            + least(1.0,
+                                (CAST(n_chars - n_tokens + 1 AS DOUBLE)
+                                 / n_tokens) / 8.0)) / 3.0, 6)
+                       AS quality_score
+              FROM t
+            ), r AS (
+              SELECT mem.group_id, mem.doc_id,
+                     row_number() OVER (
+                       PARTITION BY mem.group_id
+                       ORDER BY q.quality_score DESC, mem.doc_id ASC
+                     ) AS rn
+              FROM mem JOIN q USING (doc_id)
+            )
+            SELECT doc_id, group_id, rn = 1 AS keep FROM r
+        """,
         "exact_dedup": """
             WITH h AS (
               SELECT doc_id, md5(lower(substring(text, 1, 25))) AS hh FROM documents

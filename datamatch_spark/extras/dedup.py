@@ -749,3 +749,53 @@ def minhash_dedup_groups(
         checkpoint_dir=checkpoint_dir, hash_fn=hash_fn,
     )
     return groups_from_pairs(df, id_col, pairs)
+
+
+def keep_best_in_groups(
+    groups: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware keeper selection: re-derive ``keep`` over a
+    ``(id_col, group_id)`` membership table (the shape
+    ``clustering.groups_from_pairs`` / ``minhash_dedup_groups`` emit)
+    so each duplicate group keeps its HIGHEST-``score_col`` member
+    (ties -> lowest id) instead of the minimum-id canonical — the
+    keeper a training-data pipeline actually wants: drop the truncated
+    or boilerplate copy, keep the cleanest one.
+
+    ``scores`` maps ``id_col`` to ``score_col`` (e.g.
+    ``text.with_quality``); members missing from ``scores`` or with a
+    NULL score never win unless the whole group lacks scores (then the
+    lowest id wins). ``id_col`` must be numeric (the tie-break negates
+    it).
+
+    Scale: one map-side-combinable ``max_by`` aggregate over the skinny
+    (group_id, id, score) projection — no window sort, no shuffle of
+    document payloads; the keeper table is one row per group and joins
+    back on ``group_id``.
+    """
+    mem = (
+        groups.select("group_id", id_col)
+        .join(
+            scores.select(F.col(id_col), F.col(score_col).alias("__s")),
+            on=id_col,
+            how="left",
+        )
+        .withColumn("__s", F.coalesce(F.col("__s"), F.lit(float("-inf"))))
+    )
+    keepers = mem.groupBy("group_id").agg(
+        F.max_by(F.col(id_col), F.struct(F.col("__s"), -F.col(id_col))).alias(
+            "__keeper"
+        )
+    )
+    return (
+        groups.select(id_col, "group_id")
+        .join(keepers, on="group_id")
+        .select(
+            F.col(id_col),
+            F.col("group_id"),
+            (F.col(id_col) == F.col("__keeper")).alias("keep"),
+        )
+    )

@@ -995,3 +995,130 @@ def test_bpe_token_estimate_goldens(spark):
     # sees ' ' -> fails; digit/punct same; ' +' matches one ' ' (next
     # char starts ' b' letter piece). Pieces: 'a', ' ', ' b' -> 3.
     assert got[4] == (3, 1)
+
+
+def test_canonicalize_url_cases(spark):
+    from datamatch_spark.extras.urls import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Ex.COM:80/A/b?utm_source=x&q=1&gclid=z#f",
+         "http://www.ex.com/A/b?q=1"),
+        ("https://a.b.com:443/", "https://a.b.com/"),
+        ("https://a.b.com:8443/x", "https://a.b.com:8443/x"),
+        ("http://h.com/p?utm_a=1", "http://h.com/p"),
+        ("http://h.com/p?fbclid", "http://h.com/p"),          # bare name
+        ("http://h.com/p?xutm_b=1", "http://h.com/p?xutm_b=1"),  # not prefix
+        ("ftp://Host.Com:80/x", "ftp://host.com:80/x"),  # :80 only http
+        ("not a url", "not a url"),                      # refusal
+        ("HTTPS://H.com", "https://h.com"),              # empty path
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)],
+                               ["i", "u"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c"))
+        .collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_registered_domain_cases(spark):
+    from datamatch_spark.extras.urls import registered_domain
+
+    cases = [
+        ("https://news.site.co.uk/x", "site.co.uk"),
+        ("http://www.example.com", "example.com"),
+        ("https://192.168.0.1:8080/", "192.168.0.1"),
+        ("deep.sub.shop.com.au", "shop.com.au"),  # bare host input
+        ("localhost", "localhost"),
+        ("https://example.com/a", "example.com"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)],
+                               ["i", "u"])
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", registered_domain(F.col("u")).alias("d"))
+        .collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_filter_blocked_domains(spark):
+    from datamatch_spark.extras.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(1, "https://ads.bad.com/x"), (2, "https://ok.org/y"),
+         (3, "http://sub.bad.com/z")],
+        ["id", "url"],
+    )
+    kept = filter_blocked_domains(df, "url", ["bad.com"])
+    assert sorted(r["id"] for r in kept.collect()) == [2]
+    flagged = filter_blocked_domains(df, "url", ["bad.com"],
+                                     flag_col="blocked")
+    got = {r["id"]: r["blocked"] for r in flagged.collect()}
+    assert got == {1: True, 2: False, 3: True}
+    # DataFrame blocklist: broadcast anti-join path
+    bl = spark.createDataFrame([("BAD.com",)], ["domain"])
+    kept2 = filter_blocked_domains(df, "url", bl)
+    assert sorted(r["id"] for r in kept2.collect()) == [2]
+    with pytest.raises(ValueError):
+        filter_blocked_domains(df, "url", bl, flag_col="nope")
+    # empty collection blocks nothing
+    assert filter_blocked_domains(df, "url", []).count() == 3
+
+
+def test_keep_best_in_groups(spark):
+    groups = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (20, 4), (20, 5), (30, 6)],
+        ["group_id", "doc_id"],
+    )
+    scores = spark.createDataFrame(
+        # group 10: doc 2 wins on score; group 20: tie -> lowest id (4);
+        # group 30: singleton keeps; doc 3 has no score row (never wins)
+        [(1, 0.5), (2, 0.9), (4, 0.7), (5, 0.7), (6, 0.1)],
+        ["doc_id", "quality_score"],
+    )
+    got = {
+        r["doc_id"]: (r["group_id"], r["keep"])
+        for r in D.keep_best_in_groups(groups, scores).collect()
+    }
+    assert got == {
+        1: (10, False), 2: (10, True), 3: (10, False),
+        4: (20, True), 5: (20, False), 6: (30, True),
+    }
+
+
+def test_domain_stats(spark):
+    from datamatch_spark.extras.urls import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            # ex.com: 3 docs, 2 canonical urls (tracking param collapses)
+            (1, "http://www.ex.com/a?utm_x=1", 0.2),
+            (2, "http://www.ex.com/a", 0.4),
+            (3, "http://www.ex.com/b", 0.6),
+            # site.co.uk: 1 doc
+            (4, "https://n.site.co.uk/p", 1.0),
+        ],
+        ["doc_id", "url", "q"],
+    )
+    got = {
+        r["domain"]: (r["n_docs"], r["n_urls"], r["avg_q"])
+        for r in domain_stats(
+            df, "url", aggs={"avg_q": F.round(F.avg("q"), 6)}
+        ).collect()
+    }
+    assert got == {
+        "ex.com": (3, 2, 0.4),
+        "site.co.uk": (1, 1, 1.0),
+    }
+    # approx path: same grouping, HLL count within its error bound on
+    # tiny cardinalities (exact here), schema unchanged
+    approx = {
+        r["domain"]: (r["n_docs"], r["n_urls"])
+        for r in domain_stats(df, "url", exact_distinct=False).collect()
+    }
+    assert approx == {"ex.com": (3, 2), "site.co.uk": (1, 1)}
