@@ -783,7 +783,16 @@ def keep_best_in_groups(
             on=id_col,
             how="left",
         )
-        .withColumn("__s", F.coalesce(F.col("__s"), F.lit(float("-inf"))))
+        # NaN sorts ABOVE +inf in Spark's ordering, so an unguarded NaN
+        # score would always win max_by; fold NaN to NULL (nanvl) and
+        # NULL to -inf so both mean "never wins"
+        .withColumn(
+            "__s",
+            F.coalesce(
+                F.nanvl(F.col("__s").cast("double"), F.lit(None).cast("double")),
+                F.lit(float("-inf")),
+            ),
+        )
     )
     keepers = mem.groupBy("group_id").agg(
         F.max_by(F.col(id_col), F.struct(F.col("__s"), -F.col(id_col))).alias(

@@ -102,7 +102,12 @@ def registered_domain(col: Column) -> Column:
         F.try_element_at(labels, F.lit(-1)),
     )
     return (
-        F.when(host.rlike("^[0-9.]+$"), host)
+        # NULL stays NULL (concat_ws ignores NULL args, so without the
+        # guard a NULL URL would fall through to the otherwise branch
+        # and come back as "" — silently pooling every NULL row into an
+        # empty-string domain in domain_stats)
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(host.rlike("^[0-9.]+$"), host)
         .when(n <= 2, host)
         .when(
             last2.isin(*TWO_LEVEL_SUFFIXES),

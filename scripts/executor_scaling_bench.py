@@ -55,6 +55,29 @@ cfg = CorpusConfig(n_docs=n_docs, seed=42, profile="clean",
 fields = project_fields(generate_documents(spark, cfg)).drop("spans").localCheckpoint()
 sims = {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity(),
         "dob": DateSimilarity()}
+# FULL-WIDTH warmup: limit(2000) collapses to ~1 partition (and AQE
+# coalesces its tiny shuffles), so it spawns only ~1-2 Python workers
+# per level — the timed region then pays ~31 cold numpy/pandas imports
+# at 4x8 vs ~7 at 1x8, a pure anti-scaling bias with no production
+# analogue (long-lived clusters run warm workers; the north rule
+# measures steady-state throughput scaling).
+#
+# Two warmups: (1) an explicit-width mapInPandas over exactly
+# n_exec*cores partitions — explicit repartition(N) is NOT AQE-
+# coalesced, so N tasks land concurrently on N free slots and every
+# executor forks + imports its full daemon pool before t0 (worker
+# reuse keeps them warm across jobs); (2) the small matcher job to
+# warm JVM codegen / broadcast paths.
+def _warm_workers(batches):
+    import numpy as _np  # noqa: F401  (heavy imports paid pre-t0)
+    import pandas as _pd  # noqa: F401
+    import datamatch_spark.kernels  # noqa: F401
+    for b in batches:
+        yield b
+(fields.limit(40 * cores * n_exec)
+    .repartition(cores * n_exec)
+    .mapInPandas(_warm_workers, schema=fields.schema)
+    .count())
 warm = ThresholdMatcher(ColumnsIndex("blk"), sims, fields.limit(2000),
                         row_key="doc_id", validate=False)
 warm.scored_pairs.count()

@@ -1034,9 +1034,12 @@ def test_registered_domain_cases(spark):
         ("deep.sub.shop.com.au", "shop.com.au"),  # bare host input
         ("localhost", "localhost"),
         ("https://example.com/a", "example.com"),
+        # NULL stays NULL — without the guard concat_ws() folds NULL
+        # labels to "" and every NULL URL pools into one "" domain
+        (None, None),
     ]
     df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)],
-                               ["i", "u"])
+                               schema="i long, u string")
     got = {
         r["i"]: r["d"]
         for r in df.select("i", registered_domain(F.col("u")).alias("d"))
@@ -1076,9 +1079,11 @@ def test_keep_best_in_groups(spark):
         ["group_id", "doc_id"],
     )
     scores = spark.createDataFrame(
-        # group 10: doc 2 wins on score; group 20: tie -> lowest id (4);
-        # group 30: singleton keeps; doc 3 has no score row (never wins)
-        [(1, 0.5), (2, 0.9), (4, 0.7), (5, 0.7), (6, 0.1)],
+        # group 10: doc 2 wins on score; doc 1 is NaN (sorts above +inf
+        # in Spark's total order — must NOT win); group 20: tie ->
+        # lowest id (4); group 30: singleton keeps; doc 3 has no score
+        # row (never wins)
+        [(1, float("nan")), (2, 0.9), (4, 0.7), (5, 0.7), (6, 0.1)],
         ["doc_id", "quality_score"],
     )
     got = {
