@@ -1001,6 +1001,51 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own unigram model (extras/lm.py) — the CCNet-style LM quality
+    signal with a unigram model. Counts groupBy + broadcast counts
+    join (vocab-sized build side, no token-keyed shuffle); hard oracle
+    replicates ln(c/N) float64 arithmetic in DuckDB."""
+    from datamatch_spark.extras.lm import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
+_PACK_MAX_TOKENS = 500
+_PACK_BUCKETS = 8
+
+
+def q_pack_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment, quota strategy (extras/
+    packing.py): shard = floor(tokens-before / max_tokens) in id order
+    within an md5 hash bucket. Pure window cumsum (whole-stage
+    codegen); hard oracle via the identical window in DuckDB."""
+    from datamatch_spark.extras.packing import pack_quota
+
+    return pack_quota(
+        _docs(spark, sf_dir), _PACK_MAX_TOKENS, n_buckets=_PACK_BUCKETS
+    )
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment, first-fit greedy strategy
+    (extras/packing.py): a shard closes when the next doc would
+    overflow max_tokens — no shard exceeds the budget except a
+    singleton oversized doc. Sequential reset-state runs per hash
+    bucket in one Arrow batch; hard oracle via a recursive CTE
+    stepping the same per-bucket greedy state in DuckDB."""
+    from datamatch_spark.extras.packing import pack_greedy
+
+    return pack_greedy(
+        _docs(spark, sf_dir), _PACK_MAX_TOKENS, n_buckets=_PACK_BUCKETS
+    )
+
+
 def _duckdb_repetition_sql(
     top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
 ) -> str:
@@ -1859,6 +1904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "repetition_signals": q_repetition_signals,
+        "unigram_logprob": q_unigram_logprob,
+        "pack_quota": q_pack_quota,
+        "pack_greedy": q_pack_greedy,
         "bpe_tokens": q_bpe_tokens,
         "line_dedup": q_line_dedup,
         "line_filter": q_line_filter,
@@ -3212,6 +3260,86 @@ def oracle_sql() -> dict[str, str]:
                     1, 8) AS BIGINT) % 10000
                   < CASE lang WHEN 'zh' THEN 10000 WHEN 'de' THEN 2500
                               WHEN 'en' THEN 5000 ELSE 1000 END
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id, u.t AS token
+              FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
+              WHERE u.t <> '' AND doc_id IS NOT NULL
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM tok GROUP BY doc_id, token
+            ),
+            cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   round(sum(tf * ln(CAST(c AS DOUBLE) / (SELECT n FROM tot)))
+                         / CAST(sum(tf) AS DOUBLE), 6) AS avg_logprob
+            FROM tf JOIN cnt USING (token)
+            GROUP BY doc_id
+        """,
+        "pack_quota": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(concat_ws(chr(31), 'pack',
+                       CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)
+                       % {_PACK_BUCKETS} AS bucket,
+                     CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+                       AS n_tokens
+              FROM documents WHERE doc_id IS NOT NULL
+            ),
+            w AS (
+              SELECT doc_id, bucket, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS cb
+              FROM base
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(floor(CAST(coalesce(cb, 0) AS DOUBLE)
+                              / {float(_PACK_MAX_TOKENS)}) AS BIGINT) AS shard
+            FROM w
+        """,
+        "pack_greedy": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(concat_ws(chr(31), 'pack',
+                       CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)
+                       % {_PACK_BUCKETS} AS bucket,
+                     CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+                       AS n_tokens
+              FROM documents WHERE doc_id IS NOT NULL
+            ),
+            ranked AS (
+              SELECT doc_id, bucket, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY bucket ORDER BY doc_id) AS rn
+              FROM base
+            ),
+            st AS (
+              -- per-bucket greedy reset state, stepped one local row
+              -- per iteration; all buckets advance in the same step
+              SELECT bucket, 0::BIGINT AS rn, 0::BIGINT AS running,
+                     0::BIGINT AS shard, CAST(NULL AS BIGINT) AS doc_id,
+                     0::BIGINT AS n_tokens
+              FROM (SELECT DISTINCT bucket FROM ranked)
+              UNION ALL
+              SELECT r.bucket, r.rn,
+                     CASE WHEN s.running > 0
+                               AND s.running + r.n_tokens > {_PACK_MAX_TOKENS}
+                          THEN r.n_tokens
+                          ELSE s.running + r.n_tokens END,
+                     CASE WHEN s.running > 0
+                               AND s.running + r.n_tokens > {_PACK_MAX_TOKENS}
+                          THEN s.shard + 1 ELSE s.shard END,
+                     r.doc_id, r.n_tokens
+              FROM st s JOIN ranked r
+                ON r.bucket = s.bucket AND r.rn = s.rn + 1
+            )
+            SELECT doc_id, bucket, n_tokens, shard FROM st WHERE rn > 0
         """,
         "token_count": """
             SELECT doc_id,
