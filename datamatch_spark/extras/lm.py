@@ -82,10 +82,13 @@ def unigram_logprob(
     if counts is None:
         counts = unigram_counts(df, text_col)
     counts = counts.select("token", F.col("c").cast("long").alias("c"))
-    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
-    if n_total <= 0:
+    # one scalar job for both model size and vocab size (the join
+    # below recomputes counts once more; at 100 TB wrap `counts` in a
+    # checkpoint/cache upstream if the source scan is expensive)
+    n_total, n_terms = counts.agg(F.sum("c"), F.count("*")).collect()[0]
+    if not n_total or n_total <= 0:
         raise ValueError("unigram model is empty (no tokens in counts)")
-    if counts.count() <= broadcast_max_terms:
+    if n_terms <= broadcast_max_terms:
         counts = F.broadcast(counts)
     toks = df.select(
         F.col(id_col),
