@@ -1632,6 +1632,53 @@ def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_ppm_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-hash twin of ``media_decode_ppm`` with a HARD
+    oracle: pixel bytes come from md5 (``byte = int(md5(f"{doc}:{i}")
+    hex[:2], 16)``, reshaped 8x8x3) instead of numpy RandomState, so
+    DuckDB reproduces the exact pixel values from the same digests.
+    The comparison is integer-exact: ``round(mean_ch * 64 * 255)``
+    recovers the channel's integer pixel sum (float32 mean error
+    ~3e-7 against a 0.5 rounding margin), so the oracle hard-checks
+    the FULL encode→P6-header-parse→buffer-offset→channel-interleave→
+    mean path with zero float-boundary flake. Same decode code path
+    as the production query (extras/multimodal.py:_decode_ppm)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from datamatch_spark.extras.multimodal import MEDIA_SCHEMA, decode_media, encode_ppm
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 64).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = [
+                    int(hashlib.md5(f"{did}:{i}".encode()).hexdigest()[:2], 16)
+                    for i in range(192)
+                ]
+                px = np.asarray(vals, dtype=np.uint8).reshape(8, 8, 3)
+                rows.append(
+                    (f"m{did}", "image", bytearray(encode_ppm(px)), (8, 8, 1, 0))
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "data", "meta"])
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    out = decode_media(media, codec="ppm", dim=8)
+    return out.select(
+        "media_ref",
+        "width",
+        "height",
+        F.round(F.col("features")[0] * 16320.0).cast("long").alias("sum_r"),
+        F.round(F.col("features")[1] * 16320.0).cast("long").alias("sum_g"),
+        F.round(F.col("features")[2] * 16320.0).cast("long").alias("sum_b"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over interleaved docs (rows-only)."""
     from datamatch_spark.corpus import CorpusConfig, generate_documents
@@ -1934,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_link": q_incremental_link,
         "media_features": q_media_features,
         "media_decode_ppm": q_media_decode_ppm,
+        "media_decode_ppm_det": q_media_decode_ppm_det,
     }
 
 
@@ -3400,6 +3448,29 @@ def oracle_sql() -> dict[str, str]:
         "minhash_det": _duckdb_minhash_sql(**_MINHASH_DET),
         "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
         "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),
+        # md5-pixel PPM decode twin: per-channel integer pixel sums
+        # recovered exactly from the decoded float32 means (see
+        # q_media_decode_ppm_det); pixel byte = first md5 hex pair
+        "media_decode_ppm_det": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            px AS (
+              SELECT ids.doc_id, i.i % 3 AS ch,
+                     (strpos('0123456789abcdef',
+                             substr(md5(CAST(ids.doc_id AS VARCHAR) || ':'
+                                        || CAST(i.i AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(md5(CAST(ids.doc_id AS VARCHAR) || ':'
+                                        || CAST(i.i AS VARCHAR)), 2, 1)) - 1) AS v
+              FROM ids CROSS JOIN (SELECT unnest(range(192)) AS i) i
+            )
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        """,
         "line_dedup": """
             WITH d AS (
               SELECT doc_id, replace(text, ' table ', chr(10)) AS text

@@ -79,6 +79,10 @@ def unigram_logprob(
     vocabulary-sized table), eliminating the token-keyed shuffle that
     Zipf skew would otherwise concentrate on a handful of reducers.
     """
+    if not oov_count > 0:
+        # ln(0) is NULL under ANSI mode — OOV rows would silently drop
+        # out of the sum and bias avg_logprob upward
+        raise ValueError(f"oov_count must be > 0, got {oov_count}")
     if counts is None:
         counts = unigram_counts(df, text_col)
     counts = counts.select("token", F.col("c").cast("long").alias("c"))

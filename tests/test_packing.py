@@ -131,3 +131,10 @@ def test_unigram_logprob_empty_model_raises(spark):
     df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         unigram_logprob(df)
+
+
+def test_unigram_logprob_nonpositive_oov_raises(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="oov_count"):
+            unigram_logprob(df, oov_count=bad)
