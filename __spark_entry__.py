@@ -1600,9 +1600,11 @@ def q_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode path (rows-only): synthesize deterministic P6
-    PPM bytes per doc, decode via the numpy PPM codec, return
-    dimensions + leading features."""
+    """REAL image decode path (rows-only: RandomState pixels are not
+    SQL-reproducible; the md5-pixel twin ``media_decode_ppm_det``
+    hard-checks the identical decode code path): synthesize
+    deterministic P6 PPM bytes per doc, decode via the numpy PPM
+    codec, return dimensions + leading features."""
     import numpy as np
     import pandas as pd
 
