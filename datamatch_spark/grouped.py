@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .indices import BLOCK_KEY, BaseIndex
-from .pairing import PairingConfig, _n_parts, keyed_side
+from .pairing import PairingConfig, _n_parts, _wide_shard_cap, keyed_side
 
 __all__ = [
     "grouped_scored_pairs",
@@ -207,19 +207,29 @@ def _dedup_members(side: DataFrame, fcols: list, cfg: PairingConfig) -> DataFram
     and the coalesce default never fires, silently doubling every
     cold row's cell memberships (review r5)."""
     if cfg.salt_enabled:
+        # per-task pair budget (rows_per_shard), adaptively widened
+        # toward the cluster-width cell-oversubscription cap so a
+        # mass-dominant block yields cells ≫ partitions (same rule as
+        # pairing._hot_blocks — see PairingConfig.cell_oversubscription)
+        s_expr = F.greatest(
+            F.lit(2), F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard))
+        )
+        wide = _wide_shard_cap(cfg, _n_parts(side, cfg), grid=False)
+        if wide:
+            s_expr = F.greatest(
+                s_expr,
+                F.least(
+                    F.lit(wide),
+                    F.ceil(F.col("__n") / F.lit(cfg.min_shard_rows)),
+                ),
+            )
         hot_counts = (
             side.groupBy(BLOCK_KEY)
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > cfg.salt_threshold)
             .orderBy(F.col("__n").desc(), F.col(BLOCK_KEY).asc())
             .limit(cfg.max_hot_keys)
-            .select(
-                BLOCK_KEY,
-                F.greatest(
-                    F.lit(2),
-                    F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard)),
-                ).cast("int").alias("__s_hot"),
-            )
+            .select(BLOCK_KEY, s_expr.cast("int").alias("__s_hot"))
         )
         tagged = side.join(
             F.broadcast(hot_counts), on=BLOCK_KEY, how="left"
@@ -295,12 +305,23 @@ def grouped_scored_pairs(
             ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__na"))
             cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__nb"))
             prod = F.col("__na").cast("double") * F.col("__nb").cast("double")
-            sa = F.greatest(
-                F.lit(1), F.ceil(F.col("__na") / F.lit(cfg.rows_per_shard))
-            ).cast("int")
-            sb = F.greatest(
-                F.lit(1), F.ceil(F.col("__nb") / F.lit(cfg.rows_per_shard))
-            ).cast("int")
+            wide = _wide_shard_cap(cfg, _n_parts(side_a, cfg), grid=True)
+
+            def _s(n_col: str):
+                s = F.greatest(
+                    F.lit(1), F.ceil(F.col(n_col) / F.lit(cfg.rows_per_shard))
+                )
+                if wide:  # same per-side widening as pairing's grid
+                    s = F.greatest(
+                        s,
+                        F.least(
+                            F.lit(wide),
+                            F.ceil(F.col(n_col) / F.lit(cfg.min_shard_rows)),
+                        ),
+                    )
+                return s.cast("int")
+
+            sa, sb = _s("__na"), _s("__nb")
             sb = F.when(sa * sb < 2, F.lit(2)).otherwise(sb)
             hot_counts = (
                 ca.join(cb, on=BLOCK_KEY)

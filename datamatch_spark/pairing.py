@@ -57,6 +57,28 @@ class PairingConfig:
     # too large serializes pair generation for the hot block into a
     # handful of tasks and caps cluster scaling.
     rows_per_shard: int = 2_000
+    # Adaptive cell oversubscription. rows_per_shard alone bounds the
+    # WORST task but not the task COUNT: one mass-dominant hot block
+    # (24k rows under the defaults) yields only s(s+1)/2 ≈ 78 cells,
+    # and those cells HASH into ~2×cores partitions — collisions plus
+    # coarse ~4M-pair granularity mean the last scheduling wave on a
+    # wide cluster idles most cores behind a couple of double-loaded
+    # tasks (measured p95/p50 ≈ 5.7× on the 4×8-executor bench; the
+    # direct limiter of N→4N scaling efficiency). When > 0, a hot
+    # block is sharded finely enough that it ALONE yields about
+    # oversubscription × partition-count cells, so cells ≫ partitions
+    # and hash placement balances statistically — the widening is
+    # capped by ``min_shard_rows`` so replication (pairs/shard_rows
+    # member rows) and per-group overhead stay negligible next to the
+    # pair output. 0 disables (pure rows_per_shard sizing).
+    cell_oversubscription: float = 4.0
+    # shard-size floor for the adaptive widening: never slice a hot
+    # block into shards smaller than this many rows (cells of
+    # ~min_shard_rows² pairs amortize Arrow/group overhead; also caps
+    # replication of small-but-hot blocks). Only blocks with
+    # > 2×min_shard_rows rows can be widened past their
+    # rows_per_shard-based count.
+    min_shard_rows: int = 256
     # hard cap on distinct hot keys pulled to the driver
     max_hot_keys: int = 100_000
     salt_enabled: bool = True
@@ -200,11 +222,40 @@ def _est_row_bytes(dt) -> int:
     return 8  # long / double / decimal / timestamp / anything else
 
 
+def _wide_shard_cap(cfg: PairingConfig, n_parts: int, grid: bool) -> int:
+    """Shard-count ceiling implied by ``cell_oversubscription``: the
+    smallest s whose cell count reaches oversubscription × n_parts
+    (triangular s(s+1)/2 cells for the dedup self-join; per-SIDE
+    sqrt(target) for the match grid, where cells = sa·sb). 0 when the
+    adaptive widening is disabled."""
+    if not cfg.cell_oversubscription or cfg.min_shard_rows <= 0:
+        return 0
+    import math
+
+    target = float(cfg.cell_oversubscription) * max(1, n_parts)
+    if grid:
+        return max(1, math.ceil(math.sqrt(target)))
+    return max(1, math.ceil((math.sqrt(8.0 * target + 1.0) - 1.0) / 2.0))
+
+
+def _shard_count(
+    n: int, cfg: PairingConfig, wide_cap: int, base_floor: int = 2
+) -> int:
+    """Shards for a hot block of ``n`` rows: the rows_per_shard-based
+    count (per-task pair budget), widened toward ``wide_cap`` (cluster-
+    width cell oversubscription) but never below ``min_shard_rows``
+    rows per shard."""
+    base = max(base_floor, -(-n // cfg.rows_per_shard))
+    if wide_cap <= base:
+        return base
+    return max(base, min(wide_cap, -(-n // cfg.min_shard_rows)))
+
+
 def _hot_blocks(side: DataFrame, cfg: PairingConfig):
-    """Returns [(block_key, n_shards)] for blocks above the salt
-    threshold — the LARGEST blocks first, so if the ``max_hot_keys``
-    cap ever bites, the keys that stay unsalted are the smallest
-    offenders, never the worst one."""
+    """Returns [(block_key, n_shards, n_rows)] for blocks above the
+    salt threshold — the LARGEST blocks first, so if the
+    ``max_hot_keys`` cap ever bites, the keys that stay unsalted are
+    the smallest offenders, never the worst one."""
     rows = (
         side.groupBy(BLOCK_KEY)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -213,7 +264,8 @@ def _hot_blocks(side: DataFrame, cfg: PairingConfig):
         .limit(cfg.max_hot_keys)
         .collect()
     )
-    return [(r[BLOCK_KEY], max(2, -(-r["n"] // cfg.rows_per_shard))) for r in rows]
+    wide = _wide_shard_cap(cfg, _n_parts(side, cfg), grid=False)
+    return [(r[BLOCK_KEY], _shard_count(r["n"], cfg, wide), r["n"]) for r in rows]
 
 
 # above this many hot keys, fall back to the pickled-RDD path: a
@@ -266,7 +318,7 @@ def _anti_hot(side: DataFrame, hot: list) -> DataFrame:
     """Rows of ``side`` whose block key is NOT hot, via a broadcast
     left-anti join — an IN-list literal of up to max_hot_keys keys
     would bloat the plan/codegen at real scale. ``hot`` tuples lead
-    with the key (dedup: (key, s); match: (key, sa, sb))."""
+    with the key (dedup: (key, s, n); match: (key, sa, sb))."""
     spark = side.sparkSession
     hot_df = F.broadcast(
         _driver_rows_df(spark, [(h[0],) for h in hot], f"{BLOCK_KEY} string")
@@ -304,7 +356,7 @@ def _dedup_pairs_plain(side: DataFrame, cfg: PairingConfig) -> DataFrame:
 
 def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -> DataFrame:
     hot_df = F.broadcast(
-        _driver_rows_df(spark, hot, f"{BLOCK_KEY} string, __s int")
+        _driver_rows_df(spark, [(k, s) for k, s, _ in hot], f"{BLOCK_KEY} string, __s int")
     )
     tagged = side.join(hot_df, on=BLOCK_KEY).withColumn(
         "__shard", F.pmod(F.xxhash64(F.col("idx")), F.col("__s")).cast("int")
@@ -327,9 +379,9 @@ def _dedup_pairs_salted(side: DataFrame, hot: list, spark, cfg: PairingConfig) -
     ).repartition(
         _n_parts(side, cfg), F.col(BLOCK_KEY), F.col("__shard_l"), F.col("__tgt")
     )
-    # upper bound on hot rows: every hot block has n_shards shards of
-    # at most ~rows_per_shard rows (n_shards = ceil(n / rows_per_shard))
-    est_hot_rows = sum(s for _, s in hot) * cfg.rows_per_shard
+    # exact hot-row count: _hot_blocks carries each block's n (the
+    # broadcast candidate holds every hot row exactly once)
+    est_hot_rows = sum(n for _, _, n in hot)
     est_hot_bytes = est_hot_rows * _est_row_bytes(side.schema["rec"].dataType)
     if est_hot_rows <= cfg.broadcast_hot_rows and est_hot_bytes <= cfg.broadcast_hot_bytes:
         right = F.broadcast(
@@ -517,10 +569,11 @@ def candidate_pairs(
                 .limit(cfg.max_hot_keys)
                 .collect()
             )
+            wide = _wide_shard_cap(cfg, _n_parts(stats_a, cfg), grid=True)
             hot = []
             for r in rows:
-                sa = max(1, -(-r["na"] // cfg.rows_per_shard))
-                sb = max(1, -(-r["nb"] // cfg.rows_per_shard))
+                sa = _shard_count(r["na"], cfg, wide, base_floor=1)
+                sb = _shard_count(r["nb"], cfg, wide, base_floor=1)
                 if sa * sb < 2:
                     sb = 2  # a hot key must split SOMETHING
                 hot.append((r[BLOCK_KEY], sa, sb))

@@ -28,6 +28,7 @@ WORKER = r"""
 import json, os, sys, time
 n_exec = int(sys.argv[1]); cores = int(sys.argv[2]); mem = int(sys.argv[3])
 n_docs = int(sys.argv[4]); waves = int(sys.argv[5])
+pairing_mode = sys.argv[6] if len(sys.argv) > 6 else "manual"
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder
     .master(f"local-cluster[{n_exec},{cores},{mem}]")
@@ -82,9 +83,14 @@ warm = ThresholdMatcher(ColumnsIndex("blk"), sims, fields.limit(2000),
                         row_key="doc_id", validate=False)
 warm.scored_pairs.count()
 t0 = time.time()
+# "manual": the hand-tuned shard size used since round 4. "adaptive":
+# library defaults — rows_per_shard=2000 widened by cell_oversubscription
+# toward >=4x as many cells as partitions (the untuned user experience).
+pcfg = (PairingConfig(salt_threshold=1000, rows_per_shard=250)
+        if pairing_mode == "manual"
+        else PairingConfig(salt_threshold=1000))
 m = ThresholdMatcher(ColumnsIndex("blk"), sims, fields, row_key="doc_id",
-    validate=False,
-    pairing_config=PairingConfig(salt_threshold=1000, rows_per_shard=250))
+    validate=False, pairing_config=pcfg)
 n = m.scored_pairs.count()
 el = time.time() - t0
 print(json.dumps({"executors": n_exec, "pairs": n, "seconds": round(el, 3),
@@ -114,10 +120,11 @@ def hw_probe(seconds: float = 2.0) -> dict:
 
 
 def run_level(n_exec: int, cores: int, mem: int, n_docs: int,
-              pin: bool = False, waves: int = 4) -> dict:  # noqa: D103
+              pin: bool = False, waves: int = 4,
+              pairing: str = "manual") -> dict:  # noqa: D103
     last_err = ""
     cmd = [sys.executable, "-c", WORKER, str(n_exec), str(cores), str(mem),
-           str(n_docs), str(waves)]
+           str(n_docs), str(waves), pairing]
     if pin:
         # bound the WHOLE tree (driver JVM + standalone worker +
         # executors + Python workers) to n_exec*cores host cores — the
@@ -153,18 +160,22 @@ def main():
                          "idle is reproducibly ~4x slow on this host)")
     ap.add_argument("--waves", type=int, default=4,
                     help="shuffle tasks per core (multi-wave load balance)")
+    ap.add_argument("--pairing", choices=["manual", "adaptive"],
+                    default="manual",
+                    help="manual: hand-tuned rows_per_shard=250; adaptive: "
+                         "library defaults (cell_oversubscription widening)")
     args = ap.parse_args()
 
     if args.warmup:
         run_level(1, args.exec_cores, args.exec_mem_mb, 30_000, args.pin,
-                  args.waves)
+                  args.waves, args.pairing)
     rounds = []
     for _ in range(args.repeats):
         probe = hw_probe()
         r1 = run_level(1, args.exec_cores, args.exec_mem_mb, args.n_docs,
-                       args.pin, args.waves)
+                       args.pin, args.waves, args.pairing)
         r4 = run_level(4, args.exec_cores, args.exec_mem_mb, args.n_docs,
-                       args.pin, args.waves)
+                       args.pin, args.waves, args.pairing)
         e = (r4["pairs_per_sec"] / r1["pairs_per_sec"]) / 4.0
         # Pre-registered validity rule: a CPU-bound job cannot scale
         # superlinearly by more than scheduling noise. eff > 1.25 means
@@ -211,6 +222,7 @@ def main():
         " --pin (each level's whole tree taskset-bound to N*8 cores)"
         if args.pin else " (unpinned)"
     )
+    pin_note += f" --pairing {args.pairing}"
     md = f"""
 ## Executor scaling: N vs 4N separate executor JVMs (`local-cluster`)
 
