@@ -100,7 +100,7 @@ def bench_er_dedup(spark, sf: float):
         fields,
         row_key="doc_id",
         validate=False,
-        pairing_config=PairingConfig(salt_threshold=1000, rows_per_shard=250),
+        pairing_config=PairingConfig(salt_threshold=1000),
     )
     n_scored = m.scored_pairs.count()
     elapsed = time.time() - t0
@@ -200,7 +200,7 @@ def bench_er_swap(spark, sf: float):
         row_key="doc_id",
         validate=False,
         variator=Swap("first", "last"),
-        pairing_config=PairingConfig(salt_threshold=1000, rows_per_shard=250),
+        pairing_config=PairingConfig(salt_threshold=1000),
     )
     n = m.scored_pairs.count()
     return time.time() - t0, n

@@ -86,9 +86,14 @@ t0 = time.time()
 # "manual": the hand-tuned shard size used since round 4. "adaptive":
 # library defaults — rows_per_shard=2000 widened by cell_oversubscription
 # toward >=4x as many cells as partitions (the untuned user experience).
-pcfg = (PairingConfig(salt_threshold=1000, rows_per_shard=250)
-        if pairing_mode == "manual"
-        else PairingConfig(salt_threshold=1000))
+# "adaptiveN" (e.g. adaptive16): defaults with cell_oversubscription=N.
+if pairing_mode == "manual":
+    pcfg = PairingConfig(salt_threshold=1000, rows_per_shard=250)
+elif pairing_mode.startswith("adaptive") and pairing_mode != "adaptive":
+    pcfg = PairingConfig(salt_threshold=1000,
+                         cell_oversubscription=float(pairing_mode[8:]))
+else:
+    pcfg = PairingConfig(salt_threshold=1000)
 m = ThresholdMatcher(ColumnsIndex("blk"), sims, fields, row_key="doc_id",
     validate=False, pairing_config=pcfg)
 n = m.scored_pairs.count()
@@ -160,10 +165,12 @@ def main():
                          "idle is reproducibly ~4x slow on this host)")
     ap.add_argument("--waves", type=int, default=4,
                     help="shuffle tasks per core (multi-wave load balance)")
-    ap.add_argument("--pairing", choices=["manual", "adaptive"],
-                    default="manual",
-                    help="manual: hand-tuned rows_per_shard=250; adaptive: "
-                         "library defaults (cell_oversubscription widening)")
+    ap.add_argument("--pairing", default="adaptive",
+                    help="adaptive (default): library defaults — "
+                         "cell_oversubscription widening; measured fastest "
+                         "at BOTH levels (scripts/ab_hl_r05_s10.out). "
+                         "manual: the r4-era hand-tuned rows_per_shard=250; "
+                         "adaptiveN: defaults with cell_oversubscription=N")
     args = ap.parse_args()
 
     if args.warmup:

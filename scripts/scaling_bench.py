@@ -65,7 +65,7 @@ m = ThresholdMatcher(
     {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity(),
      "dob": DateSimilarity()},
     fields, row_key="doc_id", validate=False,
-    pairing_config=PairingConfig(salt_threshold=1000, rows_per_shard=250))
+    pairing_config=PairingConfig(salt_threshold=1000))
 n = m.scored_pairs.count()
 elapsed = time.time() - t0
 print(json.dumps({"cpus": cpus, "pairs": n, "seconds": round(elapsed, 3),
