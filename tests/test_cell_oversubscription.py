@@ -147,3 +147,39 @@ def test_widened_scored_parity_both_paths(spark, grouped):
     for k, v in base.items():
         w = wide[k]
         assert (w == v) or (math.isnan(w) and math.isnan(v)), (k, w, v)
+
+
+@pytest.mark.parametrize("grouped", [True, False])
+def test_widened_match_scored_parity_both_paths(spark, grouped):
+    """Match mode (A×B linkage): scored pairs under aggressive GRID
+    widening are bit-identical to the unwidened run on both scoring
+    paths (the grouped match grid's per-side widening included)."""
+    from pyspark.sql import functions as F
+
+    df_a = _skewed(spark).withColumnRenamed("v", "first")
+    df_b = (
+        _skewed(spark).withColumnRenamed("v", "first")
+        .withColumn("row_key", F.col("row_key") + 1000)
+    )
+
+    def run(cfg):
+        m = ThresholdMatcher(
+            ColumnsIndex("blk"), {"first": JaroWinklerSimilarity()},
+            df_a, df_b,
+            row_key="row_key", validate=False, pairing_config=cfg, defer=True,
+        )
+        return {
+            (r["idx_a"], r["idx_b"]): r["sim_score"]
+            for r in m._build_scored().collect()
+        }
+
+    base = run(PairingConfig(salt_enabled=False, grouped_scoring=grouped))
+    wide = run(PairingConfig(
+        salt_threshold=10, rows_per_shard=60,
+        cell_oversubscription=6.0, min_shard_rows=4,
+        grouped_scoring=grouped,
+    ))
+    assert set(wide) == set(base) and len(wide) > 8000
+    for k, v in base.items():
+        w = wide[k]
+        assert (w == v) or (math.isnan(w) and math.isnan(v)), (k, w, v)
