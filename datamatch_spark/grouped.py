@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .indices import BLOCK_KEY, BaseIndex
-from .pairing import PairingConfig, _n_parts, _wide_shard_cap, keyed_side
+from .pairing import (
+    PairingConfig,
+    _cell_target,
+    _grid_shards_expr,
+    _n_parts,
+    _shard_count_expr,
+    _wide_shard_cap,
+    keyed_side,
+)
 
 __all__ = [
     "grouped_scored_pairs",
@@ -209,20 +217,12 @@ def _dedup_members(side: DataFrame, fcols: list, cfg: PairingConfig) -> DataFram
     if cfg.salt_enabled:
         # per-task pair budget (rows_per_shard), adaptively widened
         # toward the cluster-width cell-oversubscription cap so a
-        # mass-dominant block yields cells ≫ partitions (same rule as
-        # pairing._hot_blocks — see PairingConfig.cell_oversubscription)
-        s_expr = F.greatest(
-            F.lit(2), F.ceil(F.col("__n") / F.lit(cfg.rows_per_shard))
-        )
+        # mass-dominant block yields cells ≫ partitions (the SHARED
+        # Column twin of pairing._shard_count, so the grouped and
+        # join paths cannot drift — see
+        # PairingConfig.cell_oversubscription)
         wide = _wide_shard_cap(cfg, _n_parts(side, cfg), grid=False)
-        if wide:
-            s_expr = F.greatest(
-                s_expr,
-                F.least(
-                    F.lit(wide),
-                    F.ceil(F.col("__n") / F.lit(cfg.min_shard_rows)),
-                ),
-            )
+        s_expr = _shard_count_expr(F.col("__n"), cfg, wide, base_floor=2)
         hot_counts = (
             side.groupBy(BLOCK_KEY)
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -305,24 +305,19 @@ def grouped_scored_pairs(
             ca = side_a.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__na"))
             cb = side_b.groupBy(BLOCK_KEY).agg(F.count(F.lit(1)).alias("__nb"))
             prod = F.col("__na").cast("double") * F.col("__nb").cast("double")
-            wide = _wide_shard_cap(cfg, _n_parts(side_a, cfg), grid=True)
-
-            def _s(n_col: str):
-                s = F.greatest(
-                    F.lit(1), F.ceil(F.col(n_col) / F.lit(cfg.rows_per_shard))
-                )
-                if wide:  # same per-side widening as pairing's grid
-                    s = F.greatest(
-                        s,
-                        F.least(
-                            F.lit(wide),
-                            F.ceil(F.col(n_col) / F.lit(cfg.min_shard_rows)),
-                        ),
-                    )
-                return s.cast("int")
-
-            sa, sb = _s("__na"), _s("__nb")
-            sb = F.when(sa * sb < 2, F.lit(2)).otherwise(sb)
+            n_parts_ab = _n_parts(side_a, cfg)
+            wide = _wide_shard_cap(cfg, n_parts_ab, grid=True)
+            target = _cell_target(cfg, n_parts_ab)
+            # shared Column twin of pairing._grid_shards (per-side
+            # widening + asymmetric-block re-widening of the bigger
+            # side); the product guard stays in LONG — an int32 sa·sb
+            # would wrap for a degenerate mega-block and collapse sb
+            # to 2, one cell holding the whole cross product
+            sa, sb = _grid_shards_expr(
+                F.col("__na"), F.col("__nb"), cfg, wide, target
+            )
+            sb = F.when(sa * sb < 2, F.lit(2).cast("long")).otherwise(sb)
+            sa, sb = sa.cast("int"), sb.cast("int")
             hot_counts = (
                 ca.join(cb, on=BLOCK_KEY)
                 .where(prod > F.lit(thr))

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .indices import BLOCK_KEY, BaseIndex
@@ -57,28 +57,6 @@ class PairingConfig:
     # too large serializes pair generation for the hot block into a
     # handful of tasks and caps cluster scaling.
     rows_per_shard: int = 2_000
-    # Adaptive cell oversubscription. rows_per_shard alone bounds the
-    # WORST task but not the task COUNT: one mass-dominant hot block
-    # (24k rows under the defaults) yields only s(s+1)/2 ≈ 78 cells,
-    # and those cells HASH into ~2×cores partitions — collisions plus
-    # coarse ~4M-pair granularity mean the last scheduling wave on a
-    # wide cluster idles most cores behind a couple of double-loaded
-    # tasks (measured p95/p50 ≈ 5.7× on the 4×8-executor bench; the
-    # direct limiter of N→4N scaling efficiency). When > 0, a hot
-    # block is sharded finely enough that it ALONE yields about
-    # oversubscription × partition-count cells, so cells ≫ partitions
-    # and hash placement balances statistically — the widening is
-    # capped by ``min_shard_rows`` so replication (pairs/shard_rows
-    # member rows) and per-group overhead stay negligible next to the
-    # pair output. 0 disables (pure rows_per_shard sizing).
-    cell_oversubscription: float = 4.0
-    # shard-size floor for the adaptive widening: never slice a hot
-    # block into shards smaller than this many rows (cells of
-    # ~min_shard_rows² pairs amortize Arrow/group overhead; also caps
-    # replication of small-but-hot blocks). Only blocks with
-    # > 2×min_shard_rows rows can be widened past their
-    # rows_per_shard-based count.
-    min_shard_rows: int = 256
     # hard cap on distinct hot keys pulled to the driver
     max_hot_keys: int = 100_000
     salt_enabled: bool = True
@@ -129,6 +107,30 @@ class PairingConfig:
     # index is expensive to evaluate (QGramIndex explodes grams twice
     # per evaluation) and the recs are narrow.
     cache_keyed_side: bool = False
+    # Adaptive cell oversubscription. rows_per_shard alone bounds the
+    # WORST task but not the task COUNT: one mass-dominant hot block
+    # (24k rows under the defaults) yields only s(s+1)/2 ≈ 78 cells,
+    # and those cells HASH into ~2×cores partitions — collisions plus
+    # coarse ~4M-pair granularity mean the last scheduling wave on a
+    # wide cluster idles most cores behind a couple of double-loaded
+    # tasks (measured p95/p50 ≈ 5.7× on the 4×8-executor bench; the
+    # direct limiter of N→4N scaling efficiency). When > 0, a hot
+    # block is sharded finely enough that it ALONE yields about
+    # oversubscription × partition-count cells, so cells ≫ partitions
+    # and hash placement balances statistically — the widening is
+    # capped by ``min_shard_rows`` so replication (pairs/shard_rows
+    # member rows) and per-group overhead stay negligible next to the
+    # pair output. <= 0 disables (pure rows_per_shard sizing).
+    # NOTE: new fields live at the END of the dataclass so positional
+    # PairingConfig(...) construction keeps its historical meaning.
+    cell_oversubscription: float = 4.0
+    # shard-size floor for the adaptive widening: never slice a hot
+    # block into shards smaller than this many rows (cells of
+    # ~min_shard_rows² pairs amortize Arrow/group overhead; also caps
+    # replication of small-but-hot blocks). Only blocks with
+    # > 2×min_shard_rows rows can be widened past their
+    # rows_per_shard-based count.
+    min_shard_rows: int = 256
 
 
 def keyed_side_from_keys(
@@ -222,17 +224,32 @@ def _est_row_bytes(dt) -> int:
     return 8  # long / double / decimal / timestamp / anything else
 
 
+def _cell_target(cfg: PairingConfig, n_parts: int) -> int:
+    """Cells one hot block should yield under the adaptive widening
+    (oversubscription × partition count); 0 when disabled (a
+    non-positive oversubscription or shard-row floor)."""
+    if cfg.cell_oversubscription is None or cfg.cell_oversubscription <= 0:
+        return 0
+    if cfg.min_shard_rows is None or cfg.min_shard_rows <= 0:
+        return 0
+    import math
+
+    return max(1, math.ceil(float(cfg.cell_oversubscription) * max(1, n_parts)))
+
+
 def _wide_shard_cap(cfg: PairingConfig, n_parts: int, grid: bool) -> int:
     """Shard-count ceiling implied by ``cell_oversubscription``: the
     smallest s whose cell count reaches oversubscription × n_parts
     (triangular s(s+1)/2 cells for the dedup self-join; per-SIDE
-    sqrt(target) for the match grid, where cells = sa·sb). 0 when the
-    adaptive widening is disabled."""
-    if not cfg.cell_oversubscription or cfg.min_shard_rows <= 0:
+    sqrt(target) for the match grid, where cells = sa·sb — the
+    asymmetric-block compensation in candidate_pairs/grouped then
+    widens the bigger side toward target/s_other when the smaller
+    side's floor binds). 0 when the adaptive widening is disabled."""
+    target = _cell_target(cfg, n_parts)
+    if not target:
         return 0
     import math
 
-    target = float(cfg.cell_oversubscription) * max(1, n_parts)
     if grid:
         return max(1, math.ceil(math.sqrt(target)))
     return max(1, math.ceil((math.sqrt(8.0 * target + 1.0) - 1.0) / 2.0))
@@ -249,6 +266,71 @@ def _shard_count(
     if wide_cap <= base:
         return base
     return max(base, min(wide_cap, -(-n // cfg.min_shard_rows)))
+
+
+def _grid_shards(
+    na: int, nb: int, cfg: PairingConfig, wide_cap: int, target: int
+) -> tuple[int, int]:
+    """(sa, sb) for a hot A×B match block. Each side first gets the
+    symmetric sqrt(target) cap; then, because an asymmetric block's
+    small side is usually pinned by its min_shard_rows floor (sb tiny
+    ⇒ sa·sb ≪ target — the cells-≫-partitions goal silently missed),
+    the bigger side is re-widened toward ceil(target / s_small)."""
+    sa = _shard_count(na, cfg, wide_cap, base_floor=1)
+    sb = _shard_count(nb, cfg, wide_cap, base_floor=1)
+    if target and sa * sb < target:
+        if na >= nb:
+            sa = _shard_count(na, cfg, max(wide_cap, -(-target // max(1, sb))),
+                              base_floor=1)
+        else:
+            sb = _shard_count(nb, cfg, max(wide_cap, -(-target // max(1, sa))),
+                              base_floor=1)
+    return sa, sb
+
+
+def _shard_count_expr(n_col, cfg: PairingConfig, cap, base_floor: int):
+    """Column twin of ``_shard_count`` (long-typed; caller casts):
+    rows_per_shard-based count, widened toward ``cap`` (an int — 0
+    disables — or a Column for the grid's dynamic re-widening) but
+    never below ``min_shard_rows`` rows per shard. The grouped path
+    uses this so its declarative shard sizing cannot drift from the
+    driver-side rule."""
+    s = F.greatest(
+        F.lit(base_floor).cast("long"),
+        F.ceil(n_col / F.lit(cfg.rows_per_shard)),
+    )
+    if isinstance(cap, Column):
+        cap_col = cap
+    elif cap:
+        cap_col = F.lit(int(cap)).cast("long")
+    else:
+        return s
+    return F.greatest(
+        s, F.least(cap_col, F.ceil(n_col / F.lit(cfg.min_shard_rows)))
+    )
+
+
+def _grid_shards_expr(na_col, nb_col, cfg: PairingConfig, wide_cap: int,
+                      target: int):
+    """Column twin of ``_grid_shards``: per-side sqrt(target) widening,
+    then the bigger side re-widened toward ceil(target / s_other) when
+    the smaller side's floor pins the cell count under target. Returns
+    (sa, sb) as LONG columns (the product guard below stays in long —
+    an int32 product would wrap for degenerate mega-blocks)."""
+    sa = _shard_count_expr(na_col, cfg, wide_cap, 1)
+    sb = _shard_count_expr(nb_col, cfg, wide_cap, 1)
+    if target and wide_cap:
+        t = F.lit(int(target)).cast("long")
+        under = (sa * sb) < t
+        cap_a = F.greatest(F.lit(int(wide_cap)).cast("long"), F.ceil(t / sb))
+        cap_b = F.greatest(F.lit(int(wide_cap)).cast("long"), F.ceil(t / sa))
+        sa, sb = (
+            F.when(under & (na_col >= nb_col),
+                   _shard_count_expr(na_col, cfg, cap_a, 1)).otherwise(sa),
+            F.when(under & (na_col < nb_col),
+                   _shard_count_expr(nb_col, cfg, cap_b, 1)).otherwise(sb),
+        )
+    return sa, sb
 
 
 def _hot_blocks(side: DataFrame, cfg: PairingConfig):
@@ -569,11 +651,12 @@ def candidate_pairs(
                 .limit(cfg.max_hot_keys)
                 .collect()
             )
-            wide = _wide_shard_cap(cfg, _n_parts(stats_a, cfg), grid=True)
+            n_parts_ab = _n_parts(stats_a, cfg)
+            wide = _wide_shard_cap(cfg, n_parts_ab, grid=True)
+            target = _cell_target(cfg, n_parts_ab)
             hot = []
             for r in rows:
-                sa = _shard_count(r["na"], cfg, wide, base_floor=1)
-                sb = _shard_count(r["nb"], cfg, wide, base_floor=1)
+                sa, sb = _grid_shards(r["na"], r["nb"], cfg, wide, target)
                 if sa * sb < 2:
                     sb = 2  # a hot key must split SOMETHING
                 hot.append((r[BLOCK_KEY], sa, sb))

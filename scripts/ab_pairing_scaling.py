@@ -14,8 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
-from executor_scaling_bench import hw_probe, run_level
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from executor_scaling_bench import hw_probe, run_level  # noqa: E402
 
 
 def main():
@@ -59,8 +62,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()

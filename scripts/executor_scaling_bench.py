@@ -89,11 +89,13 @@ t0 = time.time()
 # "adaptiveN" (e.g. adaptive16): defaults with cell_oversubscription=N.
 if pairing_mode == "manual":
     pcfg = PairingConfig(salt_threshold=1000, rows_per_shard=250)
-elif pairing_mode.startswith("adaptive") and pairing_mode != "adaptive":
+elif pairing_mode == "adaptive":
+    pcfg = PairingConfig(salt_threshold=1000)
+elif pairing_mode.startswith("adaptive"):
     pcfg = PairingConfig(salt_threshold=1000,
                          cell_oversubscription=float(pairing_mode[8:]))
-else:
-    pcfg = PairingConfig(salt_threshold=1000)
+else:  # a typo must not silently benchmark the default config
+    raise SystemExit(f"unknown pairing mode {pairing_mode!r}")
 m = ThresholdMatcher(ColumnsIndex("blk"), sims, fields, row_key="doc_id",
     validate=False, pairing_config=pcfg)
 n = m.scored_pairs.count()

@@ -15,6 +15,8 @@ import pytest
 from datamatch_spark import ColumnsIndex, JaroWinklerSimilarity, ThresholdMatcher
 from datamatch_spark.pairing import (
     PairingConfig,
+    _cell_target,
+    _grid_shards,
     _shard_count,
     _wide_shard_cap,
     candidate_pairs,
@@ -45,6 +47,38 @@ def test_wide_shard_cap_grid_reaches_target():
 def test_wide_shard_cap_disabled():
     assert _wide_shard_cap(PairingConfig(cell_oversubscription=0), 64, False) == 0
     assert _wide_shard_cap(PairingConfig(min_shard_rows=0), 64, False) == 0
+    # a negative value means disabled too, not a math domain error
+    assert _wide_shard_cap(PairingConfig(cell_oversubscription=-1), 64, False) == 0
+    assert _wide_shard_cap(PairingConfig(cell_oversubscription=-1), 64, True) == 0
+
+
+def test_grid_shards_asymmetric_rewiden():
+    """A one-side-dominant match block must still reach ~target cells:
+    the small side's min_shard_rows floor pins sb, so sa is re-widened
+    toward ceil(target / sb) instead of stopping at sqrt(target)."""
+    cfg = PairingConfig(rows_per_shard=2_000, min_shard_rows=256)
+    n_parts = 64
+    target = _cell_target(cfg, n_parts)  # 256
+    wide = _wide_shard_cap(cfg, n_parts, grid=True)  # 16
+    sa, sb = _grid_shards(24_000, 300, cfg, wide, target)
+    assert sb == 2  # floor-bound small side
+    assert sa == 94  # ceil(24000/256): min_shard_rows still caps it
+    assert sa * sb >= 128  # far past the 32 cells of the sqrt-only cap
+    # symmetric case unchanged by the re-widening branch
+    sa2, sb2 = _grid_shards(24_000, 24_000, cfg, wide, target)
+    assert sa2 == sb2 == wide
+    # mirrored asymmetry boosts the OTHER side
+    sb3, sa3 = _grid_shards(300, 24_000, cfg, wide, target)
+    assert (sa3, sb3) == (sa, sb)
+
+
+def test_positional_config_compat():
+    """New fields live at the dataclass END: positional construction
+    of the historical prefix keeps its meaning."""
+    cfg = PairingConfig(2_000, 2_000, 50_000)
+    assert cfg.max_hot_keys == 50_000
+    assert cfg.cell_oversubscription == 4.0
+    assert cfg.min_shard_rows == 256
 
 
 def test_shard_count_rules():
