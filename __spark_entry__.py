@@ -1016,6 +1016,53 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_BUCKETS = 1000
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datamatch_spark.extras.dsir import dsir_logweights, hashed_ngram_counts
+
+    docs = _docs(spark, sf_dir)
+    tgt = hashed_ngram_counts(
+        docs.where(F.col("lang") == "en"),
+        n_max=2,
+        buckets=_DSIR_BUCKETS,
+        hash_fn="md5",
+    )
+    return dsir_logweights(
+        docs, tgt, n_max=2, buckets=_DSIR_BUCKETS, alpha=1.0, hash_fn="md5"
+    )
+
+
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, extras/dsir.py):
+    hashed uni+bigram bucket models (target = the corpus's English
+    docs, raw = everything), per-doc sum of tf * log-likelihood
+    ratios. Model tables are bucket-bounded and broadcast — no
+    feature-keyed shuffle at any corpus size. Hard oracle replicates
+    the md5 bucketing + Laplace-smoothed ln arithmetic in DuckDB."""
+    return _dsir_weights(spark, sf_dir).select(
+        "doc_id",
+        "n_feats",
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step (extras/dsir.py): deterministic Gumbel
+    top-k over the importance weights — sample k docs without
+    replacement proportionally to exp(log_weight), noise derived from
+    md5(salt, id) so the chosen set is layout/retry/engine-invariant.
+    Runs as TakeOrderedAndProject (per-partition heaps, no global
+    sort). Hard oracle: same md5 -> uniform -> Gumbel arithmetic."""
+    from datamatch_spark.extras.dsir import gumbel_topk
+
+    return gumbel_topk(_dsir_weights(spark, sf_dir), k=50, salt="r5").select(
+        "doc_id",
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
 _PACK_MAX_TOKENS = 500
 _PACK_BUCKETS = 8
 
@@ -1954,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition_signals": q_repetition_signals,
         "unigram_logprob": q_unigram_logprob,
+        "dsir_logweights": q_dsir_logweights,
+        "dsir_sample": q_dsir_sample,
         "pack_quota": q_pack_quota,
         "pack_greedy": q_pack_greedy,
         "bpe_tokens": q_bpe_tokens,
@@ -3329,6 +3378,99 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(tf) AS DOUBLE), 6) AS avg_logprob
             FROM tf JOIN cnt USING (token)
             GROUP BY doc_id
+        """,
+        "dsir_logweights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS t
+              FROM documents WHERE doc_id IS NOT NULL
+            ),
+            uni AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks),
+            bi AS (
+              SELECT doc_id, lang, t[j.j] || ' ' || t[j.j + 1] AS gram
+              FROM toks, LATERAL UNNEST(range(1, len(t))) AS j(j)
+              WHERE len(t) >= 2
+            ),
+            grams AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                       % 1000 AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ),
+            tc AS (SELECT bucket, count(*) AS c FROM grams
+                   WHERE lang = 'en' GROUP BY bucket),
+            rc AS (SELECT bucket, count(*) AS c FROM grams GROUP BY bucket),
+            tot AS (
+              SELECT (SELECT sum(c) FROM tc) + 1.0 * 1000 AS dt,
+                     (SELECT sum(c) FROM rc) + 1.0 * 1000 AS dr
+            ),
+            tf AS (SELECT doc_id, bucket, count(*) AS tf FROM grams
+                   GROUP BY doc_id, bucket)
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf) AS BIGINT) AS n_feats,
+                   round(sum(tf.tf * (
+                       ln((coalesce(tc.c, 0) + 1.0) / tot.dt)
+                     - ln((coalesce(rc.c, 0) + 1.0) / tot.dr))), 6)
+                     AS log_weight
+            FROM tf
+            LEFT JOIN tc USING (bucket)
+            LEFT JOIN rc USING (bucket)
+            CROSS JOIN tot
+            GROUP BY tf.doc_id
+        """,
+        "dsir_sample": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS t
+              FROM documents WHERE doc_id IS NOT NULL
+            ),
+            uni AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks),
+            bi AS (
+              SELECT doc_id, lang, t[j.j] || ' ' || t[j.j + 1] AS gram
+              FROM toks, LATERAL UNNEST(range(1, len(t))) AS j(j)
+              WHERE len(t) >= 2
+            ),
+            grams AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                       % 1000 AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ),
+            tc AS (SELECT bucket, count(*) AS c FROM grams
+                   WHERE lang = 'en' GROUP BY bucket),
+            rc AS (SELECT bucket, count(*) AS c FROM grams GROUP BY bucket),
+            tot AS (
+              SELECT (SELECT sum(c) FROM tc) + 1.0 * 1000 AS dt,
+                     (SELECT sum(c) FROM rc) + 1.0 * 1000 AS dr
+            ),
+            tf AS (SELECT doc_id, bucket, count(*) AS tf FROM grams
+                   GROUP BY doc_id, bucket),
+            w AS (
+              SELECT tf.doc_id,
+                     sum(tf.tf * (
+                         ln((coalesce(tc.c, 0) + 1.0) / tot.dt)
+                       - ln((coalesce(rc.c, 0) + 1.0) / tot.dr)))
+                       AS log_weight
+              FROM tf
+              LEFT JOIN tc USING (bucket)
+              LEFT JOIN rc USING (bucket)
+              CROSS JOIN tot
+              GROUP BY tf.doc_id
+            ),
+            keyed AS (
+              SELECT doc_id,
+                     log_weight + (-ln(-ln(
+                       (CAST('0x' || substr(md5(concat_ws(chr(31), 'r5',
+                          CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)
+                        + 0.5) / 4294967296.0))) AS gumbel_key
+              FROM w
+            )
+            SELECT doc_id, round(gumbel_key, 6) AS gumbel_key
+            FROM keyed
+            ORDER BY gumbel_key DESC, doc_id
+            LIMIT 50
         """,
         "pack_quota": f"""
             WITH base AS (
