@@ -1465,6 +1465,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_DET = dict(n=2, n_perm=64, bands=16, threshold=0.5, est_margin=0.12)
 _SIMHASH_DET = dict(n=2, max_hamming=8)
 _MINHASH_GROUPS_DET = dict(n=3, n_perm=64, bands=8, threshold=0.8, est_margin=0.12)
+# bands=32 -> rows-per-band r=2: a band-fold depth neither of the
+# other two det packs exercises
+_MINHASH_MATCH_DET = dict(n=2, n_perm=64, bands=32, threshold=0.5, est_margin=0.12)
 
 
 def q_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1496,6 +1499,27 @@ def q_minhash_groups_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_groups(
         _docs(spark, sf_dir), "doc_id", hash_fn="md5", **p
     ).withColumn("keep", F.col("keep").cast("boolean"))
+
+
+def q_minhash_match_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup JOIN (``minhash_lsh_match`` —
+    the fuzzy-decontamination / crawl-overlap primitive) under a hard
+    DuckDB oracle: documents split even/odd by doc_id into two corpora,
+    md5 gram hashes, bands=32 (fold depth r=2, untested by the dedup
+    packs). The oracle reuses the ``minhash_det`` CTE chain with the
+    side-split candidate predicate; the production xxhash64 path is
+    covered by the brute-force/orientation parity pytest
+    (tests/test_extras.py::test_minhash_match_cross_corpus_parity)."""
+    from datamatch_spark.extras.dedup import minhash_lsh_match
+
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_match(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        hash_fn="md5",
+        **_MINHASH_MATCH_DET,
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2018,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "minhash_det": q_minhash_det,
+        "minhash_match_det": q_minhash_match_det,
         "minhash_groups_det": q_minhash_groups_det,
         "simhash": q_simhash,
         "simhash_det": q_simhash_det,
@@ -2113,7 +2138,12 @@ def _duckdb_gram_hash_ctes(n: int) -> str:
 
 
 def _duckdb_minhash_ctes(
-    n: int, n_perm: int, bands: int, threshold: float, est_margin: float
+    n: int,
+    n_perm: int,
+    bands: int,
+    threshold: float,
+    est_margin: float,
+    cand_cond: str = "a.doc_id < b.doc_id",
 ) -> str:
     """CTE chain replicating ``minhash_lsh_pairs(hash_fn='md5')`` stage
     by stage (datamatch_spark/extras/dedup.py): per-permutation seeds
@@ -2122,7 +2152,14 @@ def _duckdb_minhash_ctes(
     signature-estimate prefilter at threshold - est_margin, exact
     hashed-shingle Jaccard rounded to 6dp with the threshold applied to
     the ROUNDED value (as the engine does). Ends in
-    ``mh_pairs(idx_a, idx_b, jaccard)``."""
+    ``mh_pairs(idx_a, idx_b, jaccard)``.
+
+    ``cand_cond`` swaps the candidate-join pairing predicate: the
+    default is self-dedup id ordering; ``minhash_match_det`` passes the
+    even/odd side split so the SAME signature chain oracles
+    ``minhash_lsh_match`` (per-doc signatures are side-independent, so
+    computing them over the union table is identical to computing them
+    per side)."""
     r = n_perm // bands
     fold = []
     prev = "binit4"
@@ -2167,7 +2204,7 @@ bandt AS (SELECT doc_id, band, h FROM {prev}),
 cand AS (
   SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
   FROM bandt a JOIN bandt b
-    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.h = b.h AND {cand_cond}
 ), ghl AS (SELECT doc_id, list(g) AS gl FROM gh GROUP BY 1),
 ver AS (
   SELECT c.idx_a, c.idx_b,
@@ -2192,6 +2229,20 @@ def _duckdb_minhash_sql(
 ) -> str:
     return (
         f"WITH {_duckdb_minhash_ctes(n, n_perm, bands, threshold, est_margin)}"
+        "\nSELECT idx_a, idx_b, jaccard FROM mh_pairs"
+    )
+
+
+def _duckdb_minhash_match_sql(
+    n: int, n_perm: int, bands: int, threshold: float, est_margin: float
+) -> str:
+    """``minhash_lsh_match(hash_fn='md5')`` over the even/odd doc_id
+    split of ``documents``: identical signature/band chain, but the
+    candidate join pairs (even side) x (odd side) with no id-order
+    collapse — idx_a is always the even-side id, idx_b the odd-side id,
+    exactly the engine's orientation contract."""
+    return (
+        f"WITH {_duckdb_minhash_ctes(n, n_perm, bands, threshold, est_margin, cand_cond='a.doc_id % 2 = 0 AND b.doc_id % 2 = 1')}"
         "\nSELECT idx_a, idx_b, jaccard FROM mh_pairs"
     )
 
@@ -3590,6 +3641,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_tokens": _duckdb_bpe_tokens_sql(),
         "minhash_det": _duckdb_minhash_sql(**_MINHASH_DET),
+        "minhash_match_det": _duckdb_minhash_match_sql(**_MINHASH_MATCH_DET),
         "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
         "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),
         # md5-pixel PPM decode twin: per-channel integer pixel sums

@@ -39,6 +39,7 @@ __all__ = [
     "band_error",
     "auto_bands",
     "minhash_lsh_pairs",
+    "minhash_lsh_match",
     "minhash_dedup_groups",
     "simhash",
     "simhash_near_pairs",
@@ -516,11 +517,38 @@ def minhash_lsh_pairs(
         bands = auto_bands(
             n_perm, threshold, 1.0 - band_fn_weight, band_fn_weight
         )
-    sig_bands_udf = _sig_bands_udf(n_perm, bands)
+    info = _minhash_info(
+        df, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn
+    )
+    stacked = info.select(
+        "__id", F.posexplode("bands").alias("band", "bh")
+    )
+    l = stacked.select(F.col("__id").alias("idx_a"), "band", "bh")
+    r = stacked.select(F.col("__id").alias("idx_b"), "band", "bh")
+    cand = (
+        l.join(r, on=["band", "bh"])
+        .where(F.col("idx_a") < F.col("idx_b"))
+        .select("idx_a", "idx_b")
+        .dropDuplicates(["idx_a", "idx_b"])
+    )
+    return _minhash_verify(cand, info, info, n_perm, threshold, est_margin)
 
-    # one materialized per-doc frame carries everything downstream
-    # needs: shingle-hash set (exact verify), signature (estimate
-    # prefilter) and band hashes (candidate generation)
+
+def _minhash_info(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_perm: int,
+    bands: int,
+    checkpoint_dir: str | None,
+    hash_fn: str,
+    stage_tag: str = "",
+) -> DataFrame:
+    """One materialized per-doc frame carrying everything downstream
+    needs: shingle-hash set (exact verify), signature (estimate
+    prefilter) and band hashes (candidate generation)."""
+    sig_bands_udf = _sig_bands_udf(n_perm, bands)
     base = _ensure_width(df.select(F.col(id_col).alias("__id"), text_col)).where(
         _has_shingles(text_col, n)
     )
@@ -546,31 +574,33 @@ def minhash_lsh_pairs(
 
         cols = _re.sub(r"\W+", "_", f"{id_col}__{text_col}")
         # non-default hash_fn is part of the cache identity; the
-        # default keeps its historical key so existing caches still hit
+        # default keeps its historical key so existing caches still
+        # hit. stage_tag separates the two sides of match mode (same
+        # params + col names must not share one cache).
         hkey = "" if hash_fn == "xxhash64" else f"_h{hash_fn}"
         info = StageManifest(checkpoint_dir).materialize(
-            f"minhash_info_n{n}_p{n_perm}_b{bands}_c{cols}{hkey}",
+            f"minhash_info_n{n}_p{n_perm}_b{bands}_c{cols}{hkey}{stage_tag}",
             info,
             df.sparkSession,
         )
     else:
         info = info.localCheckpoint()
-    stacked = info.select(
-        "__id", F.posexplode("bands").alias("band", "bh")
-    )
-    l = stacked.select(F.col("__id").alias("idx_a"), "band", "bh")
-    r = stacked.select(F.col("__id").alias("idx_b"), "band", "bh")
-    cand = (
-        l.join(r, on=["band", "bh"])
-        .where(F.col("idx_a") < F.col("idx_b"))
-        .select("idx_a", "idx_b")
-        .dropDuplicates(["idx_a", "idx_b"])
-    )
-    # signature-estimate prefilter (n_perm long comparisons/pair) and
-    # exact hashed-shingle verification in ONE pass: two joins total,
-    # and Catalyst evaluates the cheap estimate filter below the
-    # set-intersection projection, so array_intersect only runs on
-    # estimate survivors
+    return info
+
+
+def _minhash_verify(
+    cand: DataFrame,
+    info_a: DataFrame,
+    info_b: DataFrame,
+    n_perm: int,
+    threshold: float,
+    est_margin: float,
+) -> DataFrame:
+    """Signature-estimate prefilter (n_perm long comparisons/pair) and
+    exact hashed-shingle verification in ONE pass: two joins total,
+    and Catalyst evaluates the cheap estimate filter below the
+    set-intersection projection, so array_intersect only runs on
+    estimate survivors."""
     est = (
         F.size(
             F.filter(
@@ -582,7 +612,7 @@ def minhash_lsh_pairs(
     )
     verified = (
         cand.join(
-            info.select(
+            info_a.select(
                 F.col("__id").alias("idx_a"),
                 F.col("sig").alias("sig_a"),
                 F.col("sh").alias("sh_a"),
@@ -590,7 +620,7 @@ def minhash_lsh_pairs(
             on="idx_a",
         )
         .join(
-            info.select(
+            info_b.select(
                 F.col("__id").alias("idx_b"),
                 F.col("sig").alias("sig_b"),
                 F.col("sh").alias("sh_b"),
@@ -610,6 +640,69 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold).select(
         "idx_a", "idx_b", "jaccard"
     )
+
+
+def minhash_lsh_match(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int | None = None,
+    threshold: float = 0.7,
+    est_margin: float = 0.12,
+    checkpoint_dir: str | None = None,
+    band_fn_weight: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-duplicate join: ``(idx_a, idx_b,
+    jaccard)`` pairs with ``idx_a`` from ``df_a`` and ``idx_b`` from
+    ``df_b`` — the two-table analogue of :func:`minhash_lsh_pairs`
+    (same shingling, signatures, banding, estimate prefilter and exact
+    verification; identical parameter semantics).
+
+    This is the document-level fuzzy-decontamination / crawl-overlap
+    primitive a training-data pipeline runs between every new crawl
+    and the existing training set: neither side is self-joined, and a
+    pair appears regardless of id ordering (ids may even collide
+    across tables — they name rows of different corpora).
+
+    Scale story: both sides reduce to banded bucket keys before the
+    only wide join; the join is band-local and bucket-local exactly as
+    in self mode, so the existing-corpus side can be PRE-COMPUTED once
+    (``checkpoint_dir`` caches each side under a side-distinct stage
+    key) and re-joined against each new crawl increment.
+    """
+    _check_hash_fn(hash_fn)
+    if bands is None:
+        if not (0.0 <= band_fn_weight <= 1.0):
+            raise ValueError(
+                f"band_fn_weight must be in [0, 1], got {band_fn_weight} "
+                "(it is the FN share of the banding error; its complement "
+                "is the FP share)"
+            )
+        bands = auto_bands(
+            n_perm, threshold, 1.0 - band_fn_weight, band_fn_weight
+        )
+    info_a = _minhash_info(
+        df_a, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn, "_mA"
+    )
+    info_b = _minhash_info(
+        df_b, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn, "_mB"
+    )
+    l = info_a.select("__id", F.posexplode("bands").alias("band", "bh")).select(
+        F.col("__id").alias("idx_a"), "band", "bh"
+    )
+    r = info_b.select("__id", F.posexplode("bands").alias("band", "bh")).select(
+        F.col("__id").alias("idx_b"), "band", "bh"
+    )
+    cand = (
+        l.join(r, on=["band", "bh"])
+        .select("idx_a", "idx_b")
+        .dropDuplicates(["idx_a", "idx_b"])
+    )
+    return _minhash_verify(cand, info_a, info_b, n_perm, threshold, est_margin)
 
 
 def simhash(

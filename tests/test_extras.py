@@ -59,6 +59,60 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not (got - want)  # precision exact (verified stage)
 
 
+def test_minhash_match_cross_corpus_parity(spark):
+    """minhash_lsh_match(A, B) over an even/odd split of one corpus
+    must equal minhash_lsh_pairs on the union restricted to cross-side
+    pairs (signatures/banding are per-doc and side-independent), with
+    idx_a always the A-side id — including pairs where idx_a > idx_b,
+    which pairs mode would have flipped."""
+    rows = []
+    for i in range(40):
+        words = " ".join(f"w{(i // 2) * 50 + j}" for j in range(30))
+        if i % 2 == 1:
+            words = words.replace(f"w{(i // 2) * 50 + 3}", "zz", 1)
+        rows.append((i, words))
+    # near-dup oriented the other way: odd id BELOW its even twin
+    rows.append((100, rows[39][1]))  # dup of odd doc 39 with even id 100
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=2, n_perm=64, bands=16, threshold=0.5)
+    a = df.where("doc_id % 2 = 0")
+    b = df.where("doc_id % 2 = 1")
+    got = {
+        (r["idx_a"], r["idx_b"], r["jaccard"])
+        for r in D.minhash_lsh_match(a, b, "doc_id", **kw).collect()
+    }
+    full = {
+        (r["idx_a"], r["idx_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(df, "doc_id", **kw).collect()
+    }
+    cross = {
+        (x, y, j) if x % 2 == 0 else (y, x, j)
+        for (x, y, j) in full
+        if (x % 2) != (y % 2)
+    }
+    assert got == cross
+    assert all(x % 2 == 0 and y % 2 == 1 for (x, y, _) in got)
+    assert (100, 39) in {(x, y) for (x, y, _) in got}  # a-id > b-id kept
+
+
+def test_minhash_match_id_collision(spark):
+    """ids name rows of DIFFERENT corpora in match mode — the same id
+    on both sides must still pair (no accidental self-exclusion)."""
+    txt = " ".join(f"w{j}" for j in range(30))
+    a = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, txt.replace("w3", "zz", 1)), (2, " ".join(f"q{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["idx_a"], r["idx_b"])
+        for r in D.minhash_lsh_match(
+            a, b, "doc_id", n=2, n_perm=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 1)}
+
+
 def test_minhash_verification_matches_bruteforce(docs):
     lsh = {
         (r["idx_a"], r["idx_b"], r["jaccard"])
