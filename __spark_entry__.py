@@ -1017,6 +1017,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DSIR_BUCKETS = 1000
+_DSIR_ALPHA = 1.0
 
 
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,7 +1031,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn="md5",
     )
     return dsir_logweights(
-        docs, tgt, n_max=2, buckets=_DSIR_BUCKETS, alpha=1.0, hash_fn="md5"
+        docs, tgt, n_max=2, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA, hash_fn="md5"
     )
 
 
@@ -2233,6 +2234,54 @@ def _duckdb_minhash_sql(
     )
 
 
+def _duckdb_dsir_ctes(buckets: int, alpha: float) -> str:
+    """Shared CTE chain for the two DSIR oracles (``_dsir_weights``):
+    hashed uni+bigram md5-32 buckets, Laplace-``alpha``-smoothed
+    target (lang='en') / raw (all docs) models, per-doc (bucket, tf),
+    per-doc ``w(doc_id, n_feats, log_weight)``. The model counts run
+    over ALL documents' grams — the engine fits models on the full
+    frame — while ``tf`` keys on doc_id, so only non-NULL-id docs are
+    scored (matching ``dsir_logweights``'s id filter exactly)."""
+    return f"""toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks),
+bi AS (
+  SELECT doc_id, lang, t[j.j] || ' ' || t[j.j + 1] AS gram
+  FROM toks, LATERAL UNNEST(range(1, len(t))) AS j(j)
+  WHERE len(t) >= 2
+),
+grams AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+           % {buckets} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+tc AS (SELECT bucket, count(*) AS c FROM grams
+       WHERE lang = 'en' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS c FROM grams GROUP BY bucket),
+tot AS (
+  SELECT (SELECT sum(c) FROM tc) + {alpha!r} * {buckets} AS dt,
+         (SELECT sum(c) FROM rc) + {alpha!r} * {buckets} AS dr
+),
+tf AS (SELECT doc_id, bucket, count(*) AS tf FROM grams
+       WHERE doc_id IS NOT NULL GROUP BY doc_id, bucket),
+w AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_feats,
+         sum(tf.tf * (
+             ln((coalesce(tc.c, 0) + {alpha!r}) / tot.dt)
+           - ln((coalesce(rc.c, 0) + {alpha!r}) / tot.dr))) AS log_weight
+  FROM tf
+  LEFT JOIN tc USING (bucket)
+  LEFT JOIN rc USING (bucket)
+  CROSS JOIN tot
+  GROUP BY tf.doc_id
+)"""
+
+
 def _duckdb_minhash_match_sql(
     n: int, n_perm: int, bands: int, threshold: float, est_margin: float
 ) -> str:
@@ -3430,86 +3479,13 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN cnt USING (token)
             GROUP BY doc_id
         """,
-        "dsir_logweights": """
-            WITH toks AS (
-              SELECT doc_id, lang,
-                     list_filter(string_split(lower(text), ' '),
-                                 t -> t <> '') AS t
-              FROM documents WHERE doc_id IS NOT NULL
-            ),
-            uni AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks),
-            bi AS (
-              SELECT doc_id, lang, t[j.j] || ' ' || t[j.j + 1] AS gram
-              FROM toks, LATERAL UNNEST(range(1, len(t))) AS j(j)
-              WHERE len(t) >= 2
-            ),
-            grams AS (
-              SELECT doc_id, lang,
-                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
-                       % 1000 AS bucket
-              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-            ),
-            tc AS (SELECT bucket, count(*) AS c FROM grams
-                   WHERE lang = 'en' GROUP BY bucket),
-            rc AS (SELECT bucket, count(*) AS c FROM grams GROUP BY bucket),
-            tot AS (
-              SELECT (SELECT sum(c) FROM tc) + 1.0 * 1000 AS dt,
-                     (SELECT sum(c) FROM rc) + 1.0 * 1000 AS dr
-            ),
-            tf AS (SELECT doc_id, bucket, count(*) AS tf FROM grams
-                   GROUP BY doc_id, bucket)
-            SELECT tf.doc_id,
-                   CAST(sum(tf.tf) AS BIGINT) AS n_feats,
-                   round(sum(tf.tf * (
-                       ln((coalesce(tc.c, 0) + 1.0) / tot.dt)
-                     - ln((coalesce(rc.c, 0) + 1.0) / tot.dr))), 6)
-                     AS log_weight
-            FROM tf
-            LEFT JOIN tc USING (bucket)
-            LEFT JOIN rc USING (bucket)
-            CROSS JOIN tot
-            GROUP BY tf.doc_id
+        "dsir_logweights": f"""
+            WITH {_duckdb_dsir_ctes(_DSIR_BUCKETS, _DSIR_ALPHA)}
+            SELECT doc_id, n_feats, round(log_weight, 6) AS log_weight
+            FROM w
         """,
-        "dsir_sample": """
-            WITH toks AS (
-              SELECT doc_id, lang,
-                     list_filter(string_split(lower(text), ' '),
-                                 t -> t <> '') AS t
-              FROM documents WHERE doc_id IS NOT NULL
-            ),
-            uni AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks),
-            bi AS (
-              SELECT doc_id, lang, t[j.j] || ' ' || t[j.j + 1] AS gram
-              FROM toks, LATERAL UNNEST(range(1, len(t))) AS j(j)
-              WHERE len(t) >= 2
-            ),
-            grams AS (
-              SELECT doc_id, lang,
-                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
-                       % 1000 AS bucket
-              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
-            ),
-            tc AS (SELECT bucket, count(*) AS c FROM grams
-                   WHERE lang = 'en' GROUP BY bucket),
-            rc AS (SELECT bucket, count(*) AS c FROM grams GROUP BY bucket),
-            tot AS (
-              SELECT (SELECT sum(c) FROM tc) + 1.0 * 1000 AS dt,
-                     (SELECT sum(c) FROM rc) + 1.0 * 1000 AS dr
-            ),
-            tf AS (SELECT doc_id, bucket, count(*) AS tf FROM grams
-                   GROUP BY doc_id, bucket),
-            w AS (
-              SELECT tf.doc_id,
-                     sum(tf.tf * (
-                         ln((coalesce(tc.c, 0) + 1.0) / tot.dt)
-                       - ln((coalesce(rc.c, 0) + 1.0) / tot.dr)))
-                       AS log_weight
-              FROM tf
-              LEFT JOIN tc USING (bucket)
-              LEFT JOIN rc USING (bucket)
-              CROSS JOIN tot
-              GROUP BY tf.doc_id
-            ),
+        "dsir_sample": f"""
+            WITH {_duckdb_dsir_ctes(_DSIR_BUCKETS, _DSIR_ALPHA)},
             keyed AS (
               SELECT doc_id,
                      log_weight + (-ln(-ln(

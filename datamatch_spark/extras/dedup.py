@@ -507,24 +507,12 @@ def minhash_lsh_pairs(
     slower cross-engine-deterministic variant the driver's DuckDB
     oracle replicates end-to-end."""
     _check_hash_fn(hash_fn)
-    if bands is None:
-        if not (0.0 <= band_fn_weight <= 1.0):
-            raise ValueError(
-                f"band_fn_weight must be in [0, 1], got {band_fn_weight} "
-                "(it is the FN share of the banding error; its complement "
-                "is the FP share)"
-            )
-        bands = auto_bands(
-            n_perm, threshold, 1.0 - band_fn_weight, band_fn_weight
-        )
+    bands = _resolve_bands(n_perm, threshold, bands, band_fn_weight)
     info = _minhash_info(
         df, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn
     )
-    stacked = info.select(
-        "__id", F.posexplode("bands").alias("band", "bh")
-    )
-    l = stacked.select(F.col("__id").alias("idx_a"), "band", "bh")
-    r = stacked.select(F.col("__id").alias("idx_b"), "band", "bh")
+    l = _banded(info, "idx_a")
+    r = _banded(info, "idx_b")
     cand = (
         l.join(r, on=["band", "bh"])
         .where(F.col("idx_a") < F.col("idx_b"))
@@ -532,6 +520,32 @@ def minhash_lsh_pairs(
         .dropDuplicates(["idx_a", "idx_b"])
     )
     return _minhash_verify(cand, info, info, n_perm, threshold, est_margin)
+
+
+def _resolve_bands(
+    n_perm: int, threshold: float, bands: int | None, band_fn_weight: float
+) -> int:
+    """``bands`` passthrough, or the auto_bands S-curve choice with the
+    shared band_fn_weight validation (one definition for pairs AND
+    match mode)."""
+    if bands is not None:
+        return bands
+    if not (0.0 <= band_fn_weight <= 1.0):
+        raise ValueError(
+            f"band_fn_weight must be in [0, 1], got {band_fn_weight} "
+            "(it is the FN share of the banding error; its complement "
+            "is the FP share)"
+        )
+    return auto_bands(n_perm, threshold, 1.0 - band_fn_weight, band_fn_weight)
+
+
+def _banded(info: DataFrame, idx_alias: str) -> DataFrame:
+    """(idx, band, bh) band-bucket keys of a signature frame — the only
+    columns the candidate join shuffles (vectors/shingle sets dropped
+    pre-shuffle)."""
+    return info.select(
+        F.col("__id").alias(idx_alias), F.posexplode("bands").alias("band", "bh")
+    )
 
 
 def _minhash_info(
@@ -655,6 +669,7 @@ def minhash_lsh_match(
     checkpoint_dir: str | None = None,
     band_fn_weight: float = 0.5,
     hash_fn: str = "xxhash64",
+    side_tags: tuple[str, str] = ("mA", "mB"),
 ) -> DataFrame:
     """Cross-corpus MinHash-LSH near-duplicate join: ``(idx_a, idx_b,
     jaccard)`` pairs with ``idx_a`` from ``df_a`` and ``idx_b`` from
@@ -670,35 +685,36 @@ def minhash_lsh_match(
 
     Scale story: both sides reduce to banded bucket keys before the
     only wide join; the join is band-local and bucket-local exactly as
-    in self mode, so the existing-corpus side can be PRE-COMPUTED once
-    (``checkpoint_dir`` caches each side under a side-distinct stage
-    key) and re-joined against each new crawl increment.
+    in self mode. With ``checkpoint_dir``, each side's signature frame
+    is a separate parquet stage keyed by ``side_tags`` — so the static
+    training-corpus side pre-computes once and every later run re-joins
+    it for free. Stage identity is (params, column names, tag), NOT
+    data content: a side whose DATA changes between runs (the new
+    crawl) MUST get a fresh tag, e.g. ``side_tags=("crawl_2026_08_19",
+    "corpus_v3")`` — reusing a tag against changed input silently
+    replays the cached signatures (the StageManifest contract; same as
+    re-running any resumable stage on edited input).
     """
+    import re as _re
+
     _check_hash_fn(hash_fn)
-    if bands is None:
-        if not (0.0 <= band_fn_weight <= 1.0):
-            raise ValueError(
-                f"band_fn_weight must be in [0, 1], got {band_fn_weight} "
-                "(it is the FN share of the banding error; its complement "
-                "is the FP share)"
-            )
-        bands = auto_bands(
-            n_perm, threshold, 1.0 - band_fn_weight, band_fn_weight
+    tag_a, tag_b = (_re.sub(r"\W+", "_", str(t)) for t in side_tags)
+    if not tag_a or not tag_b or tag_a == tag_b:
+        raise ValueError(
+            f"side_tags must be two distinct non-empty labels, got {side_tags!r}"
         )
+    bands = _resolve_bands(n_perm, threshold, bands, band_fn_weight)
     info_a = _minhash_info(
-        df_a, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn, "_mA"
+        df_a, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn,
+        f"_{tag_a}",
     )
     info_b = _minhash_info(
-        df_b, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn, "_mB"
-    )
-    l = info_a.select("__id", F.posexplode("bands").alias("band", "bh")).select(
-        F.col("__id").alias("idx_a"), "band", "bh"
-    )
-    r = info_b.select("__id", F.posexplode("bands").alias("band", "bh")).select(
-        F.col("__id").alias("idx_b"), "band", "bh"
+        df_b, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn,
+        f"_{tag_b}",
     )
     cand = (
-        l.join(r, on=["band", "bh"])
+        _banded(info_a, "idx_a")
+        .join(_banded(info_b, "idx_b"), on=["band", "bh"])
         .select("idx_a", "idx_b")
         .dropDuplicates(["idx_a", "idx_b"])
     )

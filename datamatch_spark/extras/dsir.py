@@ -155,14 +155,32 @@ def dsir_logweights(
         raw_counts = hashed_ngram_counts(df, text_col, n_max, buckets, hash_fn)
 
     def _model(counts: DataFrame, side: str, name: str) -> tuple[DataFrame, float]:
-        counts = counts.select(
+        # collect ONCE (bounded by `buckets` rows) and rebuild the
+        # broadcast side from the local rows: summing via .agg() and
+        # then broadcasting the un-cached plan would re-execute the
+        # full corpus scan behind a default raw model a second time
+        rows = counts.select(
             F.col("bucket").cast("long").alias("bucket"),
             F.col("c").cast("long").alias(f"c_{side}"),
-        )
-        total = counts.agg(F.sum(f"c_{side}")).collect()[0][0]
-        if not total or total <= 0:
+        ).collect()
+        if len(rows) > buckets:
+            raise ValueError(
+                f"{name} counts has {len(rows)} rows for buckets={buckets}; "
+                "it was not built with these parameters"
+            )
+        bad = next((r for r in rows if r[0] is None or not 0 <= r[0] < buckets), None)
+        if bad is not None:
+            raise ValueError(
+                f"{name} counts bucket {bad[0]!r} outside [0, {buckets}); "
+                "it was not built with these parameters"
+            )
+        total = sum(r[1] for r in rows if r[1] is not None)
+        if total <= 0:
             raise ValueError(f"{name} model is empty (no features in counts)")
-        return F.broadcast(counts), float(total) + alpha * buckets
+        local = df.sparkSession.createDataFrame(
+            rows, f"bucket long, c_{side} long"
+        )
+        return F.broadcast(local), float(total) + alpha * buckets
 
     tgt, denom_t = _model(target_counts, "t", "target")
     raw, denom_r = _model(raw_counts, "r", "raw")

@@ -720,6 +720,37 @@ def test_minhash_checkpoint_keyed_by_text_col(spark, tmp_path):
     assert p1 == 1 and p2 == 0  # titles identical, bodies disjoint
 
 
+def test_minhash_match_side_tags(spark, tmp_path):
+    """Match-mode checkpoint identity is (params, columns, side tag),
+    not data content: re-running with a FRESH tag for the changed side
+    recomputes; equal/empty tags are rejected loudly."""
+    import pytest
+
+    txt = " ".join(f"w{j}" for j in range(30))
+    corpus = spark.createDataFrame([(10, txt)], "doc_id long, text string")
+    crawl1 = spark.createDataFrame(
+        [(1, txt.replace("w3", "zz", 1))], "doc_id long, text string"
+    )
+    crawl2 = spark.createDataFrame(
+        [(2, " ".join(f"q{j}" for j in range(30)))], "doc_id long, text string"
+    )
+    kw = dict(n=2, n_perm=32, bands=8, threshold=0.5)
+    d = str(tmp_path / "ck")
+    n1 = D.minhash_lsh_match(
+        crawl1, corpus, "doc_id", checkpoint_dir=d,
+        side_tags=("crawl1", "corpus_v1"), **kw,
+    ).count()
+    # next increment: new tag for the changed side, corpus side reuses
+    n2 = D.minhash_lsh_match(
+        crawl2, corpus, "doc_id", checkpoint_dir=d,
+        side_tags=("crawl2", "corpus_v1"), **kw,
+    ).count()
+    assert n1 == 1 and n2 == 0  # crawl2 shares nothing with the corpus
+    for bad in [("same", "same"), ("", "ok"), ("a b", "a_b")]:
+        with pytest.raises(ValueError, match="side_tags"):
+            D.minhash_lsh_match(crawl1, corpus, "doc_id", side_tags=bad, **kw)
+
+
 def test_md5_gram_hash_matches_hashlib(spark):
     """hash_fn='md5' gram hashes equal the int64 view of the big-endian
     first 8 md5 bytes of each distinct bigram (the cross-engine
