@@ -890,6 +890,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (extras/bloom.py): the eval side's
+    5-gram set summarized as a fixed 2^16-bit array (built via
+    byte-index bit_or aggregation), train grams probed by one
+    Arrow-vectorized bit test — no broadcast gram TABLE, so the eval
+    side may be arbitrarily large. m is deliberately small here so
+    false positives occur at sf0.01 and the oracle must reproduce
+    them: DuckDB rebuilds the exact md5-slice position set and flags a
+    gram when all k=4 positions appear — bit-identical semantics to
+    the engine's bitset probe, FPs included."""
+    from datamatch_spark.extras.bloom import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return bloom_decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        n=5,
+        m_bits=1 << 16,
+        k=4,
+    )
+
+
 def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-8-gram fraction per document (the
     Gopher/RefinedWeb duplicate-text-fraction signal): inverted-index
@@ -2018,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swap_match": q_swap_match,
         "tfidf_pairs": q_tfidf_pairs,
         "decontaminate": q_decontaminate,
+        "bloom_decontam": q_bloom_decontam,
         "dup_ngram_stats": q_dup_ngram_stats,
         "stratified_sample": q_stratified_sample,
         "token_count": q_token_count,
@@ -3421,6 +3444,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    coalesce(h.n, 0) AS n_contaminated_ngrams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "bloom_decontam": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[j.j : j.j + 4], ' ') AS gram
+              FROM toks, LATERAL UNNEST(range(1, len(t) - 3)) AS j(j)
+              WHERE len(t) >= 5
+            ),
+            ev_pos AS (
+              SELECT DISTINCT
+                CAST('0x' || substr(md5(gram), 1 + 8 * s.s, 8) AS BIGINT)
+                  % 65536 AS p
+              FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0) e,
+                   LATERAL UNNEST(range(0, 4)) AS s(s)
+            ),
+            trp AS (
+              SELECT doc_id, gram,
+                CAST('0x' || substr(md5(gram), 1 + 8 * s.s, 8) AS BIGINT)
+                  % 65536 AS p
+              FROM g, LATERAL UNNEST(range(0, 4)) AS s(s)
+              WHERE doc_id % 20 <> 0
+            ),
+            -- a gram is flagged when ALL 4 positions are set; ev_pos
+            -- is distinct so count(*)=4 holds iff each of the gram's
+            -- (possibly duplicated) slice positions found its bit
+            hitg AS (
+              SELECT doc_id, gram FROM trp JOIN ev_pos USING (p)
+              GROUP BY doc_id, gram HAVING count(*) = 4
+            ),
+            hits AS (SELECT doc_id, count(*) AS n FROM hitg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n, 0) AS n_flagged_ngrams,
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
             LEFT JOIN hits h USING (doc_id)
