@@ -1567,6 +1567,27 @@ def q_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_match_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus SimHash near-dup JOIN (``simhash_near_match`` —
+    the Hamming-space sibling of ``minhash_match_det``) under a hard
+    DuckDB oracle: documents split even/odd by doc_id into two
+    corpora, md5 gram hashes; the oracle reuses the ``simhash_det``
+    fingerprint chain with the side-split candidate predicate. The
+    production xxhash64 path is covered by the pairs-mode/orientation
+    parity pytest (tests/test_extras.py::
+    test_simhash_match_cross_corpus_parity)."""
+    from datamatch_spark.extras.dedup import simhash_near_match
+
+    docs = _docs(spark, sf_dir)
+    return simhash_near_match(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        hash_fn="md5",
+        **_SIMHASH_DET,
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datamatch_spark.extras.simsearch import cosine_topk
 
@@ -2070,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_groups_det": q_minhash_groups_det,
         "simhash": q_simhash,
         "simhash_det": q_simhash_det,
+        "simhash_match_det": q_simhash_match_det,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -2345,12 +2367,17 @@ FROM documents d LEFT JOIN cmp c ON c.node = d.doc_id
 """
 
 
-def _duckdb_simhash_sql(n: int, max_hamming: int) -> str:
+def _duckdb_simhash_sql(
+    n: int, max_hamming: int, cand_cond: str = "a.doc_id < b.doc_id"
+) -> str:
     """``simhash_near_pairs(hash_fn='md5')``: 64 per-bit ±1 sign-sums
     over the distinct gram hashes, fingerprint = bits with positive
     sum, then bit_count(xor) over ALL id-ordered pairs — equivalent to
     the engine's pigeonhole chunk candidacy, which is recall-lossless
-    at its default n_chunks = max_hamming + 1."""
+    at its default n_chunks = max_hamming + 1. ``cand_cond`` swaps the
+    pairing predicate: ``simhash_match_det`` passes the even/odd side
+    split so the same fingerprint chain oracles ``simhash_near_match``
+    (per-doc fingerprints are side-independent)."""
     return f"""
 WITH {_duckdb_gram_hash_ctes(n)}, bits AS (
   SELECT gh.doc_id, b.b,
@@ -2365,7 +2392,7 @@ WITH {_duckdb_gram_hash_ctes(n)}, bits AS (
 )
 SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
        CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM sh a JOIN sh b ON {cand_cond}
 WHERE bit_count(xor(a.v, b.v)) <= {max_hamming}
 """
 
@@ -3681,6 +3708,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_match_det": _duckdb_minhash_match_sql(**_MINHASH_MATCH_DET),
         "minhash_groups_det": _duckdb_minhash_groups_sql(**_MINHASH_GROUPS_DET),
         "simhash_det": _duckdb_simhash_sql(**_SIMHASH_DET),
+        "simhash_match_det": _duckdb_simhash_sql(
+            cand_cond="a.doc_id % 2 = 0 AND b.doc_id % 2 = 1", **_SIMHASH_DET
+        ),
         # md5-pixel PPM decode twin: per-channel integer pixel sums
         # recovered exactly from the decoded float32 means (see
         # q_media_decode_ppm_det); pixel byte = first md5 hex pair

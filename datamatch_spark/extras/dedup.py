@@ -43,6 +43,7 @@ __all__ = [
     "minhash_dedup_groups",
     "simhash",
     "simhash_near_pairs",
+    "simhash_near_match",
 ]
 
 
@@ -774,17 +775,51 @@ def simhash_near_pairs(
     (each chunk carries 64/n_chunks bits, so more chunks ⇒
     exponentially bigger buckets: at corpus scale keep max_hamming
     small — Manku et al. (WWW 2007) use k=3 over 64 bits)."""
+    n_chunks = _check_simhash_params(max_hamming, n_chunks)
+    sh = simhash(df, id_col, text_col, n, hash_fn)
+    chunks = _simhash_chunks(sh, id_col, n_chunks)
+    l = chunks.select(
+        F.col("__id").alias("idx_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+    )
+    r = chunks.select(
+        F.col("__id").alias("idx_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+    )
+    cand = (
+        l.join(r, on=["chunk", "cv"])
+        .where(F.col("idx_a") < F.col("idx_b"))
+        .select("idx_a", "idx_b", "sh_a", "sh_b")
+        .dropDuplicates(["idx_a", "idx_b"])
+    )
+    return _simhash_verify(cand, max_hamming)
+
+
+def _check_simhash_params(max_hamming: int, n_chunks: int | None) -> int:
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63] for a 64-bit hash")
     if n_chunks is None:
         n_chunks = max_hamming + 1  # lossless by the pigeonhole bound
     if not 1 <= n_chunks <= 64:
         raise ValueError("n_chunks must be in [1, 64]")
+    return n_chunks
+
+
+def _simhash_verify(cand: DataFrame, max_hamming: int) -> DataFrame:
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    )
+    return ham.where(F.col("hamming") <= max_hamming).select(
+        "idx_a", "idx_b", "hamming"
+    )
+
+
+def _simhash_chunks(sh: DataFrame, id_col: str, n_chunks: int) -> DataFrame:
+    """(__id, simhash, chunk, cv): the fingerprint split into
+    ``n_chunks`` equal-as-possible bit chunks (the pigeonhole candidate
+    key, shared by pairs and match modes)."""
     base, rem = divmod(64, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sh = simhash(df, id_col, text_col, n, hash_fn)
-    chunks = sh.select(
+    return sh.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
         F.explode(
@@ -806,24 +841,52 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("__id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
-    l = chunks.select(
+
+
+def simhash_near_match(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus SimHash near-dup JOIN: ``(idx_a, idx_b, hamming)``
+    with ``idx_a`` from ``df_a``, ``idx_b`` from ``df_b`` and simhash
+    Hamming distance <= ``max_hamming`` — the two-table analogue of
+    :func:`simhash_near_pairs` (same fingerprint, same pigeonhole
+    chunk candidacy with its recall contract, same bit_count(xor)
+    verify), completing the match-mode symmetry next to
+    :func:`minhash_lsh_match`.
+
+    Per-document fingerprints are side-independent, so an id present
+    in BOTH corpora pairs with itself at hamming 0 (crawl-overlap
+    semantics); no ordering predicate is applied — every qualifying
+    (a, b) cross pair is returned exactly once.
+
+    Scale shape: each side aggregates its own 64 sign-sums (map-side
+    combinable), the only cross-side exchange is the chunk-equality
+    join on (chunk, cv) — bucket-sized build rows, never a full cross
+    product — followed by the constant-time verify."""
+    n_chunks = _check_simhash_params(max_hamming, n_chunks)
+    cha = _simhash_chunks(
+        simhash(df_a, id_col, text_col, n, hash_fn), id_col, n_chunks
+    ).select(
         F.col("__id").alias("idx_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
     )
-    r = chunks.select(
+    chb = _simhash_chunks(
+        simhash(df_b, id_col, text_col, n, hash_fn), id_col, n_chunks
+    ).select(
         F.col("__id").alias("idx_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
     )
     cand = (
-        l.join(r, on=["chunk", "cv"])
-        .where(F.col("idx_a") < F.col("idx_b"))
+        cha.join(chb, on=["chunk", "cv"])
         .select("idx_a", "idx_b", "sh_a", "sh_b")
         .dropDuplicates(["idx_a", "idx_b"])
     )
-    ham = cand.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    )
-    return ham.where(F.col("hamming") <= max_hamming).select(
-        "idx_a", "idx_b", "hamming"
-    )
+    return _simhash_verify(cand, max_hamming)
 
 
 def minhash_dedup_groups(

@@ -113,6 +113,64 @@ def test_minhash_match_id_collision(spark):
     assert got == {(1, 1)}
 
 
+def test_simhash_match_cross_corpus_parity(spark):
+    """simhash_near_match(A, B) over an even/odd split must equal
+    simhash_near_pairs on the union restricted to cross-side pairs
+    (fingerprints are per-doc and side-independent; both modes are
+    recall-lossless at the default chunking), with idx_a always the
+    A-side id — including pairs where idx_a > idx_b."""
+    rows = []
+    for i in range(40):
+        words = " ".join(f"w{(i // 2) * 50 + j}" for j in range(30))
+        if i % 2 == 1:
+            words = words.replace(f"w{(i // 2) * 50 + 3}", "zz", 1)
+        rows.append((i, words))
+    rows.append((100, rows[39][1]))  # dup of odd doc 39 with even id 100
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.where("doc_id % 2 = 0")
+    b = df.where("doc_id % 2 = 1")
+    got = {
+        (r["idx_a"], r["idx_b"], r["hamming"])
+        for r in D.simhash_near_match(a, b, "doc_id", n=2, max_hamming=16).collect()
+    }
+    full = {
+        (r["idx_a"], r["idx_b"], r["hamming"])
+        for r in D.simhash_near_pairs(df, "doc_id", n=2, max_hamming=16).collect()
+    }
+    cross = {
+        (x, y, h) if x % 2 == 0 else (y, x, h)
+        for (x, y, h) in full
+        if (x % 2) != (y % 2)
+    }
+    assert got == cross
+    assert all(x % 2 == 0 and y % 2 == 1 for (x, y, _) in got)
+    assert (100, 39, 0) in got  # a-id > b-id kept, exact dup at hamming 0
+
+
+def test_simhash_match_same_id_both_sides(spark):
+    """ids name rows of DIFFERENT corpora in match mode — the same id
+    on both sides must still pair (no accidental self-exclusion)."""
+    txt = " ".join(f"w{j}" for j in range(30))
+    a = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, txt), (2, " ".join(f"q{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["idx_a"], r["idx_b"], r["hamming"])
+        for r in D.simhash_near_match(a, b, "doc_id", n=2, max_hamming=3).collect()
+    }
+    assert got == {(1, 1, 0)}
+
+
+def test_simhash_match_param_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_match(df, df, "doc_id", max_hamming=64)
+    with pytest.raises(ValueError, match="n_chunks"):
+        D.simhash_near_match(df, df, "doc_id", max_hamming=3, n_chunks=65)
+
+
 def test_minhash_verification_matches_bruteforce(docs):
     lsh = {
         (r["idx_a"], r["idx_b"], r["jaccard"])
