@@ -58,7 +58,7 @@ __all__ = ["BloomFilter", "bloom_positions", "build_bloom", "bloom_decontaminate
 _MAX_K = 4
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class BloomFilter:
     """A built filter: ``bits`` is the packed little-bit-endian array
     (``bits[p >> 3] & (1 << (p & 7))`` tests position ``p``)."""
@@ -84,6 +84,10 @@ def _check_params(m_bits: int, k: int) -> None:
         raise ValueError(f"k must be in 1..{_MAX_K}, got {k}")
     if m_bits < 8:
         raise ValueError(f"m_bits must be >= 8, got {m_bits}")
+    if m_bits > 1 << 32:
+        # each position is one 32-bit md5 slice mod m — a larger m
+        # would leave bits past 2^32 permanently unreachable
+        raise ValueError(f"m_bits must be <= 2^32, got {m_bits}")
 
 
 def bloom_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
@@ -140,7 +144,7 @@ def build_bloom(
     return BloomFilter(bits=arr, m_bits=m_bits, k=k, n_set=n_set)
 
 
-def _hit_udf(bits_bc, k: int):
+def _hit_udf(bits_bc):
     @F.pandas_udf("boolean")
     def hit(*pos_cols: pd.Series) -> pd.Series:
         bits = bits_bc.value
@@ -183,7 +187,7 @@ def bloom_decontaminate(
         bloom = build_bloom(eval_df, text_col=text_col, n=n, m_bits=m_bits, k=k)
     spark = train.sparkSession
     bits_bc = spark.sparkContext.broadcast(bloom.bits)
-    hit = _hit_udf(bits_bc, k)
+    hit = _hit_udf(bits_bc)
     train_pos = train.select(
         F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("gram")
     ).select(id_col, *bloom_positions(F.col("gram"), m_bits, k))

@@ -140,6 +140,8 @@ def test_param_validation(spark, corpus):
         build_bloom(corpus, n=3, m_bits=M, k=5)
     with pytest.raises(ValueError, match="m_bits"):
         build_bloom(corpus, n=3, m_bits=4, k=2)
+    with pytest.raises(ValueError, match="2\\^32"):
+        build_bloom(corpus, n=3, m_bits=(1 << 32) + 8, k=2)
     assert isinstance(
         BloomFilter(np.zeros(1, np.uint8), 8, 1, 0).fp_rate, float
     )
