@@ -1470,6 +1470,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact n-gram Jaccard JOIN (``ngram_jaccard_match``
+    — the brute-force baseline of the MinHash/SimHash match modes)
+    over an even/odd doc_id split; hard oracle: the pairs-mode CTE
+    with the side-split cross predicate and no ordering (a-side id is
+    always idx_a, including pairs where idx_a > idx_b)."""
+    from datamatch_spark.extras.dedup import ngram_jaccard_match
+
+    docs = _docs(spark, sf_dir)
+    return ngram_jaccard_match(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        n=2,
+        threshold=0.5,
+        max_df=None,
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup over the PRODUCTION xxhash64 gram-hash path
     (rows-only: DuckDB has no xxhash64). The identical pipeline under
@@ -2085,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "keep_best": q_keep_best,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_match": q_ngram_jaccard_match,
         "minhash_lsh": q_minhash_lsh,
         "minhash_det": q_minhash_det,
         "minhash_match_det": q_minhash_match_det,
@@ -3891,6 +3911,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = idx_a
             JOIN sizes sb ON sb.doc_id = idx_b
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "ngram_jaccard_match": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS s
+              FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b, count(*) AS c
+              FROM sh a JOIN sh b
+                ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2
+            )
+            SELECT idx_a, idx_b,
+                   round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = idx_a
+            JOIN sizes sb ON sb.doc_id = idx_b
+            WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.5
         """,
         "cosine_topk": """
             WITH q AS (

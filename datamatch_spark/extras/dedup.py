@@ -35,6 +35,7 @@ __all__ = [
     "exact_duplicates",
     "shingle_stats",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_match",
     "minhash_signatures",
     "band_error",
     "auto_bands",
@@ -235,6 +236,72 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.where(F.col("jaccard") >= threshold).select("idx_a", "idx_b", "jaccard")
+
+
+def ngram_jaccard_match(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Cross-corpus n-gram Jaccard JOIN: ``(idx_a, idx_b, jaccard)``
+    with ``idx_a`` from ``df_a``, ``idx_b`` from ``df_b`` and distinct
+    word-n-gram Jaccard >= ``threshold`` — the two-table analogue of
+    :func:`ngram_jaccard_pairs` (exact, no sketching; the brute-force
+    baseline the MinHash/SimHash match modes are measured against).
+
+    Stop-shingles are counted over the UNION of both sides' posting
+    lists (the join blowup is the product of per-side postings, so a
+    gram hot on either side is pruned); as in pairs mode, set sizes
+    come from the unpruned sets, making the reported jaccard a lower
+    bound and keeping precision. No ordering predicate is applied —
+    every qualifying (a, b) cross pair appears exactly once, and an id
+    present in both corpora may pair with itself."""
+
+    def side(df: DataFrame) -> DataFrame:
+        sh = _ensure_width(
+            df.select(F.col(id_col).alias("__id"), text_col)
+        ).select("__id", F.explode(_shingles_expr(text_col, n)).alias("shingle"))
+        # feeds sizes agg + df counts + its join side: materialize once
+        return sh.localCheckpoint()
+
+    sha, shb = side(df_a), side(df_b)
+    sizes_a = sha.groupBy("__id").agg(F.count(F.lit(1)).alias("sz_a"))
+    sizes_b = shb.groupBy("__id").agg(F.count(F.lit(1)).alias("sz_b"))
+    if max_df is not None:
+        hot = (
+            sha.select("shingle")
+            .unionAll(shb.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+        )
+        sha = sha.join(hot, on="shingle", how="left_anti")
+        shb = shb.join(hot, on="shingle", how="left_anti")
+    common = (
+        sha.select(F.col("__id").alias("idx_a"), "shingle")
+        .join(shb.select(F.col("__id").alias("idx_b"), "shingle"), on="shingle")
+        .groupBy("idx_a", "idx_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(sizes_a.withColumnRenamed("__id", "idx_a"), on="idx_a")
+        .join(sizes_b.withColumnRenamed("__id", "idx_b"), on="idx_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "idx_a", "idx_b", "jaccard"
+    )
 
 
 def _splitmix64(x):

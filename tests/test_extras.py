@@ -113,6 +113,70 @@ def test_minhash_match_id_collision(spark):
     assert got == {(1, 1)}
 
 
+def test_ngram_jaccard_match_cross_corpus_parity(spark):
+    """ngram_jaccard_match(A, B) over an even/odd split must equal
+    ngram_jaccard_pairs on the union restricted to cross-side pairs
+    (at max_df=None both modes are exhaustive), idx_a always the
+    A-side id — including pairs where idx_a > idx_b."""
+    rows = []
+    for i in range(30):
+        words = " ".join(f"w{(i // 2) * 50 + j}" for j in range(20))
+        if i % 2 == 1:
+            words = words.replace(f"w{(i // 2) * 50 + 3}", "zz", 1)
+        rows.append((i, words))
+    rows.append((100, rows[29][1]))  # dup of odd doc 29 with even id 100
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.where("doc_id % 2 = 0")
+    b = df.where("doc_id % 2 = 1")
+    kw = dict(n=2, threshold=0.5, max_df=None)
+    got = {
+        (r["idx_a"], r["idx_b"], r["jaccard"])
+        for r in D.ngram_jaccard_match(a, b, "doc_id", **kw).collect()
+    }
+    full = {
+        (r["idx_a"], r["idx_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(df, "doc_id", **kw).collect()
+    }
+    cross = {
+        (x, y, j) if x % 2 == 0 else (y, x, j)
+        for (x, y, j) in full
+        if (x % 2) != (y % 2)
+    }
+    assert got == cross and got
+    assert all(x % 2 == 0 and y % 2 == 1 for (x, y, _) in got)
+    assert (100, 29, 1.0) in got  # a-id > b-id kept, exact dup at 1.0
+
+
+def test_ngram_jaccard_match_union_stop_shingles(spark):
+    """max_df counts document frequency over the UNION of both sides:
+    a gram hot across the two corpora together is pruned even if each
+    side alone stays under the cap — and since sizes come from the
+    unpruned sets, affected pairs only lose score (lower bound)."""
+    # 4 A-docs and 4 B-docs all share gram "h h"; distinct tails
+    a_rows = [(i, "h h a%d b%d c%d" % (i, i, i)) for i in range(4)]
+    b_rows = [(10 + i, "h h a%d b%d c%d" % (i, i, i)) for i in range(4)]
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    # union df of "h h" = 8 > 6 -> pruned; per-side df is only 4
+    pruned = {
+        (r["idx_a"], r["idx_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_match(
+            a, b, "doc_id", n=2, threshold=0.0, max_df=6
+        ).collect()
+    }
+    full = {
+        (r["idx_a"], r["idx_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_match(
+            a, b, "doc_id", n=2, threshold=0.0, max_df=None
+        ).collect()
+    }
+    # twin docs (i, 10+i) share everything; cross twins share only "h h"
+    assert full[(0, 10)] == 1.0
+    assert pruned[(0, 10)] < 1.0  # lost the pruned gram's mass, lower bound
+    assert (0, 11) in full and (0, 11) not in pruned  # only-hot-gram pair gone
+    assert all(pruned[k] <= full[k] for k in pruned)
+
+
 def test_simhash_match_cross_corpus_parity(spark):
     """simhash_near_match(A, B) over an even/odd split must equal
     simhash_near_pairs on the union restricted to cross-side pairs
