@@ -90,14 +90,7 @@ def _check_params(m_bits: int, k: int) -> None:
         raise ValueError(f"m_bits must be <= 2^32, got {m_bits}")
 
 
-def bloom_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
-    """The k bit positions of a gram column: non-overlapping 32-bit
-    big-endian slices of md5(gram) hex, mod ``m_bits`` (same
-    conv/substring construction as dsir.py's bucket hash, proven
-    DuckDB-reproducible via ``CAST('0x' || substr(md5(g), ..) AS
-    BIGINT)``)."""
-    _check_params(m_bits, k)
-    hexd = F.md5(gram)
+def _positions_from_hex(hexd: Column, m_bits: int, k: int) -> list[Column]:
     return [
         (
             F.conv(F.substring(hexd, 1 + 8 * j, 8), 16, 10).cast("long")
@@ -105,6 +98,32 @@ def bloom_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
         ).alias(f"p{j}")
         for j in range(k)
     ]
+
+
+def bloom_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a gram column: non-overlapping 32-bit
+    big-endian slices of md5(gram) hex, mod ``m_bits`` (same
+    conv/substring construction as dsir.py's bucket hash, proven
+    DuckDB-reproducible via ``CAST('0x' || substr(md5(g), ..) AS
+    BIGINT)``). Reference form for tests/oracles; the pipelines below
+    use :func:`_positions_array` instead, which binds the digest once."""
+    _check_params(m_bits, k)
+    return _positions_from_hex(F.md5(gram), m_bits, k)
+
+
+def _positions_array(gram_col: str, m_bits: int, k: int) -> Column:
+    """array<bigint> of the k positions with md5 evaluated ONCE per
+    gram: a staged projection gets re-inlined by CollapseProject
+    (verified on the physical plan — the digest appeared k times), so
+    the let-binding idiom from decontam._hashed_grams_expr is used —
+    ``transform(array(md5(g)), h -> ...)`` binds the digest as the
+    lambda variable, which is evaluated once per element by
+    construction."""
+    slices = ", ".join(
+        f"cast(conv(substr(h, {1 + 8 * j}, 8), 16, 10) as bigint) % {m_bits}"
+        for j in range(k)
+    )
+    return F.expr(f"transform(array(md5({gram_col})), h -> array({slices}))[0]")
 
 
 def build_bloom(
@@ -121,9 +140,7 @@ def build_bloom(
     at most ``m_bits / 8`` rows regardless of eval corpus size."""
     _check_params(m_bits, k)
     grams = eval_df.select(F.explode(shingles_expr(text_col, n)).alias("gram"))
-    pos = grams.select(
-        F.explode(F.array(*bloom_positions(F.col("gram"), m_bits, k))).alias("p")
-    )
+    pos = grams.select(F.explode(_positions_array("gram", m_bits, k)).alias("p"))
     byte_rows = (
         pos.select(
             F.expr("shiftright(p, 3)").alias("byte_idx"),
@@ -146,11 +163,13 @@ def build_bloom(
 
 def _hit_udf(bits_bc):
     @F.pandas_udf("boolean")
-    def hit(*pos_cols: pd.Series) -> pd.Series:
+    def hit(ps: pd.Series) -> pd.Series:
         bits = bits_bc.value
-        p = np.stack([c.to_numpy(np.int64) for c in pos_cols])  # (k, rows)
+        if len(ps) == 0:
+            return pd.Series([], dtype=bool)
+        p = np.stack(ps.to_numpy()).astype(np.int64, copy=False)  # (rows, k)
         ok = (bits[p >> 3] & np.left_shift(1, (p & 7)).astype(np.uint8)) != 0
-        return pd.Series(ok.all(axis=0))
+        return pd.Series(ok.all(axis=1))
 
     return hit
 
@@ -190,9 +209,9 @@ def bloom_decontaminate(
     hit = _hit_udf(bits_bc)
     train_pos = train.select(
         F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("gram")
-    ).select(id_col, *bloom_positions(F.col("gram"), m_bits, k))
+    ).select(id_col, _positions_array("gram", m_bits, k).alias("ps"))
     hits = (
-        train_pos.where(hit(*[F.col(f"p{j}") for j in range(k)]))
+        train_pos.where(hit(F.col("ps")))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_flagged_ngrams"))
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from datamatch_spark.extras.bloom import (
     BloomFilter,
+    _positions_array,
     bloom_decontaminate,
     bloom_positions,
     build_bloom,
@@ -47,6 +48,12 @@ def test_positions_match_hashlib(spark):
     )
     for row in df.collect():
         assert [row[f"p{j}"] for j in range(K)] == _py_positions(row["gram"], M, K)
+    # the fused single-digest array form must agree with the reference
+    arr = spark.createDataFrame([(g,) for g in grams], "gram string").select(
+        F.col("gram"), _positions_array("gram", M, K).alias("ps")
+    )
+    for row in arr.collect():
+        assert list(row["ps"]) == _py_positions(row["gram"], M, K)
 
 
 def test_build_matches_naive_bitset(spark, corpus):
