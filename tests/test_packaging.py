@@ -24,6 +24,8 @@ def test_zipimport_package(tmp_path):
         "import datamatch_spark\n"
         "from datamatch_spark import ThresholdMatcher, ColumnsIndex\n"
         "from datamatch_spark.extras import dedup, simsearch, text, multimodal\n"
+        "from datamatch_spark.extras import bloom, decontam, cleaning, urls\n"
+        "from datamatch_spark.extras import dsir, lm, packing, sampling, tfidf\n"
         "from datamatch_spark import corpus, clustering, metrics, checkpointing\n"
         "assert 'datamatch_spark.zip' in datamatch_spark.__file__, datamatch_spark.__file__\n"
         "print('ZIPIMPORT_OK')\n"
