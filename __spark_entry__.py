@@ -873,6 +873,20 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (extras/urls.cap_per_domain): keep at
+    most 3 docs per registered domain, chosen by ascending
+    md5('r5', doc_id) — the link-farm suppression step, deterministic
+    under repartition/retry. Skew-safe two-phase bottom-k (pre-cut
+    within md5-derived shards is lossless, pinned by pytest). Hard
+    oracle: the shared URL->domain CTE chain + the same md5 rank in a
+    SQL window."""
+    from datamatch_spark.extras.urls import cap_per_domain
+
+    docs = _docs(spark, sf_dir).select("doc_id", _url_expr().alias("url"))
+    return cap_per_domain(docs, "url", 3, salt="r5").select("doc_id", "domain")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C style): flag train
     docs sharing any 5-token-gram with a held-out eval set (here the
@@ -2080,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swap_match": q_swap_match,
         "tfidf_pairs": q_tfidf_pairs,
         "decontaminate": q_decontaminate,
+        "domain_cap": q_domain_cap,
         "bloom_decontam": q_bloom_decontam,
         "dup_ngram_stats": q_dup_ngram_stats,
         "stratified_sample": q_stratified_sample,
@@ -3822,6 +3837,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url_canon, domain,
                    domain IN ('example.org', 'shop.com.au') AS blocked
             FROM d4
+        """,
+        "domain_cap": _DUCKDB_URL_DOMAIN_CTE + """
+            SELECT doc_id, domain FROM (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(concat_ws(chr(31), 'r5',
+                                    CAST(doc_id AS VARCHAR))), doc_id
+                     ) AS rn
+              FROM d4
+            ) WHERE rn <= 3
         """,
         "domain_stats": _DUCKDB_URL_DOMAIN_CTE + """
             , q AS (

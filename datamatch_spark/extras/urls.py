@@ -20,6 +20,7 @@ __all__ = [
     "registered_domain",
     "filter_blocked_domains",
     "domain_stats",
+    "cap_per_domain",
 ]
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -155,6 +156,66 @@ def filter_blocked_domains(
     if flag_col is not None:
         return df.withColumn(flag_col, flag)
     return df.where(~flag)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str,
+    max_docs: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    pre_shards: int | None = 16,
+) -> DataFrame:
+    """Per-domain frequency cap: keep at most ``max_docs`` rows per
+    REGISTERED domain (link-farm / boilerplate-site suppression — the
+    crawl-curation step after blocklisting). Returns the kept rows
+    with a ``domain`` column appended.
+
+    The kept set is chosen by ascending ``md5(salt, id)`` with ``id``
+    as the tiebreak — deterministic under repartition/retry and
+    engine-reproducible (the driver oracle replays the same rank in
+    SQL), exactly like ``sampling.deterministic_sample``. Rows whose
+    domain is NULL (NULL url) form their own capped group.
+
+    Skew: a single ``row_number() OVER (PARTITION BY domain)`` puts a
+    hot domain's entire row set in one task. With ``pre_shards`` (the
+    default), rows are first ranked within (domain, md5-derived shard)
+    and cut to ``max_docs`` there — any row in the domain's true
+    bottom-``max_docs`` is necessarily in its shard's bottom-
+    ``max_docs``, so the pre-cut is lossless — bounding the final
+    per-domain window to ``pre_shards x max_docs`` rows no matter how
+    hot the domain. Pass ``pre_shards=None`` for the single-window
+    plan (fine when no domain dominates).
+    """
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    from pyspark.sql import Window
+
+    dom = registered_domain(canonicalize_url(F.col(url_col)))
+    h = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
+    out = df.withColumn("domain", dom).withColumn("__h", h)
+    if pre_shards is not None:
+        if pre_shards < 1:
+            raise ValueError(f"pre_shards must be >= 1, got {pre_shards}")
+        # shard from the SAME deterministic hash (no second digest):
+        # first 8 hex chars mod pre_shards
+        shard = (
+            F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("long")
+            % F.lit(pre_shards)
+        )
+        w1 = Window.partitionBy("domain", "__shard").orderBy("__h", id_col)
+        out = (
+            out.withColumn("__shard", shard)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= max_docs)
+            .drop("__shard", "__r1")
+        )
+    w = Window.partitionBy("domain").orderBy("__h", id_col)
+    return (
+        out.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= max_docs)
+        .drop("__h", "__r")
+    )
 
 
 def domain_stats(

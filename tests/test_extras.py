@@ -1334,3 +1334,58 @@ def test_domain_stats(spark):
         for r in domain_stats(df, "url", exact_distinct=False).collect()
     }
     assert approx == {"ex.com": (3, 2), "site.co.uk": (1, 1)}
+
+
+def test_cap_per_domain_basic_and_deterministic(spark):
+    from datamatch_spark.extras.urls import cap_per_domain
+
+    rows = [(i, f"https://hot.example.com/p/{i}") for i in range(40)]
+    rows += [(100 + i, f"https://cold{i}.org/x") for i in range(5)]
+    rows += [(200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = cap_per_domain(df, "url", 3, salt="t").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert len(by_dom["example.com"]) == 3
+    for i in range(5):
+        assert by_dom[f"cold{i}.org"] == [100 + i]  # under-cap domains intact
+    assert by_dom[None] == [200]  # NULL url rows form their own group
+    # deterministic: repartitioned input keeps the SAME rows
+    again = {
+        r["doc_id"]
+        for r in cap_per_domain(df.repartition(7), "url", 3, salt="t").collect()
+    }
+    assert again == {r["doc_id"] for r in kept}
+    # matches the hashlib-replayed rank
+    import hashlib
+
+    want = sorted(
+        range(40),
+        key=lambda i: (hashlib.md5(f"t\x1f{i}".encode()).hexdigest(), i),
+    )[:3]
+    assert sorted(by_dom["example.com"]) == sorted(want)
+
+
+def test_cap_per_domain_presharded_parity(spark):
+    from datamatch_spark.extras.urls import cap_per_domain
+
+    rows = [(i, f"https://a.net/{i}") for i in range(60)]
+    rows += [(1000 + i, f"https://b{i % 4}.io/{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    one = {
+        r["doc_id"]
+        for r in cap_per_domain(df, "url", 5, salt="s", pre_shards=None).collect()
+    }
+    two = {
+        r["doc_id"]
+        for r in cap_per_domain(df, "url", 5, salt="s", pre_shards=3).collect()
+    }
+    assert one == two  # the shard pre-cut is lossless
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_docs"):
+        cap_per_domain(df, "url", 0)
+    with _pytest.raises(ValueError, match="pre_shards"):
+        cap_per_domain(df, "url", 2, pre_shards=0)
