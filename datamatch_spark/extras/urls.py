@@ -189,6 +189,11 @@ def cap_per_domain(
     """
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    if "domain" in df.columns:
+        raise ValueError(
+            "input already has a 'domain' column — rename it; "
+            "cap_per_domain appends the registered domain under that name"
+        )
     from pyspark.sql import Window
 
     dom = registered_domain(canonicalize_url(F.col(url_col)))

@@ -1389,3 +1389,13 @@ def test_cap_per_domain_presharded_parity(spark):
         cap_per_domain(df, "url", 0)
     with _pytest.raises(ValueError, match="pre_shards"):
         cap_per_domain(df, "url", 2, pre_shards=0)
+
+
+def test_cap_per_domain_rejects_existing_domain_col(spark):
+    from datamatch_spark.extras.urls import cap_per_domain
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "pre")], "doc_id long, url string, domain string"
+    )
+    with pytest.raises(ValueError, match="'domain' column"):
+        cap_per_domain(df, "url", 2)
