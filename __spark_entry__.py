@@ -873,6 +873,20 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window sequence chunking (extras/packing.py
+    chunk_documents — training-loader prep): 40-token chunks, 8-token
+    overlap (stride 32), trailing all-overlap chunks suppressed.
+    Zero-shuffle row-local plan (scan -> Generate -> projection).
+    Hard oracle: identical token arithmetic over string_split in
+    DuckDB (range starts, list slice, least)."""
+    from datamatch_spark.extras.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=40, overlap=8
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency cap (extras/urls.cap_per_domain): keep at
     most 3 docs per registered domain, chosen by ascending
@@ -2095,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": q_tfidf_pairs,
         "decontaminate": q_decontaminate,
         "domain_cap": q_domain_cap,
+        "chunk_documents": q_chunk_documents,
         "bloom_decontam": q_bloom_decontam,
         "dup_ngram_stats": q_dup_ngram_stats,
         "stratified_sample": q_stratified_sample,
@@ -3837,6 +3852,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url_canon, domain,
                    domain IN ('example.org', 'shop.com.au') AS blocked
             FROM d4
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE text IS NOT NULL
+            ), starts AS (
+              SELECT doc_id, t, CAST(s.s AS INT) AS s
+              FROM toks, UNNEST(range(1, len(t) + 1, 32)) AS s(s)
+              WHERE s.s = 1 OR s.s + 8 <= len(t)
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 32 AS INT) AS chunk_idx,
+                   array_to_string(t[s : s + 39], ' ') AS chunk_text,
+                   CAST(least(40, len(t) - s + 1) AS INT) AS n_tokens
+            FROM starts
         """,
         "domain_cap": _DUCKDB_URL_DOMAIN_CTE + """
             SELECT doc_id, domain FROM (

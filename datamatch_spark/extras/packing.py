@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_quota", "pack_greedy"]
+__all__ = ["pack_quota", "pack_greedy", "chunk_documents"]
 
 
 def _bucket(key: Column, n_buckets: int, salt: str) -> Column:
@@ -132,3 +132,56 @@ def pack_greedy(
         return pdf
 
     return base.groupBy("bucket").applyInPandas(assign, schema=schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Sliding-window sequence chunking (training-loader prep): split
+    each document's whitespace token stream into chunks of at most
+    ``max_tokens`` tokens, consecutive chunks sharing ``overlap``
+    tokens (stride = ``max_tokens - overlap`` — the BERT-style
+    sliding window; ``overlap=0`` is plain fixed-length grouping).
+
+    Returns ``(id, chunk_idx, chunk_text, n_tokens)``. A chunk is
+    emitted only if it is the first OR contributes at least one token
+    not covered by the previous chunk (``start + overlap <= n``), so
+    no trailing all-overlap chunk appears. NULL-text rows yield no
+    chunks; note Spark and SQL split('') both give one empty token,
+    so an empty string yields one 1-token chunk of ''.
+
+    Entirely pure Column (split once via a let-binding, start
+    sequence, slice + concat_ws, one explode) — whole-stage codegen,
+    no Python, no shuffle at all: chunking is embarrassingly
+    row-local, the 100 TB shape is scan -> Generate -> scan-side
+    projection. DuckDB-oracle-reproducible token arithmetic.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} for "
+            f"max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+    chunks = F.expr(
+        f"""transform(array(split({text_col}, ' ')), t ->
+              transform(
+                filter(sequence(1, size(t), {stride}),
+                       s -> s = 1 OR s + {overlap} <= size(t)),
+                s -> struct(
+                  cast((s - 1) div {stride} as int) as chunk_idx,
+                  concat_ws(' ', slice(t, s, {max_tokens})) as chunk_text,
+                  cast(least({max_tokens}, size(t) - s + 1) as int)
+                    as n_tokens)))[0]"""
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )

@@ -138,3 +138,79 @@ def test_unigram_logprob_nonpositive_oov_raises(spark):
     for bad in (0.0, -1.0):
         with pytest.raises(ValueError, match="oov_count"):
             unigram_logprob(df, oov_count=bad)
+
+
+def test_chunk_documents_scalar_parity(spark):
+    """Engine chunks == a python reference on mixed lengths, with and
+    without overlap."""
+    from datamatch_spark.extras.packing import chunk_documents
+
+    def ref(text, max_tokens, overlap):
+        t = text.split(" ")
+        stride = max_tokens - overlap
+        out = []
+        for s in range(1, len(t) + 1, stride):
+            if s != 1 and s + overlap > len(t):
+                continue
+            piece = t[s - 1 : s - 1 + max_tokens]
+            out.append(((s - 1) // stride, " ".join(piece), len(piece)))
+        return out
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(25))),
+        (1, " ".join(f"w{i}" for i in range(8))),  # single chunk
+        (2, "only three tokens"),
+        (3, ""),  # split('') -> one empty token -> one chunk
+        (4, None),  # no chunks
+        (5, " ".join(f"w{i}" for i in range(16))),  # exact multiple
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_tokens, overlap in [(8, 0), (8, 4), (5, 2), (1, 0)]:
+        got = {
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(
+                df, max_tokens=max_tokens, overlap=overlap
+            ).collect()
+        }
+        want = {
+            (d, ci, ct, nt)
+            for d, text in rows
+            if text is not None
+            for ci, ct, nt in ref(text, max_tokens, overlap)
+        }
+        assert got == want, (max_tokens, overlap)
+
+
+def test_chunk_documents_invariants(spark):
+    """Every token is covered; consecutive chunks overlap by exactly
+    `overlap` (except a shorter final chunk); reassembling stride
+    prefixes reproduces the document."""
+    from datamatch_spark.extras.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(103))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_tokens=16, overlap=5).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    stride = 16 - 5
+    toks = []
+    for r in rows:
+        piece = r["chunk_text"].split(" ")
+        assert len(piece) == r["n_tokens"] <= 16
+        toks.extend(piece[: stride] if r is not rows[-1] else piece)
+    assert " ".join(toks) == text
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"].split(" ")[stride:] == b["chunk_text"].split(" ")[:5]
+
+
+def test_chunk_documents_validation(spark):
+    from datamatch_spark.extras.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, max_tokens=0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)
