@@ -901,6 +901,32 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_domain(docs, "url", 3, salt="r5").select("doc_id", "domain")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition under ONE chained oracle (the
+    training-loader analogue of ``clean_pipeline``): per-domain
+    frequency cap (3 docs/registered domain, md5 'r5' rank) ->
+    sliding-window chunking (40 tokens, overlap 8) -> quota shard
+    packing of the CHUNKS (max 2000 tokens, 16 md5 'pack' buckets,
+    chunk_id = doc_id:chunk_idx string order). Checks the stage
+    INTERFACES, not just each stage alone — the oracle chains the
+    URL->domain CTE, the chunk arithmetic, and the cumsum window in
+    one statement."""
+    from datamatch_spark.extras.packing import chunk_documents, pack_quota
+    from datamatch_spark.extras.urls import cap_per_domain
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", _url_expr().alias("url")
+    )
+    kept = cap_per_domain(docs, "url", 3, salt="r5")
+    chunks = chunk_documents(kept, max_tokens=40, overlap=8).select(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    return pack_quota(
+        chunks, 2000, id_col="chunk_id", text_col="chunk_text", n_buckets=16
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C style): flag train
     docs sharing any 5-token-gram with a held-out eval set (here the
@@ -2110,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "domain_cap": q_domain_cap,
         "chunk_documents": q_chunk_documents,
+        "curation_pipeline": q_curation_pipeline,
         "bloom_decontam": q_bloom_decontam,
         "dup_ngram_stats": q_dup_ngram_stats,
         "stratified_sample": q_stratified_sample,
@@ -3867,6 +3894,50 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s : s + 39], ' ') AS chunk_text,
                    CAST(least(40, len(t) - s + 1) AS INT) AS n_tokens
             FROM starts
+        """,
+        "curation_pipeline": _DUCKDB_URL_DOMAIN_CTE + """
+            , kept AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                         PARTITION BY domain
+                         ORDER BY md5(concat_ws(chr(31), 'r5',
+                                      CAST(doc_id AS VARCHAR))), doc_id
+                       ) AS rn
+                FROM d4
+              ) WHERE rn <= 3
+            ), toks AS (
+              SELECT d.doc_id, string_split(d.text, ' ') AS t
+              FROM documents d JOIN kept USING (doc_id)
+              WHERE d.text IS NOT NULL
+            ), starts AS (
+              SELECT doc_id, t, CAST(s.s AS INT) AS s
+              FROM toks, UNNEST(range(1, len(t) + 1, 32)) AS s(s)
+              WHERE s.s = 1 OR s.s + 8 <= len(t)
+            ), chunks AS (
+              SELECT CAST(doc_id AS VARCHAR) || ':'
+                       || CAST((s - 1) // 32 AS VARCHAR) AS chunk_id,
+                     array_to_string(t[s : s + 39], ' ') AS chunk_text
+              FROM starts
+            ), base AS (
+              SELECT chunk_id,
+                     CAST('0x' || substr(md5(concat_ws(chr(31), 'pack',
+                       chunk_id)), 1, 8) AS BIGINT) % 16 AS bucket,
+                     CAST(len(string_split(chunk_text, ' ')) AS BIGINT)
+                       AS n_tokens
+              FROM chunks
+            ), w AS (
+              SELECT chunk_id, bucket, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS cb
+              FROM base
+            )
+            SELECT chunk_id, bucket, n_tokens,
+                   CAST(floor(CAST(coalesce(cb, 0) AS DOUBLE) / 2000.0)
+                        AS BIGINT) AS shard
+            FROM w
         """,
         "domain_cap": _DUCKDB_URL_DOMAIN_CTE + """
             SELECT doc_id, domain FROM (
