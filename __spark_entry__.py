@@ -1880,6 +1880,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_gammas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs with the three binary agreement columns the FS
+    oracle replays (source equality, |n_chars| diff <= 20, first-token
+    equality), blocked on lang."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "tok0", F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    )
+    pairs = candidate_pairs(
+        docs, ColumnsIndex("lang"), "doc_id", ["source", "n_chars", "tok0"]
+    )
+    return pairs.select(
+        "idx_a",
+        "idx_b",
+        F.when(F.col("a.source").eqNullSafe(F.col("b.source")), 1)
+        .otherwise(0)
+        .alias("g_source"),
+        F.when(F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20, 1)
+        .otherwise(0)
+        .alias("g_len"),
+        F.when(F.col("a.tok0").eqNullSafe(F.col("b.tok0")), 1)
+        .otherwise(0)
+        .alias("g_tok"),
+    )
+
+
+def q_fs_em_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage, EM-estimated m/u/lambda
+    (no reference counterpart — the probabilistic upgrade over the
+    reference's hand-weighted thresholds). The distributed side is one
+    groupBy to <= 2^3 pattern rows; EM is a bit-reproducible driver
+    fold the oracle replays in a recursive CTE; scoring is a pure
+    literal projection."""
+    from datamatch_spark.linkage import estimate_fs
+
+    gam = _fs_gammas(spark, sf_dir)
+    model = estimate_fs(gam, ["g_source", "g_len", "g_tok"], n_iter=20)
+    return model.score(gam).select(
+        "idx_a",
+        "idx_b",
+        "g_source",
+        "g_len",
+        "g_tok",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2127,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_scored_pairs_sql": q_date_scored_pairs_sql,
         "decision": q_decision,
         "greedy_one_to_one": q_greedy_one_to_one,
+        "fs_em_pairs": q_fs_em_pairs,
         "jw_dedup_pairs": q_jw_dedup_pairs,
         "jw_clusters": q_jw_clusters,
         "spans_matcher_clusters": q_spans_matcher_clusters,
@@ -2769,6 +2820,137 @@ cliq AS (
 )"""
 
 
+def _duckdb_fs_em_sql(n_iter: int = 20) -> str:
+    """Recursive-CTE replay of ``datamatch_spark.linkage._em``.
+
+    The engine folds sorted patterns left-to-right inside each EM
+    iteration and multiplies fields in declaration order; the CTE walks
+    the identical (iteration, pattern-index) sequence one row at a
+    time, so every float64 operation matches bit-for-bit. Clamp
+    literals are written exactly as the engine computes them
+    (``1e-6`` / ``1.0 - 1e-6``).
+    """
+    fields = [("g_source", "m1", "u1"), ("g_len", "m2", "u2"), ("g_tok", "m3", "u3")]
+
+    def prod(prior: str, grow: str, ptab: str, which: int) -> str:
+        """lam * prod_k (gamma_k ? param_k : 1 - param_k), fields in
+        declaration order — ``which`` picks m (1) or u (2) params."""
+        terms = [prior]
+        for f3 in fields:
+            g, p = f3[0], f3[which]
+            terms.append(
+                f"(CASE WHEN {grow}.{g} = 1 THEN {ptab}.{p}"
+                f" ELSE 1.0 - {ptab}.{p} END)"
+            )
+        return "\n             * ".join(terms)
+
+    w_em = prod("e.lam", "p", "e", 1)
+    v_em = prod("(1.0 - e.lam)", "p", "e", 2)
+    w_fin = prod("f.lam", "g", "f", 1)
+    v_fin = prod("(1.0 - f.lam)", "g", "f", 2)
+    clamp = lambda x: f"least(greatest({x}, 0.000001), 1.0 - 0.000001)"  # noqa: E731
+    m_updates = ",\n    ".join(
+        f"CASE WHEN e.pid < m.pmax THEN e.{mk} ELSE {clamp(f'e.scpg{j + 1} / e.scp')} END"
+        for j, (_, mk, _) in enumerate(fields)
+    )
+    u_updates = ",\n    ".join(
+        f"CASE WHEN e.pid < m.pmax THEN e.{uk} ELSE {clamp(f'e.scqg{j + 1} / e.scq')} END"
+        for j, (_, _, uk) in enumerate(fields)
+    )
+    g_sums = ",\n    ".join(
+        f"CASE WHEN e.pid < m.pmax THEN"
+        f" (CASE WHEN p.{g} = 1 THEN e.scpg{j + 1} + s.cp ELSE e.scpg{j + 1} END)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for j, (g, _, _) in enumerate(fields)
+    ) + ",\n    " + ",\n    ".join(
+        f"CASE WHEN e.pid < m.pmax THEN"
+        f" (CASE WHEN p.{g} = 1 THEN e.scqg{j + 1} + s.cq ELSE e.scqg{j + 1} END)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for j, (g, _, _) in enumerate(fields)
+    )
+    weight = "\n       + ".join(
+        f"(CASE WHEN g.{g} = 1 THEN log2(f.{mk} / f.{uk})"
+        f" ELSE log2((1.0 - f.{mk}) / (1.0 - f.{uk})) END)"
+        for g, mk, uk in fields
+    )
+    return f"""
+        WITH RECURSIVE
+        gam AS (
+          SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                 CASE WHEN a.source IS NOT DISTINCT FROM b.source
+                      THEN 1 ELSE 0 END AS g_source,
+                 CASE WHEN abs(a.n_chars - b.n_chars) <= 20
+                      THEN 1 ELSE 0 END AS g_len,
+                 CASE WHEN split_part(a.text, ' ', 1)
+                        IS NOT DISTINCT FROM split_part(b.text, ' ', 1)
+                      THEN 1 ELSE 0 END AS g_tok
+          FROM documents a JOIN documents b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ),
+        pat AS (
+          SELECT g_source, g_len, g_tok, CAST(count(*) AS DOUBLE) AS c,
+                 CAST(row_number() OVER (ORDER BY g_source, g_len, g_tok)
+                      AS INTEGER) AS pid
+          FROM gam GROUP BY 1, 2, 3
+        ),
+        meta AS (
+          SELECT CAST(max(pid) AS INTEGER) AS pmax,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM gam) AS tot
+          FROM pat
+        ),
+        em AS (
+          SELECT 1 AS it, 0 AS pid,
+                 CAST(0.5 AS DOUBLE) AS lam,
+                 CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+                 CAST(0.9 AS DOUBLE) AS m3,
+                 CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+                 CAST(0.1 AS DOUBLE) AS u3,
+                 CAST(0 AS DOUBLE) AS scp, CAST(0 AS DOUBLE) AS scq,
+                 CAST(0 AS DOUBLE) AS scpg1, CAST(0 AS DOUBLE) AS scpg2,
+                 CAST(0 AS DOUBLE) AS scpg3,
+                 CAST(0 AS DOUBLE) AS scqg1, CAST(0 AS DOUBLE) AS scqg2,
+                 CAST(0 AS DOUBLE) AS scqg3
+          UNION ALL
+          SELECT
+            CASE WHEN e.pid < m.pmax THEN e.it ELSE e.it + 1 END,
+            CASE WHEN e.pid < m.pmax THEN e.pid + 1 ELSE 0 END,
+            CASE WHEN e.pid < m.pmax THEN e.lam
+                 ELSE {clamp("e.scp / m.tot")} END,
+            {m_updates},
+            {u_updates},
+            CASE WHEN e.pid < m.pmax THEN e.scp + s.cp
+                 ELSE CAST(0 AS DOUBLE) END,
+            CASE WHEN e.pid < m.pmax THEN e.scq + s.cq
+                 ELSE CAST(0 AS DOUBLE) END,
+            {g_sums}
+          FROM em e
+          CROSS JOIN meta m
+          LEFT JOIN pat p ON p.pid = e.pid + 1
+          LEFT JOIN LATERAL (
+            SELECT {w_em} AS w,
+                   {v_em} AS v
+          ) wv ON TRUE
+          LEFT JOIN LATERAL (
+            SELECT p.c * (wv.w / (wv.w + wv.v)) AS cp,
+                   p.c * (1.0 - wv.w / (wv.w + wv.v)) AS cq
+          ) s ON TRUE
+          WHERE e.it <= {n_iter}
+        ),
+        fin AS (
+          SELECT lam, m1, m2, m3, u1, u2, u3 FROM em WHERE it = {n_iter} + 1
+        )
+        SELECT g.idx_a, g.idx_b, g.g_source, g.g_len, g.g_tok,
+               round({weight}, 6) AS match_weight,
+               round(pw.w / (pw.w + pw.v), 6) AS match_probability
+        FROM gam g
+        CROSS JOIN fin f
+        CROSS JOIN LATERAL (
+          SELECT {w_fin} AS w,
+                 {v_fin} AS v
+        ) pw
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "block_stats": f"""
@@ -3269,6 +3451,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.score_range, t.pair_idx, t.sim_score, t.doc_id, d.n_chars
             FROM two t JOIN docs d ON t.doc_id = d.doc_id
         """,
+        "fs_em_pairs": _duckdb_fs_em_sql(20),
         "greedy_one_to_one": """
             WITH RECURSIVE scored AS (
               -- every blocked pair is scored and participates in the
