@@ -1930,6 +1930,21 @@ def q_fs_em_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking (Papadakis et al. TKDE'14): token blocking over
+    document text -> block purging -> CBS edge weights -> redefined-WNP
+    node-average pruning. Integer CBS weights make every threshold an
+    exact-integer average, so the full graph pipeline is hard-oracled."""
+    from datamatch_spark.metablocking import meta_block, token_blocks
+
+    docs = _docs(spark, sf_dir)
+    blocks = token_blocks(docs, "doc_id", "text", min_token_len=2, ngram=2)
+    pruned = meta_block(
+        blocks, "doc_id", weight="cbs", scheme="wnp", max_block_size=32
+    )
+    return pruned.select("idx_a", "idx_b", F.col("weight").cast("long").alias("weight"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2178,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision": q_decision,
         "greedy_one_to_one": q_greedy_one_to_one,
         "fs_em_pairs": q_fs_em_pairs,
+        "meta_blocking": q_meta_blocking,
         "jw_dedup_pairs": q_jw_dedup_pairs,
         "jw_clusters": q_jw_clusters,
         "spans_matcher_clusters": q_spans_matcher_clusters,
@@ -3452,6 +3468,42 @@ def oracle_sql() -> dict[str, str]:
             FROM two t JOIN docs d ON t.doc_id = d.doc_id
         """,
         "fs_em_pairs": _duckdb_fs_em_sql(20),
+        "meta_blocking": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts
+              FROM documents
+            ),
+            asg AS (
+              SELECT DISTINCT doc_id AS eid,
+                     ts[i] || ' ' || ts[i + 1] AS bkey
+              FROM toks, unnest(range(1, len(ts))) AS r(i)
+              WHERE length(ts[i]) >= 2 AND length(ts[i + 1]) >= 2
+            ),
+            kept AS (
+              SELECT eid, bkey FROM asg
+              QUALIFY count(*) OVER (PARTITION BY bkey) <= 32
+            ),
+            edges AS (
+              SELECT a.eid AS idx_a, b.eid AS idx_b,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM kept a JOIN kept b
+                ON a.bkey = b.bkey AND a.eid < b.eid
+              GROUP BY 1, 2
+            ),
+            navg AS (
+              SELECT eid, sum(w) / count(*) AS avg_w
+              FROM (
+                SELECT idx_a AS eid, w FROM edges
+                UNION ALL
+                SELECT idx_b AS eid, w FROM edges
+              ) GROUP BY 1
+            )
+            SELECT e.idx_a, e.idx_b, CAST(e.w AS BIGINT) AS weight
+            FROM edges e
+            JOIN navg na ON na.eid = e.idx_a
+            JOIN navg nb ON nb.eid = e.idx_b
+            WHERE e.w >= na.avg_w OR e.w >= nb.avg_w
+        """,
         "greedy_one_to_one": """
             WITH RECURSIVE scored AS (
               -- every blocked pair is scored and participates in the

@@ -1,0 +1,196 @@
+"""Meta-blocking: weighted pruning of a redundancy-positive block graph.
+
+Papadakis, Koutrika, Palpanas, Nejdl — "Meta-Blocking: Taking Entity
+Resolution to the Next Level" (TKDE 2014). The reference engine
+(``/root/reference/datamatch/indices.py``) stops at block generation;
+meta-blocking is the step a web-scale ER pipeline inserts between
+blocking and pairwise scoring: treat co-occurrence in blocks as an
+edge-weighted comparison graph and prune low-weight edges BEFORE the
+expensive similarity kernels run. On a redundancy-positive scheme
+(token blocking, q-grams, MinHash bands) this routinely drops >90% of
+candidate pairs at negligible recall cost.
+
+Spark-first shape (every stage one declarative op, no UDFs):
+
+1. block purging — drop blocks above ``max_block_size`` (oversized
+   blocks are stop-words; their pairs are re-captured by the entity's
+   other blocks). This caps the per-block pair blowup *before* the
+   self-join, which is what makes the graph build feasible at 10^12
+   docs.
+2. edge build — per-block self-join on the purged assignment, then
+   ``groupBy(pair).count()``: the CBS (common-block) weight. Map-side
+   combinable; the shuffle carries one row per distinct pair.
+3. JS upgrade (optional) — join per-entity block counts to turn CBS
+   into the Jaccard of block sets.
+4. WNP/WEP pruning — node-average (resp. global-average) thresholds
+   via one more aggregation; an edge survives WNP if it clears the
+   average of EITHER endpoint (the redefined-WNP of the paper, which
+   dominates the strict variant on recall).
+
+Determinism note: CBS weights are integers, so every average is an
+exact-integer sum over a count — bit-reproducible in any engine and
+therefore hard-oracle-able (``__spark_entry__.oracle_sql()
+["meta_blocking"]``). JS weights are per-edge exact too, but their
+node averages sum doubles whose order Spark does not pin, so the JS
+path is pytest-verified against a scalar reimplementation instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["token_blocks", "meta_block"]
+
+
+def token_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 2,
+    lowercase: bool = True,
+    ngram: int = 1,
+) -> DataFrame:
+    """Token blocking: one (id, block_key) row per DISTINCT qualifying
+    token (``ngram=1``) or adjacent-token bigram (``ngram=2``) of each
+    document. Whitespace tokenization; a unigram qualifies when it has
+    at least ``min_token_len`` characters, a bigram when BOTH tokens
+    do (adjacency is judged on the raw token sequence, before any
+    length filtering). The output is redundancy-positive: entities
+    sharing several keys co-occur in several blocks, which is exactly
+    the signal meta-blocking weighs. Bigrams are the drop-down for
+    low-entropy vocabularies where every unigram is a stop-word.
+
+    Row-local and zero-shuffle up to the final ``distinct()``; the
+    n-gram build is a pure array ``transform`` (no UDF, no join).
+    """
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    ts = F.split(txt, r"\s+")
+    if ngram == 1:
+        keys = F.filter(ts, lambda x: F.length(x) >= min_token_len)
+    else:
+        head = F.slice(ts, 1, F.greatest(F.size(ts) - F.lit(1), F.lit(0)))
+        keys = F.filter(
+            F.transform(
+                head,
+                lambda x, i: F.when(
+                    (F.length(x) >= min_token_len)
+                    & (F.length(F.element_at(ts, i + F.lit(2))) >= min_token_len),
+                    F.concat(x, F.lit(" "), F.element_at(ts, i + F.lit(2))),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    return (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(keys)).alias("block_key")
+        )
+        .distinct()
+    )
+
+
+def meta_block(
+    blocks: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str = "block_key",
+    weight: str = "cbs",
+    scheme: str = "wnp",
+    max_block_size: int = 64,
+) -> DataFrame:
+    """Prune the comparison graph of a block assignment.
+
+    ``blocks``: (id, block_key) rows, one per entity-block membership
+    (duplicates tolerated — deduplicated on entry).
+    ``weight``: ``"cbs"`` (number of shared blocks) or ``"js"``
+    (Jaccard of the two entities' block sets).
+    ``scheme``: ``"wnp"`` keeps an edge iff its weight >= the mean
+    edge weight of either endpoint; ``"wep"`` keeps an edge iff its
+    weight >= the global mean edge weight.
+
+    Returns (idx_a, idx_b, weight) with ``idx_a < idx_b``, one row per
+    surviving candidate pair.
+
+    Scale: the only super-linear step is the per-block self-join,
+    bounded by ``max_block_size`` purging to ``<= B * s^2 / 2`` pair
+    rows; everything downstream is per-pair/per-node aggregation that
+    AQE handles with map-side partial aggregation. No collects, no
+    UDFs, no unbounded windows.
+    """
+    if weight not in ("cbs", "js"):
+        raise ValueError(f"weight must be 'cbs' or 'js', got {weight!r}")
+    if scheme not in ("wnp", "wep"):
+        raise ValueError(f"scheme must be 'wnp' or 'wep', got {scheme!r}")
+    if max_block_size < 2:
+        raise ValueError("max_block_size < 2 purges every block")
+    # The assignment feeds the size agg + the purge join, the purged
+    # assignment feeds both self-join sides (+ the JS entity counts),
+    # and the edge frame feeds the threshold agg(s) + the final join.
+    # Materialize each once — without the barriers Catalyst replays
+    # the full lineage per consumer (measured: 20 parquet scans of the
+    # corpus for one call), which at 10^12 docs means re-reading the
+    # corpus twenty times. Same localCheckpoint idiom as
+    # extras/dedup.py's shingle frame.
+    asg = (
+        blocks.select(F.col(id_col).alias("eid"), F.col(block_col).alias("bkey"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = asg.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsize"))
+    kept = asg.join(
+        sizes.where(F.col("bsize") <= max_block_size).select("bkey"), "bkey"
+    ).localCheckpoint()
+    a = kept.select(F.col("bkey"), F.col("eid").alias("idx_a"))
+    b = kept.select(F.col("bkey"), F.col("eid").alias("idx_b"))
+    edges = (
+        a.join(b, "bkey")
+        .where(F.col("idx_a") < F.col("idx_b"))
+        .groupBy("idx_a", "idx_b")
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+    if weight == "js":
+        ecnt = kept.groupBy("eid").agg(F.count(F.lit(1)).alias("nb"))
+        edges = (
+            edges.join(ecnt.withColumnRenamed("eid", "idx_a"), "idx_a")
+            .withColumnRenamed("nb", "nb_a")
+            .join(ecnt.withColumnRenamed("eid", "idx_b"), "idx_b")
+            .withColumnRenamed("nb", "nb_b")
+            .select(
+                "idx_a",
+                "idx_b",
+                (
+                    F.col("cbs")
+                    / (F.col("nb_a") + F.col("nb_b") - F.col("cbs"))
+                ).alias("w"),
+            )
+        )
+    else:
+        edges = edges.select("idx_a", "idx_b", F.col("cbs").cast("double").alias("w"))
+    edges = edges.localCheckpoint()
+    if scheme == "wep":
+        thr = edges.agg((F.sum("w") / F.count(F.lit(1))).alias("thr"))
+        return (
+            edges.crossJoin(F.broadcast(thr))
+            .where(F.col("w") >= F.col("thr"))
+            .select("idx_a", "idx_b", F.col("w").alias("weight"))
+        )
+    ends = edges.select(F.col("idx_a").alias("eid"), "w").unionByName(
+        edges.select(F.col("idx_b").alias("eid"), "w")
+    )
+    navg = ends.groupBy("eid").agg(
+        (F.sum("w") / F.count(F.lit(1))).alias("avg_w")
+    )
+    return (
+        edges.join(
+            navg.select(F.col("eid").alias("idx_a"), F.col("avg_w").alias("avg_a")),
+            "idx_a",
+        )
+        .join(
+            navg.select(F.col("eid").alias("idx_b"), F.col("avg_w").alias("avg_b")),
+            "idx_b",
+        )
+        .where((F.col("w") >= F.col("avg_a")) | (F.col("w") >= F.col("avg_b")))
+        .select("idx_a", "idx_b", F.col("w").alias("weight"))
+    )
