@@ -1930,6 +1930,24 @@ def q_fs_em_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probabilistic family end-to-end: FS-EM posterior threshold
+    -> transitive closure (connected components), composed through the
+    real interfaces (estimate_fs -> score -> connected_components)
+    under one chained oracle, jw_clusters-style."""
+    from datamatch_spark.clustering import connected_components
+    from datamatch_spark.linkage import estimate_fs
+
+    gam = _fs_gammas(spark, sf_dir)
+    model = estimate_fs(gam, ["g_source", "g_len", "g_tok"], n_iter=20)
+    edges = (
+        model.score(gam)
+        .where(F.col("match_probability") >= 0.15)
+        .select("idx_a", "idx_b")
+    )
+    return connected_components(edges).select("node", "component")
+
+
 def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-blocking (Papadakis et al. TKDE'14): token blocking over
     document text -> block purging -> CBS edge weights -> redefined-WNP
@@ -2193,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision": q_decision,
         "greedy_one_to_one": q_greedy_one_to_one,
         "fs_em_pairs": q_fs_em_pairs,
+        "fs_clusters": q_fs_clusters,
         "meta_blocking": q_meta_blocking,
         "jw_dedup_pairs": q_jw_dedup_pairs,
         "jw_clusters": q_jw_clusters,
@@ -2836,7 +2855,7 @@ cliq AS (
 )"""
 
 
-def _duckdb_fs_em_sql(n_iter: int = 20) -> str:
+def _duckdb_fs_em_sql(n_iter: int = 20, tail: str = "pairs") -> str:
     """Recursive-CTE replay of ``datamatch_spark.linkage._em``.
 
     The engine folds sorted patterns left-to-right inside each EM
@@ -2889,6 +2908,40 @@ def _duckdb_fs_em_sql(n_iter: int = 20) -> str:
         f" ELSE log2((1.0 - f.{mk}) / (1.0 - f.{uk})) END)"
         for g, mk, uk in fields
     )
+    if tail == "pairs":
+        tail_sql = f"""
+        SELECT g.idx_a, g.idx_b, g.g_source, g.g_len, g.g_tok,
+               round({weight}, 6) AS match_weight,
+               round(pw.w / (pw.w + pw.v), 6) AS match_probability
+        FROM gam g
+        CROSS JOIN fin f
+        CROSS JOIN LATERAL (
+          SELECT {w_fin} AS w,
+                 {v_fin} AS v
+        ) pw"""
+    else:  # clusters: threshold the UNROUNDED posterior, then CC
+        tail_sql = f""",
+        scored AS (
+          SELECT g.idx_a, g.idx_b, pw.w / (pw.w + pw.v) AS prob
+          FROM gam g
+          CROSS JOIN fin f
+          CROSS JOIN LATERAL (
+            SELECT {w_fin} AS w,
+                   {v_fin} AS v
+          ) pw
+        ),
+        fedges AS (
+          SELECT idx_a AS src, idx_b AS dst FROM scored WHERE prob >= 0.15
+        ),
+        sym AS (
+          SELECT src, dst FROM fedges UNION SELECT dst, src FROM fedges
+        ),
+        reach(node, r) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.node
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node"""
     return f"""
         WITH RECURSIVE
         gam AS (
@@ -2954,16 +3007,7 @@ def _duckdb_fs_em_sql(n_iter: int = 20) -> str:
         ),
         fin AS (
           SELECT lam, m1, m2, m3, u1, u2, u3 FROM em WHERE it = {n_iter} + 1
-        )
-        SELECT g.idx_a, g.idx_b, g.g_source, g.g_len, g.g_tok,
-               round({weight}, 6) AS match_weight,
-               round(pw.w / (pw.w + pw.v), 6) AS match_probability
-        FROM gam g
-        CROSS JOIN fin f
-        CROSS JOIN LATERAL (
-          SELECT {w_fin} AS w,
-                 {v_fin} AS v
-        ) pw
+        ){tail_sql}
     """
 
 
@@ -3468,6 +3512,7 @@ def oracle_sql() -> dict[str, str]:
             FROM two t JOIN docs d ON t.doc_id = d.doc_id
         """,
         "fs_em_pairs": _duckdb_fs_em_sql(20),
+        "fs_clusters": _duckdb_fs_em_sql(20, tail="clusters"),
         "meta_blocking": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts
