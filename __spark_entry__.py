@@ -1948,6 +1948,38 @@ def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component")
 
 
+def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monge-Elkan hybrid token similarity (JW inner, symmetric mean)
+    over a 3-token name field, §2.5 family. Bounded to doc_id < 150 so
+    the oracle's per-token-combo JW recursive CTE stays tractable."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+    from datamatch_spark.similarities import MongeElkanSimilarity
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 150)
+        .withColumn(
+            "name3",
+            F.array_join(
+                F.slice(
+                    F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""),
+                    1,
+                    3,
+                ),
+                " ",
+            ),
+        )
+    )
+    pairs = candidate_pairs(docs, ColumnsIndex("lang"), "doc_id", ["name3"])
+    me = MongeElkanSimilarity()
+    return pairs.select(
+        "idx_a",
+        "idx_b",
+        F.round(me.expr(F.col("a.name3"), F.col("b.name3")), 6).alias("me_sim"),
+    )
+
+
 def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-blocking (Papadakis et al. TKDE'14): token blocking over
     document text -> block purging -> CBS edge weights -> redefined-WNP
@@ -2212,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_one_to_one": q_greedy_one_to_one,
         "fs_em_pairs": q_fs_em_pairs,
         "fs_clusters": q_fs_clusters,
+        "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
         "jw_dedup_pairs": q_jw_dedup_pairs,
         "jw_clusters": q_jw_clusters,
@@ -3513,6 +3546,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fs_em_pairs": _duckdb_fs_em_sql(20),
         "fs_clusters": _duckdb_fs_em_sql(20, tail="clusters"),
+        # Monge-Elkan(JW inner, symmetric mean) over the 3-token name
+        # field: every token combo of every pair goes through the
+        # bit-exact jw chain ONCE (pair id in idx_a, packed
+        # (ia, ib) token coordinates in idx_b), then row-max /
+        # ordered-list-sum means replay the engine's reduction order.
+        "monge_elkan": f"""
+            WITH RECURSIVE
+            d AS (
+              SELECT doc_id, lang,
+                     coalesce(list_slice(list_filter(
+                       regexp_split_to_array(text, '\\s+'), t -> t != ''),
+                       1, 3), CAST([] AS VARCHAR[])) AS toks
+              FROM documents WHERE doc_id < 150
+            ),
+            prs AS (
+              SELECT a.doc_id AS pid_a, b.doc_id AS pid_b,
+                     a.toks AS ta, b.toks AS tb,
+                     a.doc_id * 100000 + b.doc_id AS pid
+              FROM d a JOIN d b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ),
+            jw_cand AS (
+              SELECT p.pid AS idx_a,
+                     (ia.i * 100 + ib.i)::BIGINT AS idx_b,
+                     p.ta[ia.i] AS s_a, p.tb[ib.i] AS s_b
+              FROM prs p,
+                   unnest(range(1, len(p.ta) + 1)) AS ia(i),
+                   unnest(range(1, len(p.tb) + 1)) AS ib(i)
+            ),
+            {_duckdb_jw_chain().lstrip()},
+            rowmax AS (
+              SELECT idx_a AS pid, idx_b // 100 AS ti, max(jw) AS mx
+              FROM jw_scored GROUP BY 1, 2
+            ),
+            colmax AS (
+              SELECT idx_a AS pid, idx_b % 100 AS ti, max(jw) AS mx
+              FROM jw_scored GROUP BY 1, 2
+            ),
+            me_ab AS (
+              SELECT pid, list_sum(list(mx ORDER BY ti)) / count(*) AS v
+              FROM rowmax GROUP BY pid
+            ),
+            me_ba AS (
+              SELECT pid, list_sum(list(mx ORDER BY ti)) / count(*) AS v
+              FROM colmax GROUP BY pid
+            )
+            SELECT p.pid_a AS idx_a, p.pid_b AS idx_b,
+                   round(CASE
+                     WHEN len(p.ta) = 0 AND len(p.tb) = 0 THEN 1.0
+                     WHEN len(p.ta) = 0 OR len(p.tb) = 0 THEN 0.0
+                     ELSE (ab.v + ba.v) / 2.0
+                   END, 6) AS me_sim
+            FROM prs p
+            LEFT JOIN me_ab ab ON ab.pid = p.pid
+            LEFT JOIN me_ba ba ON ba.pid = p.pid
+        """,
         "meta_blocking": r"""
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts

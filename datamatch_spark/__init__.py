@@ -34,6 +34,7 @@ from .similarities import (
     AbsoluteNumericalSimilarity,
     DateSimilarity,
     JaroWinklerSimilarity,
+    MongeElkanSimilarity,
     RelativeNumericalSimilarity,
     StringSimilarity,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "SortedNeighborhoodIndex",
     "BaseIndex",
     "JaroWinklerSimilarity",
+    "MongeElkanSimilarity",
     "StringSimilarity",
     "DateSimilarity",
     "AbsoluteNumericalSimilarity",

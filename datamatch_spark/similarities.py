@@ -31,6 +31,7 @@ from .kernels import unidecode_ascii
 __all__ = [
     "StringSimilarity",
     "JaroWinklerSimilarity",
+    "MongeElkanSimilarity",
     "AbsoluteNumericalSimilarity",
     "RelativeNumericalSimilarity",
     "DateSimilarity",
@@ -166,6 +167,129 @@ class JaroWinklerSimilarity(BaseSimilarity):
 
     def expr(self, a: Column, b: Column) -> Column:
         return _jw_udf(self._prefix_weight, self._max_len)(a.cast("string"), b.cast("string"))
+
+
+class MongeElkanSimilarity(BaseSimilarity):
+    """Monge-Elkan hybrid token similarity with a Jaro-Winkler inner.
+
+    ``ME(A, B) = mean over tokens ta of A of (max over tokens tb of B
+    of jw(ta, tb))`` (Monge & Elkan 1996) — the standard multi-token
+    field similarity for names/addresses where token order varies
+    ("JOHN Q PUBLIC" vs "PUBLIC JOHN"). No reference counterpart
+    (/root/reference/datamatch/similarities.py stops at whole-field
+    JW); added because swapped/multi-token fields are the single most
+    common real-linkage headache the reference handles only via the
+    Swap variator.
+
+    The raw measure is asymmetric; ``symmetry`` picks the pair score:
+    ``"mean"`` (default) = (ME(A,B)+ME(B,A))/2, ``"max"``, or
+    ``"none"`` (ME(A,B) as given). Tokenization: transliterate, then
+    split on whitespace runs (no empties); ``max_tokens`` truncates
+    each side's token list (set it for long free-text fields — cost is
+    O(|A|*|B|) inner JW calls per pair). Both-sides-empty scores 1.0,
+    one-side-empty 0.0 (the kernels' both-empty convention lifted to
+    token lists).
+
+    Determinism contract (for the DuckDB oracle ``monge_elkan``): the
+    per-token maxes are reduced in token order by a sequential float64
+    sum; token counts stay below numpy's pairwise-summation threshold
+    (128), so scalar, batch and the oracle's ordered list_sum fold all
+    produce identical doubles.
+    """
+
+    def __init__(
+        self,
+        prefix_weight: float = 0.1,
+        symmetry: str = "mean",
+        max_tokens: int | None = None,
+    ) -> None:
+        if symmetry not in ("mean", "max", "none"):
+            raise ValueError(f"symmetry must be mean/max/none, got {symmetry!r}")
+        if max_tokens is not None and max_tokens > 100:
+            # keep every mean inside numpy's sequential-summation regime
+            raise ValueError("max_tokens must be <= 100 (or None)")
+        self._prefix_weight = prefix_weight
+        self._symmetry = symmetry
+        self._max_tokens = max_tokens
+
+    def _tokens(self, s) -> list[str]:
+        if s is None:
+            return []
+        toks = unidecode_ascii(s).split()
+        if self._max_tokens is not None:
+            toks = toks[: self._max_tokens]
+        return toks
+
+    @staticmethod
+    def _directed(mat: np.ndarray, axis: int) -> float:
+        # mean over one side's tokens of the max inner sim; sequential
+        # float64 sum in token order (ndim is 2 and small)
+        maxes = mat.max(axis=axis)
+        return float(np.sum(maxes, dtype=np.float64)) / maxes.shape[0]
+
+    def _combine(self, me_ab: float, me_ba: float) -> float:
+        if self._symmetry == "mean":
+            return (me_ab + me_ba) / 2.0
+        if self._symmetry == "max":
+            return max(me_ab, me_ba)
+        return me_ab
+
+    def sim(self, a: str, b: str) -> float:
+        ta, tb = self._tokens(a), self._tokens(b)
+        if not ta and not tb:
+            return 1.0
+        if not ta or not tb:
+            return 0.0
+        xs = [x for x in ta for _ in tb]
+        ys = [y for _ in ta for y in tb]
+        mat = np.asarray(
+            kernels.jaro_winkler_batch(xs, ys, self._prefix_weight)
+        ).reshape(len(ta), len(tb))
+        return self._combine(self._directed(mat, 1), self._directed(mat, 0))
+
+    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        # unique-(a,b)-pair dedup as in _dedup_kernel, then ONE flat
+        # kernel call over every token combo of the batch; the per-pair
+        # reduction is O(tokens) numpy on tiny matrices.
+        ca, ua = pd.factorize(a, use_na_sentinel=True)
+        cb, ub = pd.factorize(b, use_na_sentinel=True)
+        width = np.int64(len(ub)) + 1
+        pair = (ca.astype(np.int64) + 1) * width + (cb.astype(np.int64) + 1)
+        inv, upair = pd.factorize(pair)
+        ia = (upair // width) - 1
+        ib = (upair % width) - 1
+        toks_a = [self._tokens(ua[i]) if i >= 0 else [] for i in ia]
+        toks_b = [self._tokens(ub[i]) if i >= 0 else [] for i in ib]
+        xs: list[str] = []
+        ys: list[str] = []
+        for ta, tb in zip(toks_a, toks_b):
+            if ta and tb:
+                xs.extend(x for x in ta for _ in tb)
+                ys.extend(y for _ in ta for y in tb)
+        flat = (
+            np.asarray(kernels.jaro_winkler_batch(xs, ys, self._prefix_weight))
+            if xs
+            else np.empty(0)
+        )
+        out = np.zeros(len(upair), dtype=np.float64)
+        off = 0
+        for k, (ta, tb) in enumerate(zip(toks_a, toks_b)):
+            if not ta and not tb:
+                out[k] = 1.0
+            elif ta and tb:
+                mat = flat[off : off + len(ta) * len(tb)].reshape(len(ta), len(tb))
+                off += len(ta) * len(tb)
+                out[k] = self._combine(self._directed(mat, 1), self._directed(mat, 0))
+        return out[inv]
+
+    def expr(self, a: Column, b: Column) -> Column:
+        me = self
+
+        @pandas_udf("double")
+        def me_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+            return pd.Series(me.batch(x, y))
+
+        return me_udf(a.cast("string"), b.cast("string"))
 
 
 class AbsoluteNumericalSimilarity(BaseSimilarity):
