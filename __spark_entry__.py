@@ -352,6 +352,25 @@ def q_qgram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("idx_a", "idx_b")
 
 
+def q_suffix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005; Christen 2012 §4.5)
+    over the first token of ``text``, with the too-frequent-suffix cap
+    active (``max_block_size=30``): candidates share at least one
+    NON-hot suffix of length >= 4 (or an exact sub-4-char key). Both
+    halves are oracle-checked: suffix generation/joining AND
+    posting-list pruning with the whole-string equality exemption."""
+    from datamatch_spark.indices import SuffixArrayIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w0", F.split(F.col("text"), " ").getItem(0)
+    )
+    pairs = candidate_pairs(
+        docs, SuffixArrayIndex("w0", min_len=4, max_block_size=30), "doc_id", []
+    )
+    return pairs.select("idx_a", "idx_b")
+
+
 def q_phonetic_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic (Soundex) blocking (Christen §4.3). Hard oracle: DuckDB
     has no built-in soundex, so ``oracle_sql()`` carries a pure-SQL
@@ -2231,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "sorted_neighborhood_match": q_sorted_neighborhood_match,
         "qgram_candidates": q_qgram_candidates,
+        "suffix_candidates": q_suffix_candidates,
         "phonetic_candidates": q_phonetic_candidates,
         "blocking_quality": q_blocking_quality,
         "qgram_quality": q_qgram_quality,
@@ -3365,6 +3385,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
             FROM g2 a JOIN g2 b ON a.gm = b.gm AND a.doc_id < b.doc_id
+        """,
+        "suffix_candidates": """
+            WITH k AS (
+              SELECT doc_id, lower(split_part(text, ' ', 1)) AS qk
+              FROM documents
+              WHERE text IS NOT NULL AND length(split_part(text, ' ', 1)) > 0
+            ), g AS (
+              SELECT DISTINCT doc_id, substring(qk, i) AS sfx,
+                     length(qk) <= 4 AS whole
+              FROM k, UNNEST(range(1, greatest(1, length(qk) - 3) + 1)) AS t(i)
+            ), kept AS (
+              SELECT sfx FROM g GROUP BY sfx HAVING count(*) <= 30
+            ), g2 AS (
+              -- whole-string suffixes of sub-min_len keys are equality
+              -- blocks, exempt from the cap (matches SuffixArrayIndex)
+              SELECT doc_id, sfx FROM g
+              WHERE whole OR sfx IN (SELECT sfx FROM kept)
+            )
+            SELECT DISTINCT a.doc_id AS idx_a, b.doc_id AS idx_b
+            FROM g2 a JOIN g2 b ON a.sfx = b.sfx AND a.doc_id < b.doc_id
         """,
         "qgram_quality": """
             WITH k AS (

@@ -16,6 +16,7 @@ from .indices import (
     PhoneticIndex,
     QGramIndex,
     SortedNeighborhoodIndex,
+    SuffixArrayIndex,
 )
 from .matchers import ThresholdMatcher
 from .pairing import PairingConfig
@@ -46,6 +47,7 @@ __all__ = [
     "MultiIndex",
     "PhoneticIndex",
     "QGramIndex",
+    "SuffixArrayIndex",
     "SortedNeighborhoodIndex",
     "BaseIndex",
     "JaroWinklerSimilarity",

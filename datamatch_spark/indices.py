@@ -41,6 +41,7 @@ __all__ = [
     "MultiIndex",
     "PhoneticIndex",
     "QGramIndex",
+    "SuffixArrayIndex",
     "SortedNeighborhoodIndex",
     "BLOCK_KEY",
 ]
@@ -490,6 +491,141 @@ class QGramIndex(BaseIndex):
             # key, i.e. equality blocking, which pruning must never
             # silently remove — a frequent short key is a hot BLOCK
             # (salting's job), not a stop-gram.
+            pruned = keys.where(~F.col("__whole")).join(
+                F.broadcast(hot.select(BLOCK_KEY)), on=BLOCK_KEY, how="left_anti"
+            )
+            keys = keys.where(F.col("__whole")).unionByName(pruned)
+        return keys.drop("__whole")
+
+
+class SuffixArrayIndex(BaseIndex):
+    """Suffix-array blocking (Aizawa & Oyama, WIRI 2005; Christen 2012
+    §4.5, "suffix-array based indexing"): a row lands in one bucket per
+    suffix — ``min_len`` characters or longer — of its (lowercased) key
+    column, so two rows become candidates iff one's suffix set
+    intersects the other's. Complements :class:`QGramIndex`: suffixes
+    are anchored at the string END, so the method is robust to PREFIX
+    corruption and truncation ("christen"/"kristen" share "risten";
+    "catherine"/"katherine" share "atherine") at far fewer postings
+    per row than q-grams (O(len) suffixes vs O(len) grams but each
+    suffix is much more selective). No reference counterpart
+    (/root/reference/datamatch/indices.py stops at value-equality
+    blocking); added to complete the classic blocking-method taxonomy
+    (standard / sorted-neighborhood / q-gram / suffix / phonetic /
+    LSH) this engine ships.
+
+    The classic method's too-frequent-suffix removal is
+    ``max_block_size``: suffixes whose document frequency exceeds it
+    are dropped from blocking (OPT-IN, default ``None`` = exhaustive —
+    pruning that silently costs recall must be asked for; a WARNING is
+    logged once when active and ``stop_suffixes()`` lists exactly what
+    the cap drops). Whole-string occurrences of sub-``min_len`` keys
+    are equality blocks, exempt from the cap — a frequent short key is
+    a hot BLOCK (salting's job in pairing.py), not a stop-suffix. NULL
+    and empty keys never pair (reference NaN semantics,
+    indices.py:129-132). Keys shorter than ``min_len`` block on the
+    whole string, so short keys still pair (same convention as
+    ``QGramIndex`` sub-q keys).
+
+    Scale shape: one ``explode`` over ≤ ``len-min_len+1`` suffixes per
+    row, then the standard BLOCK_KEY equi-join — multi-bucket, so
+    pairing.py dedupes (idx_a, idx_b). The document-frequency cap is a
+    lazy 1-aggregate + broadcast anti-join (hot suffixes are few by
+    construction), never a driver collect.
+    """
+
+    multi_bucket = True
+
+    def __init__(
+        self,
+        col: str,
+        min_len: int = 4,
+        max_block_size: int | None = None,
+    ) -> None:
+        if min_len < 1:
+            raise ValueError(f"min_len must be >= 1, got {min_len}")
+        if max_block_size is not None and max_block_size < 1:
+            raise ValueError(
+                f"max_block_size must be >= 1 or None, got {max_block_size}"
+            )
+        self._col = col
+        self._min_len = min_len
+        self._max_block_size = max_block_size
+        self._warned_cap = False
+
+    def required_columns(self) -> set[str]:
+        return {self._col}
+
+    def _all_keys(self, df: DataFrame, row_key: str) -> DataFrame:
+        """(row_key, BLOCK_KEY, __whole): one row per distinct
+        (row, suffix); ``__whole`` marks a sub-min_len key's
+        whole-string suffix (equality-block occurrence, cap-exempt)."""
+        if self._col not in df.columns:
+            raise KeyError(self._col)
+        m = self._min_len
+        src = f"lower(cast(`{self._col}` as string))"
+        # 1-based suffix start positions; greatest(1, ...) keeps
+        # sub-min_len keys as one whole-string suffix
+        suffixes = F.expr(
+            f"transform(sequence(1, greatest(1, length({src}) - {m - 1})), "
+            f"i -> substring({src}, i))"
+        )
+        return (
+            df.select(
+                F.col(row_key),
+                F.explode(suffixes).alias("__s"),
+                (F.expr(f"length({src})") <= m).alias("__whole"),
+            )
+            .where(F.col("__s").isNotNull() & (F.length("__s") > 0))
+            .select(
+                F.col(row_key),
+                F.concat(F.lit("sa:"), _escape_seps(F.col("__s"))).alias(
+                    BLOCK_KEY
+                ),
+                F.col("__whole"),
+            )
+            .dropDuplicates([row_key, BLOCK_KEY])
+        )
+
+    def _hot_suffixes(self, keys: DataFrame) -> DataFrame | None:
+        """(BLOCK_KEY, __df) of suffixes OVER the cap, or None."""
+        if self._max_block_size is None:
+            return None
+        return (
+            keys.groupBy(BLOCK_KEY)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > self._max_block_size)
+        )
+
+    def stop_suffixes(self, df: DataFrame, row_key: str) -> DataFrame:
+        """(block_key, df) of the suffixes the configured cap drops —
+        the observability half of too-frequent-suffix removal; empty
+        frame when uncapped. Whole-string occurrences of a listed
+        suffix survive in ``key_df`` (equality exemption)."""
+        keys = self._all_keys(df, row_key)
+        hot = self._hot_suffixes(keys)
+        if hot is None:
+            return keys.select(
+                F.col(BLOCK_KEY), F.lit(0).cast("long").alias("__df")
+            ).limit(0)
+        return hot
+
+    def key_df(self, df: DataFrame, row_key: str) -> DataFrame:
+        keys = self._all_keys(df, row_key)
+        hot = self._hot_suffixes(keys)
+        if hot is not None:
+            if not self._warned_cap:
+                self._warned_cap = True
+                logger.warning(
+                    "SuffixArrayIndex(col=%r, min_len=%d) will drop any "
+                    "suffix whose document frequency exceeds "
+                    "max_block_size=%d; pairs sharing only such suffixes "
+                    "are not blocked. stop_suffixes(df, row_key) lists "
+                    "what the cap drops.",
+                    self._col,
+                    self._min_len,
+                    self._max_block_size,
+                )
             pruned = keys.where(~F.col("__whole")).join(
                 F.broadcast(hot.select(BLOCK_KEY)), on=BLOCK_KEY, how="left_anti"
             )
