@@ -1967,6 +1967,37 @@ def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component")
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record merge — the ER lifecycle's final
+    step (no reference counterpart; the reference stops at cluster
+    reports, matchers.py:425-474): one canonical profile per user over
+    the events table, exercising most_frequent (modal event_type, ties
+    to larger value), latest:/earliest: row-picks (props by (ts,
+    event_id)), sum, max and count_distinct — every rule replayed in
+    plain SQL (aggregate ORDER BY + FILTER)."""
+    from datamatch_spark import golden_records
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("first_props", F.col("props"))
+        .withColumn("n_types", F.col("event_type"))
+    )
+    assign = ev.select("event_id", F.col("user_id").alias("group_id"))
+    return golden_records(
+        ev,
+        "event_id",
+        assign,
+        rules={
+            "event_type": "most_frequent",
+            "props": "latest:ts",
+            "first_props": "earliest:ts",
+            "value": "sum",
+            "ts": "max",
+            "n_types": "count_distinct",
+        },
+    )
+
+
 def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monge-Elkan hybrid token similarity (JW inner, symmetric mean)
     over a 3-token name field, §2.5 family. Bounded to doc_id < 150 so
@@ -2264,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_one_to_one": q_greedy_one_to_one,
         "fs_em_pairs": q_fs_em_pairs,
         "fs_clusters": q_fs_clusters,
+        "golden_records": q_golden_records,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
         "jw_dedup_pairs": q_jw_dedup_pairs,
@@ -3586,6 +3618,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fs_em_pairs": _duckdb_fs_em_sql(20),
         "fs_clusters": _duckdb_fs_em_sql(20, tail="clusters"),
+        "golden_records": """
+            WITH m AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1, 2
+            ), mode AS (
+              -- modal value, frequency ties to the LARGER value
+              -- (matches the engine's max(struct(count, value)))
+              SELECT user_id,
+                     first(event_type ORDER BY n DESC, event_type DESC)
+                       AS event_type
+              FROM m GROUP BY 1
+            ), base AS (
+              SELECT user_id,
+                     count(*) AS cluster_size,
+                     first(props ORDER BY ts DESC, event_id DESC)
+                       FILTER (WHERE props IS NOT NULL AND ts IS NOT NULL)
+                       AS props,
+                     first(props ORDER BY ts ASC, event_id ASC)
+                       FILTER (WHERE props IS NOT NULL AND ts IS NOT NULL)
+                       AS first_props,
+                     sum(value) AS value,
+                     max(ts) AS ts,
+                     count(DISTINCT event_type) AS n_types
+              FROM events GROUP BY 1
+            )
+            SELECT b.user_id AS group_id, b.cluster_size, mode.event_type,
+                   b.props, b.first_props, b.value, b.ts, b.n_types
+            FROM base b LEFT JOIN mode USING (user_id)
+        """,
         # Monge-Elkan(JW inner, symmetric mean) over the 3-token name
         # field: every token combo of every pair goes through the
         # bit-exact jw chain ONCE (pair id in idx_a, packed

@@ -31,6 +31,7 @@ from .scorers import (
     SimSumScorer,
 )
 from .session import get_spark
+from .survivorship import golden_records
 from .similarities import (
     AbsoluteNumericalSimilarity,
     DateSimilarity,
@@ -73,6 +74,7 @@ __all__ = [
     "RefuseToScoreException",
     "PairingConfig",
     "get_spark",
+    "golden_records",
 ]
 
 __version__ = "0.1.0"
