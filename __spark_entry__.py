@@ -414,6 +414,46 @@ def q_qgram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(docs, QGramIndex("w0", q=3, max_df=30), "doc_id", truth)
 
 
+def _eval_labels(spark: SparkSession, sf_dir: str):
+    """(pred, truth) labelings for the cluster-evaluation metrics:
+    truth = the lowercased first token of ``text`` (the 'entity'),
+    pred = its 4-char prefix block (a deliberately coarse clustering,
+    so precision < 1 while recall = 1 — both directions exercised)."""
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.lower(F.split(F.col("text"), " ").getItem(0)).alias("qk"),
+        )
+        .where(F.length("qk") > 0)
+    )
+    pred = base.select("doc_id", F.substring("qk", 1, 4).alias("group_id"))
+    truth = base.select("doc_id", F.col("qk").alias("true_id"))
+    return pred, truth
+
+
+def q_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering vs gold
+    labels (Menestrina et al., VLDB 2010) — the north rule's acceptance
+    metric, via the contingency formulation (no pair set materialized,
+    exact at any cluster size)."""
+    from datamatch_spark.metrics import pairwise_f1
+
+    pred, truth = _eval_labels(spark, sf_dir)
+    return pairwise_f1(pred, truth, "doc_id")
+
+
+def q_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998; Amigó et al.
+    2009) over the same labelings — the per-item complement to pairwise
+    F1's quadratic cluster weighting."""
+    from datamatch_spark.metrics import bcubed
+
+    pred, truth = _eval_labels(spark, sf_dir)
+    return bcubed(pred, truth, "doc_id")
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-evaluation metrics (Christen 2012 ch. 7): reduction
     ratio / pairs completeness / pairs quality of ColumnsIndex("lang")
@@ -2284,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_candidates": q_suffix_candidates,
         "phonetic_candidates": q_phonetic_candidates,
         "blocking_quality": q_blocking_quality,
+        "pairwise_f1": q_pairwise_f1,
+        "bcubed": q_bcubed,
         "qgram_quality": q_qgram_quality,
         "cluster_report": q_cluster_report,
         "multiindex_or": q_multiindex_or,
@@ -3477,6 +3519,59 @@ def oracle_sql() -> dict[str, str]:
                    round(mm.covered * 1.0 / mm.n_truth, 6) AS pairs_completeness,
                    round(mm.covered * 1.0 / cc.n_cand, 6) AS pairs_quality
             FROM nn, cc, mm
+        """,
+        "pairwise_f1": """
+            WITH k AS (
+              SELECT doc_id, lower(split_part(text, ' ', 1)) AS qk
+              FROM documents
+              WHERE text IS NOT NULL AND length(split_part(text, ' ', 1)) > 0
+            ), lab AS (
+              SELECT doc_id, substring(qk, 1, 4) AS p, qk AS t FROM k
+            ), pp AS (
+              SELECT coalesce(sum(n * (n - 1) // 2), 0) AS pred_pairs
+              FROM (SELECT count(*) AS n FROM lab GROUP BY p)
+            ), tp AS (
+              SELECT coalesce(sum(n * (n - 1) // 2), 0) AS true_pairs
+              FROM (SELECT count(*) AS n FROM lab GROUP BY t)
+            ), cp AS (
+              SELECT coalesce(sum(n * (n - 1) // 2), 0) AS common_pairs
+              FROM (SELECT count(*) AS n FROM lab GROUP BY p, t)
+            )
+            SELECT CAST(pred_pairs AS BIGINT) AS pred_pairs,
+                   CAST(true_pairs AS BIGINT) AS true_pairs,
+                   CAST(common_pairs AS BIGINT) AS common_pairs,
+                   common_pairs / nullif(pred_pairs, 0) AS precision,
+                   common_pairs / nullif(true_pairs, 0) AS recall,
+                   2 * (common_pairs / nullif(pred_pairs, 0))
+                     * (common_pairs / nullif(true_pairs, 0))
+                     / nullif(common_pairs / nullif(pred_pairs, 0)
+                              + common_pairs / nullif(true_pairs, 0), 0)
+                     AS f1
+            FROM pp, tp, cp
+        """,
+        "bcubed": """
+            WITH k AS (
+              SELECT doc_id, lower(split_part(text, ' ', 1)) AS qk
+              FROM documents
+              WHERE text IS NOT NULL AND length(split_part(text, ' ', 1)) > 0
+            ), lab AS (
+              SELECT doc_id, substring(qk, 1, 4) AS p, qk AS t FROM k
+            ), cells AS (
+              SELECT p, t, count(*) AS n_pt FROM lab GROUP BY 1, 2
+            ), ps AS (
+              SELECT p, count(*) AS n_p FROM lab GROUP BY 1
+            ), ts AS (
+              SELECT t, count(*) AS n_t FROM lab GROUP BY 1
+            ), agg AS (
+              SELECT sum(n_pt) AS n_rows,
+                     sum(n_pt * n_pt / n_p) / sum(n_pt) AS bp,
+                     sum(n_pt * n_pt / n_t) / sum(n_pt) AS br
+              FROM cells JOIN ps USING (p) JOIN ts USING (t)
+            )
+            SELECT CAST(n_rows AS BIGINT) AS n_rows,
+                   bp AS bcubed_precision, br AS bcubed_recall,
+                   2 * bp * br / nullif(bp + br, 0) AS bcubed_f1
+            FROM agg
         """,
         "blocking_quality": """
             WITH c AS (

@@ -18,7 +18,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["MetricsSink", "partition_stats", "blocking_quality"]
+__all__ = [
+    "MetricsSink",
+    "partition_stats",
+    "blocking_quality",
+    "pairwise_f1",
+    "bcubed",
+]
 
 
 def partition_stats(df: DataFrame) -> DataFrame:
@@ -136,4 +142,155 @@ def blocking_quality(
             "n_truth_covered long, reduction_ratio double, "
             "pairs_completeness double, pairs_quality double"
         ),
+    )
+
+
+def _joined_labels(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    pred_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """(pred_col, truth_col) per labeled row — the contingency input.
+    Inner join: only rows present in BOTH labelings are evaluated (each
+    frame must carry one row per id; ``groups_from_pairs`` /
+    ``connected_components`` output has that shape, singletons
+    included)."""
+    for c, df, name in (
+        (pred_col, pred, "pred"),
+        (truth_col, truth, "truth"),
+    ):
+        if c not in df.columns:
+            raise KeyError(f"{name} is missing column {c!r}")
+        if id_col not in df.columns:
+            raise KeyError(f"{name} is missing column {id_col!r}")
+    if pred_col == truth_col:
+        raise ValueError(
+            f"pred_col and truth_col are both {pred_col!r}; alias one side"
+        )
+    return pred.select(id_col, pred_col).join(
+        truth.select(id_col, truth_col), on=id_col, how="inner"
+    )
+
+
+def pairwise_f1(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    pred_col: str = "group_id",
+    truth_col: str = "true_id",
+) -> DataFrame:
+    """Pairwise precision / recall / F1 of a predicted clustering
+    against gold labels — the linkage-evaluation metric of record
+    (Menestrina, Whang & Garcia-Molina, VLDB 2010; the north rule's
+    acceptance criterion is pairwise F1 >= 0.99).
+
+    Both inputs map ``id_col`` to a cluster label; a row with a NULL
+    label on EITHER side is excluded from every count (an unlabeled row
+    asserts nothing — the evaluation universe is the doubly-labeled
+    rows, same convention as :func:`bcubed`). Returns ONE row:
+    ``pred_pairs`` (P), ``true_pairs`` (T), ``common_pairs`` (P ∩ T),
+    ``precision``, ``recall``, ``f1`` (NULL where the denominator is
+    zero, e.g. an all-singleton prediction has undefined precision).
+
+    Scale shape: the three pair counts come from the CONTINGENCY
+    formulation — sum of n·(n−1)/2 over predicted clusters, over true
+    clusters, and over (pred, truth) cells — so no pair set is ever
+    materialized: three groupBy aggregations over label cardinalities,
+    then a 1-row×1-row×1-row join. Exact at any cluster size
+    (10^12-row clusters are two integer aggregates, not 10^24 pairs).
+    """
+    j = _joined_labels(pred, truth, id_col, pred_col, truth_col).where(
+        F.col(pred_col).isNotNull() & F.col(truth_col).isNotNull()
+    )
+
+    def _n_pairs(df: DataFrame, cols: list[str], alias: str) -> DataFrame:
+        return (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.coalesce(
+                    F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0)
+                ).alias(alias)
+            )
+        )
+
+    p = _n_pairs(j, [pred_col], "pred_pairs")
+    t = _n_pairs(j, [truth_col], "true_pairs")
+    c = _n_pairs(j, [pred_col, truth_col], "common_pairs")
+    out = p.crossJoin(t).crossJoin(c)
+    prec = F.col("common_pairs") / F.nullif(F.col("pred_pairs"), F.lit(0))
+    rec = F.col("common_pairs") / F.nullif(F.col("true_pairs"), F.lit(0))
+    return out.select(
+        "pred_pairs",
+        "true_pairs",
+        "common_pairs",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))).alias("f1"),
+    )
+
+
+def bcubed(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    pred_col: str = "group_id",
+    truth_col: str = "true_id",
+) -> DataFrame:
+    """B-cubed precision / recall / F1 (Bagga & Baldwin 1998; Amigó et
+    al. 2009 showed it is the clustering metric satisfying all four
+    formal constraints): per-row precision is |cell(pred_i, truth_i)| /
+    |pred cluster_i|, recall divides by the true cluster instead, both
+    averaged over rows. Complements :func:`pairwise_f1` — pairwise F1
+    over-weights large clusters (quadratic in size), B-cubed is
+    per-item.
+
+    Rows with a NULL label on either side are excluded. Returns ONE
+    row: ``n_rows``, ``bcubed_precision``, ``bcubed_recall``,
+    ``bcubed_f1``.
+
+    Scale shape: the row-average collapses onto the contingency cells —
+    Σ over (pred, truth) cells of n_pt² / n_p (resp. n_pt² / n_t), all
+    divided by N — so the cost is one (pred, truth) aggregation plus
+    two cluster-size aggregations joined on their cluster keys; nothing
+    per-row leaves the first groupBy.
+    """
+    j = _joined_labels(pred, truth, id_col, pred_col, truth_col).where(
+        F.col(pred_col).isNotNull() & F.col(truth_col).isNotNull()
+    )
+    cells = j.groupBy(pred_col, truth_col).agg(
+        F.count(F.lit(1)).alias("n_pt")
+    )
+    p_sizes = j.groupBy(pred_col).agg(F.count(F.lit(1)).alias("n_p"))
+    t_sizes = j.groupBy(truth_col).agg(F.count(F.lit(1)).alias("n_t"))
+    return (
+        cells.join(p_sizes, on=pred_col)
+        .join(t_sizes, on=truth_col)
+        .agg(
+            F.sum("n_pt").alias("n_rows"),
+            (
+                F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_p"))
+                / F.sum("n_pt")
+            ).alias("bcubed_precision"),
+            (
+                F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_t"))
+                / F.sum("n_pt")
+            ).alias("bcubed_recall"),
+        )
+        .select(
+            "n_rows",
+            "bcubed_precision",
+            "bcubed_recall",
+            (
+                2
+                * F.col("bcubed_precision")
+                * F.col("bcubed_recall")
+                / F.nullif(
+                    F.col("bcubed_precision") + F.col("bcubed_recall"),
+                    F.lit(0.0),
+                )
+            ).alias("bcubed_f1"),
+        )
     )
