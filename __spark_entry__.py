@@ -1964,6 +1964,10 @@ def _fs_gammas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("a.tok0").eqNullSafe(F.col("b.tok0")), 1)
         .otherwise(0)
         .alias("g_tok"),
+        # the (possibly) agreed token value, for term-frequency
+        # adjustment; either side works since the adjustment is gated
+        # on g_tok = 1
+        F.col("a.tok0").alias("v_tok"),
     )
 
 
@@ -1986,6 +1990,30 @@ def q_fs_em_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_tok",
         F.round("match_weight", 6).alias("match_weight"),
         F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
+def q_fs_tf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splink-style term-frequency adjustment on the FS model's token
+    field: agreement on a rare first token outweighs agreement on a
+    common one (u_tok replaced by the value's collision probability
+    tf(v)). The oracle replays EM (recursive CTE) + the tf table + the
+    adjusted weight/posterior arithmetic float64-exactly."""
+    from datamatch_spark.linkage import estimate_fs, term_frequencies, tf_adjust
+
+    gam = _fs_gammas(spark, sf_dir)
+    model = estimate_fs(gam, ["g_source", "g_len", "g_tok"], n_iter=20)
+    docs = _docs(spark, sf_dir).withColumn(
+        "tok0", F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    )
+    tf = term_frequencies(docs, "tok0")
+    adj = tf_adjust(model.score(gam), model, "g_tok", "v_tok", tf)
+    return adj.select(
+        "idx_a",
+        "idx_b",
+        "g_tok",
+        F.round("match_weight_tf", 6).alias("match_weight_tf"),
+        F.round("match_probability_tf", 6).alias("match_probability_tf"),
     )
 
 
@@ -2337,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_one_to_one": q_greedy_one_to_one,
         "fs_em_pairs": q_fs_em_pairs,
         "fs_clusters": q_fs_clusters,
+        "fs_tf_pairs": q_fs_tf_pairs,
         "golden_records": q_golden_records,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
@@ -3046,6 +3075,38 @@ def _duckdb_fs_em_sql(n_iter: int = 20, tail: str = "pairs") -> str:
           SELECT {w_fin} AS w,
                  {v_fin} AS v
         ) pw"""
+    elif tail == "tf":
+        # term-frequency adjustment on g_tok: u3 -> tf(v_tok) for
+        # agreeing pairs (tf_weight = 1.0, so the engine's
+        # pow(ratio, 1.0) is the plain ratio bit-for-bit)
+        tail_sql = f""",
+        tfreq AS (
+          SELECT split_part(text, ' ', 1) AS value,
+                 count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                             FROM documents
+                             WHERE split_part(text, ' ', 1) IS NOT NULL)
+                   AS tf
+          FROM documents
+          WHERE split_part(text, ' ', 1) IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT g.idx_a, g.idx_b, g.g_tok,
+               round({weight}
+                     + CASE WHEN g.g_tok = 1 AND t.tf IS NOT NULL
+                            THEN 1.0 * log2(f.u3 / t.tf)
+                            ELSE 0.0 END, 6) AS match_weight_tf,
+               round(pw.w * (CASE WHEN g.g_tok = 1 AND t.tf IS NOT NULL
+                                  THEN f.u3 / t.tf ELSE 1.0 END)
+                     / (pw.w * (CASE WHEN g.g_tok = 1 AND t.tf IS NOT NULL
+                                     THEN f.u3 / t.tf ELSE 1.0 END)
+                        + pw.v), 6) AS match_probability_tf
+        FROM gam g
+        CROSS JOIN fin f
+        LEFT JOIN tfreq t ON t.value = g.v_tok
+        CROSS JOIN LATERAL (
+          SELECT {w_fin} AS w,
+                 {v_fin} AS v
+        ) pw"""
     else:  # clusters: threshold the UNROUNDED posterior, then CC
         tail_sql = f""",
         scored AS (
@@ -3079,7 +3140,8 @@ def _duckdb_fs_em_sql(n_iter: int = 20, tail: str = "pairs") -> str:
                       THEN 1 ELSE 0 END AS g_len,
                  CASE WHEN split_part(a.text, ' ', 1)
                         IS NOT DISTINCT FROM split_part(b.text, ' ', 1)
-                      THEN 1 ELSE 0 END AS g_tok
+                      THEN 1 ELSE 0 END AS g_tok,
+                 split_part(a.text, ' ', 1) AS v_tok
           FROM documents a JOIN documents b
             ON a.lang = b.lang AND a.doc_id < b.doc_id
         ),
@@ -3713,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fs_em_pairs": _duckdb_fs_em_sql(20),
         "fs_clusters": _duckdb_fs_em_sql(20, tail="clusters"),
+        "fs_tf_pairs": _duckdb_fs_em_sql(20, tail="tf"),
         "golden_records": """
             WITH m AS (
               SELECT user_id, event_type, count(*) AS n

@@ -41,7 +41,12 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["FellegiSunterModel", "estimate_fs"]
+__all__ = [
+    "FellegiSunterModel",
+    "estimate_fs",
+    "term_frequencies",
+    "tf_adjust",
+]
 
 _EPS = 1e-6  # m/u/lambda clamp, keeps log-weights finite
 
@@ -208,3 +213,90 @@ def estimate_fs(
     patterns.sort(key=lambda t: t[0])
     m, u, lam = _em(patterns, k, n_iter, init_m, init_u, init_lambda)
     return FellegiSunterModel(tuple(gamma_cols), m, u, lam, n_iter)
+
+
+def term_frequencies(records: DataFrame, col: str) -> DataFrame:
+    """``(value, tf)`` — each non-NULL value's relative frequency in
+    the RECORD table (not the pair stream). This is the input to
+    :func:`tf_adjust`; compute it over the same corpus the pairs were
+    drawn from.
+
+    Declarative: one groupBy over the value vocabulary plus a 1-row
+    total joined back — no driver collect, so a 10^12-row corpus costs
+    one value-cardinality shuffle."""
+    counts = (
+        records.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    total = counts.agg(F.sum("__n").alias("__t"))
+    return counts.crossJoin(total).select(
+        "value", (F.col("__n") / F.col("__t")).alias("tf")
+    )
+
+
+def tf_adjust(
+    scored: DataFrame,
+    model: FellegiSunterModel,
+    field: str,
+    value_col: str,
+    tf: DataFrame,
+    tf_weight: float = 1.0,
+) -> DataFrame:
+    """Splink-style term-frequency adjustment for one exact-match
+    field: agreement on a RARE value ("zzyzx") is stronger evidence
+    than on a common one ("smith"), so the field's average
+    u-probability is replaced by the value-specific collision
+    probability ``tf(v)`` — the agreement Bayes factor becomes
+    ``m_k / tf(v)`` instead of ``m_k / u_k``.
+
+    ``scored`` is ``model.score(...)`` output that also carries
+    ``value_col`` (the agreed value, e.g. either side's token —
+    irrelevant rows are untouched); ``tf`` is
+    :func:`term_frequencies` of the record column. Appends:
+
+    * ``match_weight_tf``      — ``match_weight`` + ``tf_weight`` ×
+      log2(u_k / tf(v)) on agreeing pairs (positive for rarer-than-
+      average values, negative for common ones), unchanged otherwise.
+    * ``match_probability_tf`` — the posterior recomputed with the
+      match likelihood scaled by ``(u_k / tf(v))^tf_weight``.
+
+    Pairs whose value is NULL or absent from ``tf`` (e.g. frequencies
+    from a reference corpus) get NO adjustment — never a NULL score.
+    ``tf_weight`` in [0, 1] damps the adjustment (Splink's
+    ``tf_adjustment_weight``); 1.0 is the full Fellegi-Sunter
+    substitution.
+
+    Scale shape: one equi-join of the pair stream against the
+    broadcast value-frequency table, then pure Column arithmetic —
+    no shuffle of the pairs, no UDF.
+    """
+    if field not in model.gamma_cols:
+        raise ValueError(
+            f"field {field!r} is not one of the model's gamma columns "
+            f"{model.gamma_cols}"
+        )
+    for c in ("match_weight", value_col):
+        if c not in scored.columns:
+            raise KeyError(c)
+    k = model.gamma_cols.index(field)
+    u_k = model.u[k]
+    tfj = F.broadcast(
+        tf.select(F.col("value").alias("__tfv"), F.col("tf").alias("__tf"))
+    )
+    j = scored.join(tfj, on=F.col(value_col) == F.col("__tfv"), how="left")
+    agree = (F.col(field) == 1) & F.col("__tf").isNotNull()
+    ratio = F.lit(u_k) / F.col("__tf")
+    delta = F.when(
+        agree, F.lit(float(tf_weight)) * F.log2(ratio)
+    ).otherwise(F.lit(0.0))
+    adj = F.when(agree, F.pow(ratio, F.lit(float(tf_weight)))).otherwise(
+        F.lit(1.0)
+    )
+    w, v = model._wv(F.col)
+    prob = (w * adj) / (w * adj + v)
+    return (
+        j.withColumn("match_weight_tf", F.col("match_weight") + delta)
+        .withColumn("match_probability_tf", prob)
+        .drop("__tfv", "__tf")
+    )
