@@ -2035,6 +2035,28 @@ def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component")
 
 
+def q_token_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokenSetSimilarity, all three modes (jaccard/dice/overlap) over
+    lang-blocked candidate pairs — pure-Column set arithmetic (split /
+    array_distinct / array_intersect), replayed in DuckDB list
+    functions. Bounded to doc_id < 300 to keep the oracle's per-pair
+    list ops tractable."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+    from datamatch_spark.similarities import TokenSetSimilarity
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    pairs = candidate_pairs(docs, ColumnsIndex("lang"), "doc_id", ["text"])
+    a, b = F.col("a.text"), F.col("b.text")
+    return pairs.select(
+        "idx_a",
+        "idx_b",
+        F.round(TokenSetSimilarity("jaccard").expr(a, b), 6).alias("jaccard"),
+        F.round(TokenSetSimilarity("dice").expr(a, b), 6).alias("dice"),
+        F.round(TokenSetSimilarity("overlap").expr(a, b), 6).alias("overlap"),
+    )
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship / golden-record merge — the ER lifecycle's final
     step (no reference counterpart; the reference stops at cluster
@@ -2367,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_clusters": q_fs_clusters,
         "fs_tf_pairs": q_fs_tf_pairs,
         "golden_records": q_golden_records,
+        "token_set_pairs": q_token_set_pairs,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
         "jw_dedup_pairs": q_jw_dedup_pairs,
@@ -3776,6 +3799,37 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_pairs": _duckdb_fs_em_sql(20),
         "fs_clusters": _duckdb_fs_em_sql(20, tail="clusters"),
         "fs_tf_pairs": _duckdb_fs_em_sql(20, tail="tf"),
+        "token_set_pairs": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE list_distinct(list_filter(
+                                 regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '')) END AS toks
+              FROM documents WHERE doc_id < 300
+            ), p AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     a.toks AS ta, b.toks AS tb,
+                     CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS i,
+                     CAST(len(a.toks) AS DOUBLE) AS na,
+                     CAST(len(b.toks) AS DOUBLE) AS nb
+              FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT idx_a, idx_b,
+                   CASE WHEN ta IS NULL OR tb IS NULL THEN NULL
+                        ELSE round(CASE WHEN na + nb - i > 0
+                                        THEN i / (na + nb - i)
+                                        ELSE 0.0 END, 6) END AS jaccard,
+                   CASE WHEN ta IS NULL OR tb IS NULL THEN NULL
+                        ELSE round(CASE WHEN na + nb > 0
+                                        THEN 2.0 * i / (na + nb)
+                                        ELSE 0.0 END, 6) END AS dice,
+                   CASE WHEN ta IS NULL OR tb IS NULL THEN NULL
+                        ELSE round(CASE WHEN least(na, nb) > 0
+                                        THEN i / least(na, nb)
+                                        ELSE 0.0 END, 6) END AS overlap
+            FROM p
+        """,
         "golden_records": """
             WITH m AS (
               SELECT user_id, event_type, count(*) AS n

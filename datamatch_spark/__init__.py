@@ -39,6 +39,7 @@ from .similarities import (
     MongeElkanSimilarity,
     RelativeNumericalSimilarity,
     StringSimilarity,
+    TokenSetSimilarity,
 )
 from .variators import Swap, Variator
 
@@ -53,6 +54,7 @@ __all__ = [
     "BaseIndex",
     "JaroWinklerSimilarity",
     "MongeElkanSimilarity",
+    "TokenSetSimilarity",
     "StringSimilarity",
     "DateSimilarity",
     "AbsoluteNumericalSimilarity",
