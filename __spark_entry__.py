@@ -2035,6 +2035,41 @@ def q_fs_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select("node", "component")
 
 
+def q_golden_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge step composed through the REAL interfaces (chained
+    oracle, fs_clusters-style): first-token blocking pairs ->
+    connected components (groups_from_pairs) -> golden_records
+    survivorship (longest text, modal lang, max n_chars, min source).
+    The oracle replays the whole chain — components of a shared-key
+    clique are min-member windows, survivorship is aggregate
+    ORDER BY/FILTER."""
+    from datamatch_spark import golden_records
+    from datamatch_spark.clustering import groups_from_pairs
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 500)
+        .withColumn(
+            "tok", F.lower(F.split_part(F.col("text"), F.lit(" "), F.lit(1)))
+        )
+    )
+    pairs = candidate_pairs(docs, ColumnsIndex("tok"), "doc_id", [])
+    assign = groups_from_pairs(docs, "doc_id", pairs.select("idx_a", "idx_b"))
+    return golden_records(
+        docs.drop("tok"),
+        "doc_id",
+        assign.select("doc_id", "group_id"),
+        rules={
+            "text": "longest",
+            "lang": "most_frequent",
+            "n_chars": "max",
+            "source": "min",
+        },
+    )
+
+
 def q_token_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenSetSimilarity, all three modes (jaccard/dice/overlap) over
     lang-blocked candidate pairs — pure-Column set arithmetic (split /
@@ -2389,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_clusters": q_fs_clusters,
         "fs_tf_pairs": q_fs_tf_pairs,
         "golden_records": q_golden_records,
+        "golden_clusters": q_golden_clusters,
         "token_set_pairs": q_token_set_pairs,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
@@ -3799,6 +3835,38 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_pairs": _duckdb_fs_em_sql(20),
         "fs_clusters": _duckdb_fs_em_sql(20, tail="clusters"),
         "fs_tf_pairs": _duckdb_fs_em_sql(20, tail="tf"),
+        "golden_clusters": """
+            WITH k AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     lower(split_part(text, ' ', 1)) AS tok
+              FROM documents WHERE doc_id < 500
+            ), grp AS (
+              -- components of shared-token cliques = min member id;
+              -- NULL-token rows are singletons (null keys never pair)
+              SELECT doc_id, text, lang, source, n_chars,
+                     CASE WHEN tok IS NOT NULL
+                          THEN min(doc_id) OVER (PARTITION BY tok)
+                          ELSE doc_id END AS group_id
+              FROM k
+            ), m AS (
+              SELECT group_id, lang, count(*) AS n
+              FROM grp WHERE lang IS NOT NULL GROUP BY 1, 2
+            ), mode AS (
+              SELECT group_id,
+                     first(lang ORDER BY n DESC, lang DESC) AS lang
+              FROM m GROUP BY 1
+            ), base AS (
+              SELECT group_id, count(*) AS cluster_size,
+                     first(text ORDER BY length(text) DESC, text DESC)
+                       FILTER (WHERE text IS NOT NULL) AS text,
+                     max(n_chars) AS n_chars,
+                     min(source) AS source
+              FROM grp GROUP BY 1
+            )
+            SELECT b.group_id, b.cluster_size, b.text, mode.lang,
+                   b.n_chars, b.source
+            FROM base b LEFT JOIN mode USING (group_id)
+        """,
         "token_set_pairs": """
             WITH d AS (
               SELECT doc_id, lang,
