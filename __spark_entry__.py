@@ -2070,6 +2070,42 @@ def q_golden_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster edge-density / score-spread diagnostics over a
+    transitive clustering whose components are CHAINS by construction
+    (n_chars-proximity edges), so density < 1 clusters exist. Chained
+    oracle: edges -> recursive-CTE CC -> the stats aggregation. Scores
+    are dyadic rationals (halves), so avg_score is float-exact in any
+    summation order."""
+    from datamatch_spark.clustering import groups_from_pairs
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.metrics import cluster_stats
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    pairs = candidate_pairs(docs, ColumnsIndex("lang"), "doc_id", ["n_chars"])
+    diff = F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+    scored = (
+        pairs.where(diff <= 2)
+        .select(
+            "idx_a",
+            "idx_b",
+            (F.lit(1.0) - diff / F.lit(2.0)).alias("sim_score"),
+        )
+    )
+    assign = groups_from_pairs(docs, "doc_id", scored.select("idx_a", "idx_b"))
+    out = cluster_stats(scored, assign.select("doc_id", "group_id"), "doc_id")
+    return out.select(
+        "group_id",
+        "cluster_size",
+        "n_edges",
+        F.round("density", 6).alias("density"),
+        F.round("min_score", 6).alias("min_score"),
+        F.round("avg_score", 6).alias("avg_score"),
+        F.round("max_score", 6).alias("max_score"),
+    )
+
+
 def q_token_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenSetSimilarity, all three modes (jaccard/dice/overlap) over
     lang-blocked candidate pairs — pure-Column set arithmetic (split /
@@ -2425,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_tf_pairs": q_fs_tf_pairs,
         "golden_records": q_golden_records,
         "golden_clusters": q_golden_clusters,
+        "cluster_stats": q_cluster_stats,
         "token_set_pairs": q_token_set_pairs,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
@@ -3835,6 +3872,54 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_pairs": _duckdb_fs_em_sql(20),
         "fs_clusters": _duckdb_fs_em_sql(20, tail="clusters"),
         "fs_tf_pairs": _duckdb_fs_em_sql(20, tail="tf"),
+        "cluster_stats": """
+            WITH RECURSIVE k AS (
+              SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id < 400
+            ), e AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     1.0 - abs(a.n_chars - b.n_chars) / 2.0 AS s
+              FROM k a JOIN k b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE abs(a.n_chars - b.n_chars) <= 2
+            ), sym AS (
+              SELECT idx_a AS src, idx_b AS dst FROM e
+              UNION SELECT idx_b, idx_a FROM e
+            ), reach(node, r) AS (
+              SELECT src, src FROM sym
+              UNION
+              SELECT s2.dst, reach.r FROM reach
+              JOIN sym s2 ON s2.src = reach.node
+            ), comp AS (
+              SELECT node, min(r) AS component FROM reach GROUP BY node
+            ), assign AS (
+              SELECT k.doc_id,
+                     coalesce(c.component, k.doc_id) AS group_id
+              FROM k LEFT JOIN comp c ON c.node = k.doc_id
+            ), sizes AS (
+              SELECT group_id, count(*) AS cluster_size
+              FROM assign GROUP BY 1 HAVING count(*) >= 2
+            ), ee AS (
+              SELECT a1.group_id AS g, e.s
+              FROM e
+              JOIN assign a1 ON a1.doc_id = e.idx_a
+              JOIN assign a2 ON a2.doc_id = e.idx_b
+              WHERE a1.group_id = a2.group_id
+            ), agg AS (
+              SELECT g, count(*) AS n_edges, min(s) AS mn,
+                     avg(s) AS av, max(s) AS mx
+              FROM ee GROUP BY 1
+            )
+            SELECT s.group_id, s.cluster_size,
+                   coalesce(a.n_edges, 0) AS n_edges,
+                   round(coalesce(a.n_edges, 0)
+                         / (s.cluster_size * (s.cluster_size - 1) / 2.0),
+                         6) AS density,
+                   round(a.mn, 6) AS min_score,
+                   round(a.av, 6) AS avg_score,
+                   round(a.mx, 6) AS max_score
+            FROM sizes s LEFT JOIN agg a ON a.g = s.group_id
+        """,
         "golden_clusters": """
             WITH k AS (
               SELECT doc_id, text, lang, source, n_chars,

@@ -24,6 +24,7 @@ __all__ = [
     "blocking_quality",
     "pairwise_f1",
     "bcubed",
+    "cluster_stats",
 ]
 
 
@@ -293,4 +294,85 @@ def bcubed(
                 )
             ).alias("bcubed_f1"),
         )
+    )
+
+
+def cluster_stats(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    cluster_col: str = "group_id",
+    score_col: str | None = "sim_score",
+) -> DataFrame:
+    """Per-cluster diagnostics over the scored-pair graph — the
+    standard review tool for transitive-closure clustering, where one
+    borderline edge can glue two unrelated groups into a chain: low
+    ``density`` / low ``min_score`` clusters are the ones to audit
+    (Hassanzadeh & Miller, VLDB J. 2009 use exactly these signals).
+
+    ``pairs``: (idx_a, idx_b[, score_col]) match edges; ``assignment``:
+    (id_col, cluster_col), one row per record (``groups_from_pairs``
+    shape). Returns one row per cluster of size >= 2:
+
+    * ``cluster_size``, ``n_edges`` — members and surviving edges
+    * ``density``   — n_edges / C(size, 2): 1.0 = clique (every member
+      pair was independently matched), → 0 = a fragile chain
+    * ``min_score`` / ``avg_score`` / ``max_score`` — edge-score spread
+      (NULL when ``score_col`` is None or all edges are NULL-scored)
+
+    Cross-cluster edges (endpoints assigned to different clusters —
+    possible when pairs were pruned AFTER clustering) are dropped.
+
+    Scale shape: two id-keyed joins tag the edge endpoints, then ONE
+    cluster-key aggregation joined to the size aggregation on the same
+    key; C(size, 2) is arithmetic, never materialized.
+    """
+    for c in (id_col, cluster_col):
+        if c not in assignment.columns:
+            raise KeyError(f"assignment is missing column {c!r}")
+    cols = ["idx_a", "idx_b"] + ([score_col] if score_col else [])
+    for c in cols:
+        if c not in pairs.columns:
+            raise KeyError(f"pairs is missing column {c!r}")
+
+    amap = assignment.select(id_col, cluster_col)
+    e = (
+        pairs.select(*cols)
+        .join(
+            amap.select(
+                F.col(id_col).alias("idx_a"), F.col(cluster_col).alias("__ca")
+            ),
+            on="idx_a",
+        )
+        .join(
+            amap.select(
+                F.col(id_col).alias("idx_b"), F.col(cluster_col).alias("__cb")
+            ),
+            on="idx_b",
+        )
+        .where(F.col("__ca") == F.col("__cb"))
+    )
+    score = F.col(score_col) if score_col else F.lit(None).cast("double")
+    edges = e.groupBy(F.col("__ca").alias(cluster_col)).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min(score).alias("min_score"),
+        F.avg(score).alias("avg_score"),
+        F.max(score).alias("max_score"),
+    )
+    sizes = (
+        amap.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+    )
+    return sizes.join(edges, on=cluster_col, how="left").select(
+        cluster_col,
+        "cluster_size",
+        F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+        (
+            F.coalesce(F.col("n_edges"), F.lit(0))
+            / (F.col("cluster_size") * (F.col("cluster_size") - 1) / F.lit(2.0))
+        ).alias("density"),
+        "min_score",
+        "avg_score",
+        "max_score",
     )
