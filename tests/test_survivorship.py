@@ -168,3 +168,26 @@ def test_validation(spark):
             df.withColumn("group_id", F.lit("x")), "id", assign,
             rules={"name": "max"},
         )
+
+
+def test_deterministic_under_repartition(spark):
+    # tie-breaks are value/id-based, never partition-order-based
+    df, assign = _df(spark)
+    rules = {
+        "name": "longest",
+        "seg": "most_frequent",
+        "bal": "sum",
+        "seen": "latest:seen",
+    }
+    base = sorted(
+        golden_records(df, "id", assign, rules=rules).collect(),
+        key=lambda r: str(r["group_id"]),
+    )
+    for n in (1, 3, 7):
+        got = sorted(
+            golden_records(
+                df.repartition(n), "id", assign.repartition(n), rules=rules
+            ).collect(),
+            key=lambda r: str(r["group_id"]),
+        )
+        assert got == base, n
