@@ -645,6 +645,48 @@ class ThresholdMatcher:
         )
         return out.orderBy("cluster_idx", "pair_idx", "__side").drop("__side")
 
+    def get_golden_records(
+        self,
+        rules: dict,
+        lower_bound: float = 0.7,
+        upper_bound: float = 1.0,
+        include_singletons: bool = True,
+    ) -> DataFrame:
+        """The merge step as a matcher getter (engine extension — the
+        reference pipeline ends at cluster reports): one survived row
+        per cluster in the threshold band, built by
+        :func:`~datamatch_spark.survivorship.golden_records` under
+        per-column ``rules``; unmatched records ride along as
+        singleton golden records unless ``include_singletons=False``.
+        ``group_id`` is the clique's ``cluster_id`` string, or
+        ``row:<row_key>`` for singletons. Dedup mode only (a match-mode
+        pair spans two row-key namespaces, so a merged frame would be
+        ambiguous — merge the linked tables explicitly instead)."""
+        if self._dfb is not None:
+            raise ValueError(
+                "get_golden_records is dedup-only: match-mode row keys "
+                "live in two namespaces; join the linked tables and call "
+                "survivorship.golden_records directly instead"
+            )
+        from .survivorship import golden_records
+
+        assign = self.get_cluster_assignments(lower_bound, upper_bound)
+        full = self._dfa.select(self._row_key).join(
+            assign.withColumnRenamed("row_key", self._row_key),
+            on=self._row_key,
+            how="left",
+        )
+        if not include_singletons:
+            full = full.where(F.col("cluster_id").isNotNull())
+        assignment = full.select(
+            self._row_key,
+            F.coalesce(
+                F.col("cluster_id"),
+                F.concat(F.lit("row:"), F.col(self._row_key).cast("string")),
+            ).alias("group_id"),
+        )
+        return golden_records(self._dfa, self._row_key, assignment, rules)
+
     def get_all_pairs(
         self,
         lower_bound: float = 0.7,

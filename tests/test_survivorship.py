@@ -191,3 +191,46 @@ def test_deterministic_under_repartition(spark):
             key=lambda r: str(r["group_id"]),
         )
         assert got == base, n
+
+
+def test_matcher_get_golden_records(spark):
+    from datamatch_spark import JaroWinklerSimilarity, NoopIndex, ThresholdMatcher
+
+    rows = [
+        ("beech", "freddie", 10.0),
+        ("beech", "freedie", 30.0),
+        ("rhea", "cherri", 5.0),
+        ("rhea", "cherrie", 7.0),
+        ("solo", "xander", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, l, f, b) for i, (l, f, b) in enumerate(rows)],
+        "row_key long, last string, first string, bal double",
+    )
+    m = ThresholdMatcher(
+        NoopIndex(),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        df,
+    )
+    rules = {"last": "most_frequent", "first": "longest", "bal": "sum"}
+    out = m.get_golden_records(rules, 0.83)
+    got = {r["group_id"]: r.asDict() for r in out.collect()}
+    merged = {k: v for k, v in got.items() if not k.startswith("row:")}
+    assert len(merged) == 2 and len(got) == 3
+    by_last = {v["last"]: v for v in merged.values()}
+    assert by_last["beech"]["bal"] == 40.0
+    assert by_last["beech"]["first"] == "freedie"  # len-tie -> larger value
+    assert by_last["rhea"]["first"] == "cherrie"
+    assert got[[k for k in got if k.startswith("row:")][0]]["last"] == "solo"
+
+    no_solo = m.get_golden_records(rules, 0.83, include_singletons=False)
+    assert no_solo.count() == 2
+
+    # match mode refuses
+    m2 = ThresholdMatcher(
+        NoopIndex(),
+        {"last": JaroWinklerSimilarity(), "first": JaroWinklerSimilarity()},
+        df, df.withColumn("row_key", F.col("row_key") + 100),
+    )
+    with pytest.raises(ValueError):
+        m2.get_golden_records(rules)
