@@ -38,11 +38,18 @@ Config schema (all spec objects are ``{"type": ..., **kwargs}``):
 Index specs: ``noop``; ``columns`` (cols, ignore_key_error,
 index_elements); ``multi`` (indices: [spec...], combine_keys);
 ``phonetic`` (col); ``qgram`` (col, q, max_df, max_df_frac);
-``sorted_neighborhood`` (cols, window).
+``sorted_neighborhood`` (cols, window); ``suffix`` (col, min_len,
+max_block_size).
 
 Similarity specs: ``string`` / ``levenshtein`` (max_len);
 ``jaro_winkler`` (prefix_weight, max_len); ``date`` (d_max);
-``absolute_number`` (d_max); ``relative_number`` (pc_max).
+``absolute_number`` (d_max); ``relative_number`` (pc_max);
+``monge_elkan`` (inner kwargs); ``token_set`` (mode).
+
+Output kinds: ``clusters`` / ``pairs`` (parquet or excel),
+``decision`` (stderr report), ``golden_records`` (parquet; needs
+``rules`` — column -> survivorship rule — and honors
+``include_singletons``; dedup mode only).
 
 Scorer specs: a plain ``{field: similarity_spec}`` dict (the
 reference's dict sugar -> SimSumScorer), or typed: ``simsum``
@@ -78,6 +85,7 @@ from .indices import (
     PhoneticIndex,
     QGramIndex,
     SortedNeighborhoodIndex,
+    SuffixArrayIndex,
 )
 from .matchers import ThresholdMatcher
 from .pairing import PairingConfig
@@ -94,8 +102,10 @@ from .similarities import (
     BaseSimilarity,
     DateSimilarity,
     JaroWinklerSimilarity,
+    MongeElkanSimilarity,
     RelativeNumericalSimilarity,
     StringSimilarity,
+    TokenSetSimilarity,
 )
 
 __all__ = [
@@ -149,6 +159,8 @@ def build_index(spec: dict) -> BaseIndex:
         return _construct(QGramIndex, kw, "index")
     if t == "sorted_neighborhood":
         return _construct(SortedNeighborhoodIndex, kw, "index")
+    if t == "suffix":
+        return _construct(SuffixArrayIndex, kw, "index")
     raise ValueError(f"unknown index type {t!r}")
 
 
@@ -159,6 +171,8 @@ _SIMS = {
     "date": DateSimilarity,
     "absolute_number": AbsoluteNumericalSimilarity,
     "relative_number": RelativeNumericalSimilarity,
+    "monge_elkan": MongeElkanSimilarity,
+    "token_set": TokenSetSimilarity,
 }
 
 
@@ -335,6 +349,23 @@ def _write_outputs(
                 matcher.save_pairs_to_excel(path, thr, **kw)
             else:
                 raise ValueError(f"unknown output format {fmt!r}")
+        elif kind == "golden_records":
+            rules = spec.get("rules")
+            if not isinstance(rules, dict) or not rules:
+                raise ValueError(
+                    "golden_records output spec needs a non-empty "
+                    "'rules' dict (column -> survivorship rule)"
+                )
+            gr_kw = {
+                k: spec[k] for k in ("include_singletons",) if k in spec
+            }
+            if fmt != "parquet":
+                raise ValueError(
+                    f"golden_records output supports parquet, got {fmt!r}"
+                )
+            matcher.get_golden_records(
+                rules, thr, **gr_kw
+            ).write.mode("overwrite").parquet(path)
         elif kind == "decision":
             # stdout is reserved for main()'s single JSON summary line;
             # the human-readable report goes to stderr

@@ -291,3 +291,55 @@ def test_missing_scorer_is_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="scorer is required"):
         cli.run_job(spark, {"input": {"a": {"path": src}},
                             "threshold": 0.8})
+
+
+def test_build_new_specs():
+    from datamatch_spark import (
+        MongeElkanSimilarity,
+        SuffixArrayIndex,
+        TokenSetSimilarity,
+    )
+
+    idx = cli.build_index({"type": "suffix", "col": "a", "min_len": 3})
+    assert isinstance(idx, SuffixArrayIndex)
+    assert isinstance(
+        cli.build_similarity({"type": "token_set", "mode": "dice"}),
+        TokenSetSimilarity,
+    )
+    assert isinstance(
+        cli.build_similarity({"type": "monge_elkan"}), MongeElkanSimilarity
+    )
+
+
+def test_cli_golden_records_output(spark, tmp_path, capsys):
+    src = str(tmp_path / "names_gr.parquet")
+    out = str(tmp_path / "golden")
+    _write_names(spark, src)
+    config = {
+        "input": {"a": {"path": src, "format": "parquet"}},
+        "row_key": "row_key",
+        "index": {"type": "noop"},
+        "scorer": {
+            "last": {"type": "jaro_winkler"},
+            "first": {"type": "jaro_winkler"},
+        },
+        "threshold": 0.83,
+        "outputs": [
+            {"kind": "golden_records", "path": out,
+             "rules": {"last": "most_frequent", "first": "longest"}},
+        ],
+    }
+    cfg_path = tmp_path / "job_gr.json"
+    cfg_path.write_text(json.dumps(config))
+    rc = cli.main(["--config", str(cfg_path), "--master", "local[4]"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    # every source record lands in exactly one golden row
+    assert got.agg({"cluster_size": "sum"}).collect()[0][0] == 14
+    merged = [r for r in rows if r["cluster_size"] > 1]
+    assert len(merged) == 5  # the fixture's five known clusters
+    # a bad spec is loud
+    config["outputs"] = [{"kind": "golden_records", "path": out}]
+    with pytest.raises(ValueError, match="needs a non-empty"):
+        cli.run_job(spark, config)
