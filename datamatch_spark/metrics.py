@@ -199,8 +199,11 @@ def pairwise_f1(
     formulation — sum of n·(n−1)/2 over predicted clusters, over true
     clusters, and over (pred, truth) cells — so no pair set is ever
     materialized: three groupBy aggregations over label cardinalities,
-    then a 1-row×1-row×1-row join. Exact at any cluster size
-    (10^12-row clusters are two integer aggregates, not 10^24 pairs).
+    then a 1-row×1-row×1-row join. C(n, 2) divides the EVEN factor
+    first, so the arithmetic is overflow-free as long as the pair
+    count itself fits a BIGINT — exact for clusters up to ~4.3×10^9
+    members (beyond that Spark's ANSI mode fails loudly rather than
+    wrapping).
     """
     j = _joined_labels(pred, truth, id_col, pred_col, truth_col).where(
         F.col(pred_col).isNotNull() & F.col(truth_col).isNotNull()
@@ -212,7 +215,16 @@ def pairwise_f1(
             .agg(F.count(F.lit(1)).alias("n"))
             .select(
                 F.coalesce(
-                    F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0)
+                    # C(n,2) dividing the even factor first: no n²
+                    # intermediate, so no BIGINT overflow until the
+                    # PAIR COUNT itself exceeds the type (n ~ 4.3e9)
+                    F.sum(
+                        F.expr(
+                            "CASE WHEN n % 2 = 0 THEN (n DIV 2) * (n - 1) "
+                            "ELSE n * ((n - 1) DIV 2) END"
+                        )
+                    ),
+                    F.lit(0),
                 ).alias(alias)
             )
         )
