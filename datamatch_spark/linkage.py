@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "FellegiSunterModel",
     "estimate_fs",
+    "u_probability",
     "term_frequencies",
     "tf_adjust",
 ]
@@ -68,6 +69,28 @@ class FellegiSunterModel:
     u: tuple[float, ...]
     lam: float
     n_iter: int
+
+    def to_dict(self) -> dict:
+        """JSON-safe parameters (floats round-trip exactly through
+        json); rebuild with :meth:`from_dict` — fit once, score in any
+        later job without re-running EM."""
+        return {
+            "gamma_cols": list(self.gamma_cols),
+            "m": list(self.m),
+            "u": list(self.u),
+            "lam": self.lam,
+            "n_iter": self.n_iter,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FellegiSunterModel":
+        return cls(
+            gamma_cols=tuple(d["gamma_cols"]),
+            m=tuple(float(x) for x in d["m"]),
+            u=tuple(float(x) for x in d["u"]),
+            lam=float(d["lam"]),
+            n_iter=int(d["n_iter"]),
+        )
 
     def params_df(self, spark: SparkSession) -> DataFrame:
         """One row per field: (field, m, u, agree/disagree log2 weights)."""
@@ -300,3 +323,28 @@ def tf_adjust(
         .withColumn("match_probability_tf", prob)
         .drop("__tfv", "__tf")
     )
+
+
+def u_probability(records: DataFrame, col: str) -> float:
+    """Exact P(two distinct random records agree on ``col``) =
+    Σ_v n_v·(n_v−1) / (N·(N−1)) over non-NULL values — the principled
+    u-probability for an exact-match comparison (what Splink
+    approximates by random-pair sampling), useful as ``init_u`` or as
+    a sanity check on the EM estimate. One value-cardinality
+    aggregation collapsed to a single driver row; NULLs excluded on
+    both sides (NULL never agrees with anything)."""
+    row = (
+        records.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.expr("n * (n - 1)")).alias("agree"),
+            F.sum("n").alias("total"),
+        )
+        .collect()
+    )[0]
+    if not row["total"] or row["total"] < 2:
+        raise ValueError(
+            f"u_probability needs >= 2 non-NULL values in {col!r}"
+        )
+    return float(row["agree"]) / (float(row["total"]) * (row["total"] - 1.0))

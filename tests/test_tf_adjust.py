@@ -126,3 +126,23 @@ def test_validation(spark):
         tf_adjust(scored, MODEL, "g_name", "v_missing", tf)
     with pytest.raises(KeyError):
         tf_adjust(scored.drop("match_weight"), MODEL, "g_name", "v_name", tf)
+
+
+def test_u_probability_and_model_roundtrip(spark):
+    import json
+
+    from datamatch_spark.linkage import u_probability
+
+    # smith 6, jones 3, zzyzx 1, N=10: sum n(n-1) = 30+6+0 = 36; /90
+    assert u_probability(_records(spark), "name") == pytest.approx(0.4)
+    with_null = _records(spark).unionByName(
+        spark.createDataFrame([(99, None)], "id long, name string")
+    )
+    assert u_probability(with_null, "name") == pytest.approx(0.4)
+    with pytest.raises(ValueError):
+        u_probability(
+            spark.createDataFrame([(0, "x")], "id long, name string"), "name"
+        )
+
+    m2 = type(MODEL).from_dict(json.loads(json.dumps(MODEL.to_dict())))
+    assert m2 == MODEL  # floats round-trip exactly through json
