@@ -2106,6 +2106,49 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-classification P/R/F1 over a threshold grid vs a labeled
+    truth rule (same source, |n_chars diff| <= 1, ANY lang — so truth
+    pairs blocked away by the lang blocking count as FN at every
+    threshold). Dyadic scores; one explode x one aggregation."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.metrics import threshold_sweep
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    pairs = candidate_pairs(docs, ColumnsIndex("lang"), "doc_id", ["n_chars"])
+    diff = F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+    scored = pairs.where(diff <= 2).select(
+        "idx_a", "idx_b", (F.lit(1.0) - diff / F.lit(2.0)).alias("sim_score")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("idx_a"),
+        F.col("source").alias("__sa"),
+        F.col("n_chars").alias("__na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("idx_b"),
+        F.col("source").alias("__sb"),
+        F.col("n_chars").alias("__nb"),
+    )
+    truth = a.join(
+        b,
+        (F.col("__sa") == F.col("__sb"))
+        & (F.col("idx_a") < F.col("idx_b"))
+        & (F.abs(F.col("__na") - F.col("__nb")) <= 1),
+    ).select("idx_a", "idx_b")
+    out = threshold_sweep(scored, truth, [0.25, 0.5, 0.75, 1.0])
+    return out.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_token_set_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenSetSimilarity, all three modes (jaccard/dice/overlap) over
     lang-blocked candidate pairs — pure-Column set arithmetic (split /
@@ -2462,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "golden_clusters": q_golden_clusters,
         "cluster_stats": q_cluster_stats,
+        "threshold_sweep": q_threshold_sweep,
         "token_set_pairs": q_token_set_pairs,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
@@ -3951,6 +3995,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.group_id, b.cluster_size, b.text, mode.lang,
                    b.n_chars, b.source
             FROM base b LEFT JOIN mode USING (group_id)
+        """,
+        "threshold_sweep": """
+            WITH k AS (
+              SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE doc_id < 400
+            ), sc AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     1.0 - abs(a.n_chars - b.n_chars) / 2.0 AS s
+              FROM k a JOIN k b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE abs(a.n_chars - b.n_chars) <= 2
+            ), tr AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b
+              FROM k a JOIN k b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE abs(a.n_chars - b.n_chars) <= 1
+            ), u AS (
+              SELECT sc.s, tr.idx_a IS NOT NULL AS t
+              FROM sc FULL OUTER JOIN tr
+                ON sc.idx_a = tr.idx_a AND sc.idx_b = tr.idx_b
+            ), g AS (
+              SELECT u.*, th.threshold
+              FROM u, UNNEST([0.25, 0.5, 0.75, 1.0]) AS th(threshold)
+            ), agg AS (
+              SELECT threshold,
+                     sum(CASE WHEN s IS NOT NULL AND s >= threshold
+                              AND t THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN s IS NOT NULL AND s >= threshold
+                              AND NOT t THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN (s IS NULL OR s < threshold)
+                              AND t THEN 1 ELSE 0 END) AS fn
+              FROM g GROUP BY 1
+            )
+            SELECT threshold,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   round(tp / nullif(tp + fp, 0), 6) AS precision,
+                   round(tp / nullif(tp + fn, 0), 6) AS recall,
+                   round(2 * (tp / nullif(tp + fp, 0))
+                         * (tp / nullif(tp + fn, 0))
+                         / nullif(tp / nullif(tp + fp, 0)
+                                  + tp / nullif(tp + fn, 0), 0),
+                         6) AS f1
+            FROM agg
         """,
         "token_set_pairs": """
             WITH d AS (

@@ -25,6 +25,7 @@ __all__ = [
     "pairwise_f1",
     "bcubed",
     "cluster_stats",
+    "threshold_sweep",
 ]
 
 
@@ -387,4 +388,72 @@ def cluster_stats(
         "min_score",
         "avg_score",
         "max_score",
+    )
+
+
+def threshold_sweep(
+    scored_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    thresholds: list[float],
+    score_col: str = "sim_score",
+) -> DataFrame:
+    """Pair-classification precision/recall/F1 at each candidate
+    threshold — the threshold-picking tool (the reference's tutorial
+    eyeballs one cutoff against the perfect mapping; this sweeps the
+    whole grid in one pass). A pair counts as predicted-match at
+    threshold t iff ``score_col`` >= t; NULL scores (refused) never
+    match.
+
+    ``truth_pairs``: (idx_a, idx_b) true matches, idx_a < idx_b, same
+    orientation as the scored pairs. Truth pairs NEVER scored (blocked
+    away) count as false negatives at every threshold — blocking
+    recall loss is not hidden. Returns one row per threshold:
+    ``threshold, tp, fp, fn, precision, recall, f1`` (NULL ratios on
+    zero denominators).
+
+    Scale shape: one full-outer equi-join on the pair key, then an
+    explode over the |thresholds| literal array (map-side, linear
+    blowup bounded by the grid size) into a single groupBy(threshold)
+    aggregation — no per-threshold rescans of the pair set.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be a non-empty list")
+    if score_col not in scored_pairs.columns:
+        raise KeyError(score_col)
+    ts = sorted({float(t) for t in thresholds})
+    joined = (
+        scored_pairs.select("idx_a", "idx_b", F.col(score_col).alias("__s"))
+        .join(
+            truth_pairs.select("idx_a", "idx_b").withColumn(
+                "__truth", F.lit(True)
+            ),
+            on=["idx_a", "idx_b"],
+            how="full_outer",
+        )
+        .select(
+            F.coalesce(F.col("__truth"), F.lit(False)).alias("__t"),
+            "__s",
+        )
+    )
+    e = joined.select(
+        "__t",
+        "__s",
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("threshold"),
+    )
+    pred = F.col("__s").isNotNull() & (F.col("__s") >= F.col("threshold"))
+    agg = e.groupBy("threshold").agg(
+        F.sum(F.when(pred & F.col("__t"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~F.col("__t"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & F.col("__t"), 1).otherwise(0)).alias("fn"),
+    )
+    p = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    r = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        p.alias("precision"),
+        r.alias("recall"),
+        (2 * p * r / F.nullif(p + r, F.lit(0.0))).alias("f1"),
     )
