@@ -2106,6 +2106,24 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record argmax (enrichment-join semantics) over the dyadic
+    n_chars-proximity scored pairs: each left doc keeps its single
+    best candidate, score ties to the smallest winner id. Oracle
+    replays via a row_number window (score DESC, idx_b ASC)."""
+    from datamatch_spark.clustering import best_matches
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    pairs = candidate_pairs(docs, ColumnsIndex("lang"), "doc_id", ["n_chars"])
+    diff = F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+    scored = pairs.where(diff <= 2).select(
+        "idx_a", "idx_b", (F.lit(1.0) - diff / F.lit(2.0)).alias("sim_score")
+    )
+    return best_matches(scored)
+
+
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-classification P/R/F1 over a threshold grid vs a labeled
     truth rule (same source, |n_chars diff| <= 1, ANY lang — so truth
@@ -2506,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_clusters": q_golden_clusters,
         "cluster_stats": q_cluster_stats,
         "threshold_sweep": q_threshold_sweep,
+        "best_matches": q_best_matches,
         "token_set_pairs": q_token_set_pairs,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
@@ -3995,6 +4014,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.group_id, b.cluster_size, b.text, mode.lang,
                    b.n_chars, b.source
             FROM base b LEFT JOIN mode USING (group_id)
+        """,
+        "best_matches": """
+            WITH k AS (
+              SELECT doc_id, lang, n_chars FROM documents
+              WHERE doc_id < 400
+            ), sc AS (
+              SELECT a.doc_id AS idx_a, b.doc_id AS idx_b,
+                     1.0 - abs(a.n_chars - b.n_chars) / 2.0 AS sim_score
+              FROM k a JOIN k b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE abs(a.n_chars - b.n_chars) <= 2
+            ), r AS (
+              SELECT idx_a, idx_b, sim_score,
+                     row_number() OVER (PARTITION BY idx_a
+                                        ORDER BY sim_score DESC, idx_b ASC)
+                       AS rn
+              FROM sc
+            )
+            SELECT idx_a, idx_b, sim_score FROM r WHERE rn = 1
         """,
         "threshold_sweep": """
             WITH k AS (

@@ -32,6 +32,7 @@ __all__ = [
     "split_cliques_iterative",
     "greedy_one_to_one",
     "groups_from_pairs",
+    "best_matches",
 ]
 
 
@@ -646,4 +647,44 @@ def groups_from_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame
         F.col(id_col),
         group.alias("group_id"),
         (group == F.col(id_col)).alias("keep"),
+    )
+
+
+def best_matches(
+    scored_pairs: DataFrame,
+    by: str = "idx_a",
+    score_col: str = "sim_score",
+) -> DataFrame:
+    """Per-record argmax — the enrichment-join semantics ("attach the
+    single best B candidate to every A row"), the lightweight
+    complement to :func:`greedy_one_to_one` (which builds a globally
+    consistent 1:1 matching; here two A rows MAY share a B winner).
+
+    Keeps, for each ``by`` key, the row with the highest ``score_col``;
+    score ties break to the SMALLEST other-side id, NULL scores never
+    win (a key whose every candidate refused scoring is dropped).
+    Deterministic under any partitioning.
+
+    Scale shape: two key-aggregations co-partitioned on ``by`` (max
+    score, then min winner among the tied top) joined back — map-side
+    combinable, no window over a global sort, and id-TYPE-agnostic
+    (string row keys order correctly, unlike a negate-the-id struct
+    trick).
+    """
+    other = "idx_b" if by == "idx_a" else "idx_a"
+    for c in (by, other, score_col):
+        if c not in scored_pairs.columns:
+            raise KeyError(c)
+    src = scored_pairs.select(by, other, score_col).where(
+        F.col(score_col).isNotNull()
+    )
+    top = src.groupBy(by).agg(F.max(score_col).alias("__smax"))
+    return (
+        src.join(top, on=by)
+        .where(F.col(score_col) == F.col("__smax"))
+        .groupBy(by)
+        .agg(
+            F.min(other).alias(other),
+            F.first("__smax").alias(score_col),
+        )
     )
