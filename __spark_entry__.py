@@ -2106,6 +2106,31 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoSimilarity (haversine proximity, §2.5 family extension) over
+    nation-blocked customers with deterministic synthetic coordinates
+    (pure integer arithmetic -> identical float64 on both engines).
+    The oracle mirrors the trig formula operand-for-operand."""
+    from datamatch_spark.indices import ColumnsIndex
+    from datamatch_spark.pairing import candidate_pairs
+    from datamatch_spark.similarities import GeoSimilarity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    geo = cust.select(
+        "c_custkey",
+        F.struct(
+            (((F.col("c_custkey") * 37) % 1700) / 10.0 - 85.0).alias("lat"),
+            (((F.col("c_custkey") * 91) % 3600) / 10.0 - 180.0).alias("lon"),
+        ).alias("pos"),
+        "c_nationkey",
+    )
+    pairs = candidate_pairs(geo, ColumnsIndex("c_nationkey"), "c_custkey", ["pos"])
+    sim = GeoSimilarity(d_max_km=500.0).expr(F.col("a.pos"), F.col("b.pos"))
+    return pairs.select(
+        "idx_a", "idx_b", F.round(sim, 6).alias("geo_sim")
+    )
+
+
 def q_best_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-record argmax (enrichment-join semantics) over the dyadic
     n_chars-proximity scored pairs: each left doc keeps its single
@@ -2525,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": q_cluster_stats,
         "threshold_sweep": q_threshold_sweep,
         "best_matches": q_best_matches,
+        "geo_pairs": q_geo_pairs,
         "token_set_pairs": q_token_set_pairs,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
@@ -4014,6 +4040,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.group_id, b.cluster_size, b.text, mode.lang,
                    b.n_chars, b.source
             FROM base b LEFT JOIN mode USING (group_id)
+        """,
+        "geo_pairs": """
+            WITH g AS (
+              SELECT c_custkey,
+                     ((c_custkey * 37) % 1700) / 10.0 - 85.0 AS lat,
+                     ((c_custkey * 91) % 3600) / 10.0 - 180.0 AS lon,
+                     c_nationkey
+              FROM customer
+            )
+            SELECT a.c_custkey AS idx_a, b.c_custkey AS idx_b,
+                   round(
+                     greatest(0.0,
+                       1.0 - (2.0 * 6371.0088 * asin(least(1.0, sqrt(
+                         pow(sin((radians(b.lat) - radians(a.lat)) / 2.0), 2)
+                         + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * pow(sin((radians(b.lon) - radians(a.lon)) / 2.0),
+                               2)
+                       )))) / 500.0),
+                     6) AS geo_sim
+            FROM g a JOIN g b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
         """,
         "best_matches": """
             WITH k AS (

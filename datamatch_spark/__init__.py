@@ -35,6 +35,7 @@ from .survivorship import golden_records
 from .similarities import (
     AbsoluteNumericalSimilarity,
     DateSimilarity,
+    GeoSimilarity,
     JaroWinklerSimilarity,
     MongeElkanSimilarity,
     RelativeNumericalSimilarity,
@@ -55,6 +56,7 @@ __all__ = [
     "JaroWinklerSimilarity",
     "MongeElkanSimilarity",
     "TokenSetSimilarity",
+    "GeoSimilarity",
     "StringSimilarity",
     "DateSimilarity",
     "AbsoluteNumericalSimilarity",

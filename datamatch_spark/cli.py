@@ -44,7 +44,8 @@ max_block_size).
 Similarity specs: ``string`` / ``levenshtein`` (max_len);
 ``jaro_winkler`` (prefix_weight, max_len); ``date`` (d_max);
 ``absolute_number`` (d_max); ``relative_number`` (pc_max);
-``monge_elkan`` (inner kwargs); ``token_set`` (mode).
+``monge_elkan`` (inner kwargs); ``token_set`` (mode); ``geo``
+(d_max_km, over struct<lat,lon> columns).
 
 Output kinds: ``clusters`` / ``pairs`` (parquet or excel),
 ``decision`` (stderr report), ``golden_records`` (parquet; needs
@@ -102,6 +103,7 @@ from .similarities import (
     BaseSimilarity,
     DateSimilarity,
     JaroWinklerSimilarity,
+    GeoSimilarity,
     MongeElkanSimilarity,
     RelativeNumericalSimilarity,
     StringSimilarity,
@@ -173,6 +175,7 @@ _SIMS = {
     "relative_number": RelativeNumericalSimilarity,
     "monge_elkan": MongeElkanSimilarity,
     "token_set": TokenSetSimilarity,
+    "geo": GeoSimilarity,
 }
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "JaroWinklerSimilarity",
     "MongeElkanSimilarity",
     "TokenSetSimilarity",
+    "GeoSimilarity",
     "AbsoluteNumericalSimilarity",
     "RelativeNumericalSimilarity",
     "DateSimilarity",
@@ -368,6 +369,93 @@ class TokenSetSimilarity(BaseSimilarity):
         return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
             score
         )
+
+
+class GeoSimilarity(BaseSimilarity):
+    """Great-circle (haversine) proximity over ``(lat, lon)`` STRUCT
+    columns — the geospatial linkage dimension (address/location
+    matching; Christen 2012 §5.8 "geographical distance"):
+    ``sim = max(0, 1 − distance_km / d_max_km)``, so 1.0 = same point
+    and 0.0 = ``d_max_km`` or farther apart. No reference counterpart
+    (/root/reference/datamatch/similarities.py is string/number/date
+    only).
+
+    Inputs are struct columns with ``lat`` / ``lon`` fields in decimal
+    degrees (build with ``F.struct(F.col("lat").alias("lat"),
+    F.col("lon").alias("lon"))``). NULL struct or NULL coordinate on
+    either side scores NULL (refuse-to-score convention).
+
+    ``expr`` is a pure Column trig expression (radians/sin/cos/asin —
+    whole-stage codegen, no UDF); scalar/batch faces compute the same
+    float64 formula with ``math``/numpy for SimSumScorer fusion.
+    """
+
+    EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+    def __init__(self, d_max_km: float) -> None:
+        if not d_max_km > 0:
+            raise ValueError(f"d_max_km must be > 0, got {d_max_km}")
+        self._d_max = float(d_max_km)
+
+    @staticmethod
+    def _latlon(x) -> tuple:
+        if x is None:
+            return (float("nan"), float("nan"))
+        try:
+            return float(x["lat"]), float(x["lon"])
+        except (TypeError, KeyError, IndexError):
+            return float(x[0]), float(x[1])
+
+    def sim(self, a, b) -> float:
+        import math
+
+        lat1, lon1 = self._latlon(a)
+        lat2, lon2 = self._latlon(b)
+        if any(map(math.isnan, (lat1, lon1, lat2, lon2))):
+            return float("nan")
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        h = (
+            math.sin((p2 - p1) / 2.0) ** 2
+            + math.cos(p1)
+            * math.cos(p2)
+            * math.sin((math.radians(lon2) - math.radians(lon1)) / 2.0) ** 2
+        )
+        d = 2.0 * self.EARTH_RADIUS_KM * math.asin(min(1.0, math.sqrt(h)))
+        return max(0.0, 1.0 - d / self._d_max)
+
+    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
+        lat1, lon1 = map(
+            np.array, zip(*(self._latlon(x) for x in a.tolist()))
+        )
+        lat2, lon2 = map(
+            np.array, zip(*(self._latlon(x) for x in b.tolist()))
+        )
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        h = (
+            np.sin((p2 - p1) / 2.0) ** 2
+            + np.cos(p1)
+            * np.cos(p2)
+            * np.sin((np.radians(lon2) - np.radians(lon1)) / 2.0) ** 2
+        )
+        d = 2.0 * self.EARTH_RADIUS_KM * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        return np.maximum(0.0, 1.0 - d / self._d_max)
+
+    def expr(self, a: Column, b: Column) -> Column:
+        lat1, lon1 = a.getField("lat"), a.getField("lon")
+        lat2, lon2 = b.getField("lat"), b.getField("lon")
+        p1, p2 = F.radians(lat1), F.radians(lat2)
+        h = F.pow(F.sin((p2 - p1) / F.lit(2.0)), 2) + F.cos(p1) * F.cos(
+            p2
+        ) * F.pow(F.sin((F.radians(lon2) - F.radians(lon1)) / F.lit(2.0)), 2)
+        d = (
+            F.lit(2.0 * self.EARTH_RADIUS_KM)
+            * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+        )
+        score = F.greatest(F.lit(0.0), F.lit(1.0) - d / F.lit(self._d_max))
+        any_null = (
+            lat1.isNull() | lon1.isNull() | lat2.isNull() | lon2.isNull()
+        )
+        return F.when(any_null, F.lit(None).cast("double")).otherwise(score)
 
 
 class AbsoluteNumericalSimilarity(BaseSimilarity):
