@@ -2131,6 +2131,61 @@ def q_geo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoGridIndex blocking (8 shifted chord-metric grids on the unit
+    sphere — lossless within d_km) over the synthetic customer
+    coordinates. Oracle replays the 3D embedding + shifted-grid floor
+    bucketing + equi-join with the IDENTICAL chord constant inlined
+    on both sides."""
+    from datamatch_spark.indices import GeoGridIndex
+    from datamatch_spark.pairing import candidate_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    geo = cust.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 1700) / 10.0 - 85.0).alias("lat"),
+        (((F.col("c_custkey") * 91) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    pairs = candidate_pairs(
+        geo, GeoGridIndex("lat", "lon", d_km=200.0), "c_custkey", []
+    )
+    return pairs.select("idx_a", "idx_b")
+
+
+def _geo_candidates_oracle_sql() -> str:
+    import math
+
+    c = 2.0 * math.sin(min(math.pi / 2.0, 200.0 / (2.0 * 6371.0088)))
+    shifts = ", ".join(
+        f"({gid}, {gid & 1}, {(gid >> 1) & 1}, {(gid >> 2) & 1})"
+        for gid in range(8)
+    )
+    return f"""
+        WITH g AS (
+          SELECT c_custkey,
+                 radians(((c_custkey * 37) % 1700) / 10.0 - 85.0) AS phi,
+                 radians(((c_custkey * 91) % 3600) / 10.0 - 180.0) AS lam
+          FROM customer
+        ), pts AS (
+          SELECT c_custkey,
+                 cos(phi) * cos(lam) AS x,
+                 cos(phi) * sin(lam) AS y,
+                 sin(phi) AS z
+          FROM g
+        ), k AS (
+          SELECT c_custkey, s.gid,
+                 floor((x + s.sx * {c!r}) / {2.0 * c!r}) AS cx,
+                 floor((y + s.sy * {c!r}) / {2.0 * c!r}) AS cy,
+                 floor((z + s.sz * {c!r}) / {2.0 * c!r}) AS cz
+          FROM pts, (VALUES {shifts}) AS s(gid, sx, sy, sz)
+        )
+        SELECT DISTINCT a.c_custkey AS idx_a, b.c_custkey AS idx_b
+        FROM k a JOIN k b
+          ON a.gid = b.gid AND a.cx = b.cx AND a.cy = b.cy
+         AND a.cz = b.cz AND a.c_custkey < b.c_custkey
+    """
+
+
 def q_best_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-record argmax (enrichment-join semantics) over the dyadic
     n_chars-proximity scored pairs: each left doc keeps its single
@@ -2551,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "best_matches": q_best_matches,
         "geo_pairs": q_geo_pairs,
+        "geo_candidates": q_geo_candidates,
         "token_set_pairs": q_token_set_pairs,
         "monge_elkan": q_monge_elkan,
         "meta_blocking": q_meta_blocking,
@@ -4041,6 +4097,7 @@ def oracle_sql() -> dict[str, str]:
                    b.n_chars, b.source
             FROM base b LEFT JOIN mode USING (group_id)
         """,
+        "geo_candidates": _geo_candidates_oracle_sql(),
         "geo_pairs": """
             WITH g AS (
               SELECT c_custkey,

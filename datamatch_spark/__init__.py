@@ -11,6 +11,7 @@ from .filters import BaseFilter, ColumnFilter, DissimilarFilter, NonOverlappingF
 from .indices import (
     BaseIndex,
     ColumnsIndex,
+    GeoGridIndex,
     MultiIndex,
     NoopIndex,
     PhoneticIndex,
@@ -52,6 +53,7 @@ __all__ = [
     "QGramIndex",
     "SuffixArrayIndex",
     "SortedNeighborhoodIndex",
+    "GeoGridIndex",
     "BaseIndex",
     "JaroWinklerSimilarity",
     "MongeElkanSimilarity",

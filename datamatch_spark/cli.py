@@ -39,7 +39,7 @@ Index specs: ``noop``; ``columns`` (cols, ignore_key_error,
 index_elements); ``multi`` (indices: [spec...], combine_keys);
 ``phonetic`` (col); ``qgram`` (col, q, max_df, max_df_frac);
 ``sorted_neighborhood`` (cols, window); ``suffix`` (col, min_len,
-max_block_size).
+max_block_size); ``geo_grid`` (lat_col, lon_col, d_km).
 
 Similarity specs: ``string`` / ``levenshtein`` (max_len);
 ``jaro_winkler`` (prefix_weight, max_len); ``date`` (d_max);
@@ -81,6 +81,7 @@ from .filters import BaseFilter, DissimilarFilter, NonOverlappingFilter
 from .indices import (
     BaseIndex,
     ColumnsIndex,
+    GeoGridIndex,
     MultiIndex,
     NoopIndex,
     PhoneticIndex,
@@ -163,6 +164,8 @@ def build_index(spec: dict) -> BaseIndex:
         return _construct(SortedNeighborhoodIndex, kw, "index")
     if t == "suffix":
         return _construct(SuffixArrayIndex, kw, "index")
+    if t == "geo_grid":
+        return _construct(GeoGridIndex, kw, "index")
     raise ValueError(f"unknown index type {t!r}")
 
 

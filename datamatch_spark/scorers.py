@@ -116,8 +116,16 @@ class SimSumScorer(BaseScorer):
             # contribute 0 like the batch path's nan_to_num — a NaN
             # term would otherwise poison the whole score and sort
             # ABOVE 1.0 (Spark NaN ordering), corrupting slices
+            # coalesce: a sim whose expr REFUSES with NULL on non-null
+            # inputs (partial-null struct coords, date stage-3) must
+            # contribute 0 like the reference's refuse handling and the
+            # fused path's masking (scorers.py:64-65) — without it one
+            # NULL term silently nulls the whole record score
             s = F.when(va.isNull() | vb.isNull(), F.lit(0.0)).otherwise(
-                F.nanvl(simcls.expr(va, vb).cast("double"), F.lit(0.0))
+                F.coalesce(
+                    F.nanvl(simcls.expr(va, vb).cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                )
             )
             sq_terms.append(s * s)
         total = sq_terms[0]
@@ -157,11 +165,19 @@ class SimSumScorer(BaseScorer):
         import numpy as np
 
         n = len(col_pairs[0][0])
+
+        def na_mask(x) -> "np.ndarray":
+            # struct columns arrive as a pd.DataFrame (one column per
+            # field): any NULL field refuses the pair, matching the
+            # expr faces' any-coordinate-NULL -> NULL convention
+            na = x.isna().to_numpy()
+            return na.any(axis=1) if na.ndim == 2 else na
+
         acc = np.zeros(n, dtype=np.float64)
         for (a, b), sim in zip(col_pairs, self._fields.values()):
-            mask = (a.isna() | b.isna()).to_numpy()
+            mask = na_mask(a) | na_mask(b)
             vals = np.asarray(sim.batch(a, b), dtype=np.float64)
-            vals = np.where(mask, 0.0, vals)
+            vals = np.where(mask, 0.0, np.nan_to_num(vals, nan=0.0))
             acc += vals * vals
         return np.sqrt(acc / float(len(self._fields)))
 

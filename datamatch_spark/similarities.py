@@ -423,13 +423,23 @@ class GeoSimilarity(BaseSimilarity):
         d = 2.0 * self.EARTH_RADIUS_KM * math.asin(min(1.0, math.sqrt(h)))
         return max(0.0, 1.0 - d / self._d_max)
 
-    def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
-        lat1, lon1 = map(
-            np.array, zip(*(self._latlon(x) for x in a.tolist()))
+    @classmethod
+    def _coords(cls, s) -> tuple:
+        # Arrow hands a STRUCT column to a fused pandas UDF as a
+        # pd.DataFrame (one column per field); direct callers may pass
+        # a Series of dicts/Rows/tuples
+        if isinstance(s, pd.DataFrame):
+            return (
+                s["lat"].to_numpy(dtype="float64", na_value=np.nan),
+                s["lon"].to_numpy(dtype="float64", na_value=np.nan),
+            )
+        return tuple(
+            map(np.array, zip(*(cls._latlon(x) for x in s.tolist())))
         )
-        lat2, lon2 = map(
-            np.array, zip(*(self._latlon(x) for x in b.tolist()))
-        )
+
+    def batch(self, a, b) -> np.ndarray:
+        lat1, lon1 = self._coords(a)
+        lat2, lon2 = self._coords(b)
         p1, p2 = np.radians(lat1), np.radians(lat2)
         h = (
             np.sin((p2 - p1) / 2.0) ** 2
