@@ -343,3 +343,16 @@ def test_cli_golden_records_output(spark, tmp_path, capsys):
     config["outputs"] = [{"kind": "golden_records", "path": out}]
     with pytest.raises(ValueError, match="needs a non-empty"):
         cli.run_job(spark, config)
+
+
+def test_build_geo_specs():
+    from datamatch_spark import GeoGridIndex, GeoSimilarity
+
+    idx = cli.build_index(
+        {"type": "geo_grid", "lat_col": "lat", "lon_col": "lon", "d_km": 5.0}
+    )
+    assert isinstance(idx, GeoGridIndex)
+    sim = cli.build_similarity({"type": "geo", "d_max_km": 500.0})
+    assert isinstance(sim, GeoSimilarity)
+    with pytest.raises(ValueError, match="bad index spec"):
+        cli.build_index({"type": "geo_grid", "lat_col": "lat"})
