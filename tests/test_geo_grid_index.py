@@ -110,3 +110,25 @@ def test_validation(spark):
     df = spark.createDataFrame([(0, 1.0)], "row_key long, lat double")
     with pytest.raises(KeyError):
         GeoGridIndex("lat", "lon", 5.0).key_df(df, "row_key")
+
+
+def test_match_mode_cross_dataset(spark):
+    # absolute grids -> keys comparable across datasets: two-dataset
+    # linkage works with no special casing
+    a = spark.createDataFrame(
+        [(0, 48.8566, 2.3522), (1, 40.7128, -74.0060)],
+        "row_key long, lat double, lon double",
+    )
+    b = spark.createDataFrame(
+        [(10, 48.8570, 2.3530), (11, 51.5074, -0.1278)],
+        "row_key long, lat double, lon double",
+    )
+    got = {
+        (r["idx_a"], r["idx_b"])
+        for r in candidate_pairs(
+            a, GeoGridIndex("lat", "lon", 5.0), "row_key", [], dfb=b
+        ).collect()
+    }
+    assert (0, 10) in got          # ~60 m apart
+    assert (1, 11) not in got      # NYC vs London
+    assert (0, 11) not in got
