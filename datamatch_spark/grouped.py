@@ -361,28 +361,81 @@ def grouped_scored_pairs(
             "__pos",
         )
 
-    # explicit REPARTITION_BY_NUM: applyInPandas' own ENSURE_REQUIREMENTS
-    # exchange would let AQE coalesce partitions by INPUT bytes — but a
-    # group's output is quadratic in its input, so AQE would funnel the
-    # whole pair blowup into a handful of fat tasks. A pinned-width
-    # hash partition on the exact grouping keys satisfies the required
-    # clustering, so no second exchange is added.
+    # explicit REPARTITION_BY_NUM: a groups-scoring stage's output is
+    # quadratic in its input, so AQE coalescing by INPUT bytes would
+    # funnel the whole pair blowup into a handful of fat tasks. The
+    # pinned-width hash partition on the exact grouping keys also
+    # guarantees every (block, cell) group is wholly contained in one
+    # partition — the co-location contract the merged scorer needs.
     members = members.repartition(
         _n_parts(side_a, cfg), F.col(BLOCK_KEY), F.col("__l"), F.col("__t")
     )
 
     return _score_groups(
         members, {k: fmap[k] for k in needed}, scorer, swap_cols, dedup,
-        idx_a_type, idx_b_type,
+        idx_a_type, idx_b_type, merged=True,
     )
 
 
+#: pair budget per merged kernel call: bounds the position/gather
+#: arrays of one _score_core invocation (~16 MB of index arrays plus
+#: the gathered field Series) while staying far above the point where
+#: per-call overhead is amortized (measured flat beyond ~100k pairs).
+_MERGED_PAIR_BUDGET = 2_000_000
+
+#: triangle-index cache cap: np.triu_indices(n) costs O(n²) to build
+#: and small-block sizes repeat heavily, but one 4096-row triangle is
+#: ~128 MB of int64 — cache only the small ones.
+_TRIU_CACHE_MAX_N = 512
+
+
+def _group_starts(pdf, import_np, import_pd):
+    """Start offsets of each maximal run of equal (block, l, t) keys in
+    a key-sorted pandas frame. Null-safe (None/NaN keys compare equal
+    to themselves, matching groupBy semantics); struct keys arrive as
+    dicts and compare by value."""
+    np = import_np
+    n = len(pdf)
+    same = np.ones(n, dtype=bool)
+    for c in (BLOCK_KEY, "__l", "__t"):
+        s = pdf[c]
+        prev = s.shift()
+        eq = (s == prev)
+        try:
+            both_na = (s.isna() & prev.isna())
+        except (TypeError, ValueError):  # pragma: no cover - exotic key types
+            both_na = None
+        eqv = eq.fillna(False).to_numpy(dtype=bool)
+        if both_na is not None:
+            eqv = eqv | both_na.to_numpy(dtype=bool)
+        same &= eqv
+    if n:
+        same[0] = False
+    return np.flatnonzero(~same)
+
+
 def _score_groups(
-    members, field_cols, scorer, swap_cols, dedup, idx_a_type, idx_b_type
+    members, field_cols, scorer, swap_cols, dedup, idx_a_type, idx_b_type,
+    merged: bool = False,
 ):
-    """groupBy(block, cell) → applyInPandas scoring, shared by the
-    runtime (salted grid cells) and bucketed (whole blocks as cell
-    (0, 0)) grouped paths."""
+    """Grouped scoring shared by the runtime (salted grid cells) and
+    bucketed (whole blocks as cell (0, 0)) grouped paths.
+
+    ``merged=True`` — the runtime path: the members frame is already
+    hash-partitioned on exactly (block, l, t) (the explicit pre-blowup
+    repartition), so every group is wholly inside one partition and a
+    ``sortWithinPartitions`` + ``mapInPandas`` pass can score THOUSANDS
+    of groups per kernel call. Per-call fixed costs (pandas gathers,
+    kernel setup, ~5 ms at 300-pair blocks — the dominant cost when
+    mean block size is small) amortize across the whole Arrow batch
+    instead of being paid per block. Pair enumeration, orientation and
+    kernels are row-local, so scores are bit-identical to the
+    per-group path (pinned by tests/test_grouped.py).
+
+    ``merged=False`` — the bucketed dedup path: co-location comes from
+    the bucket layout, which Spark only preserves when the plan
+    REQUIRES the distribution, so this path keeps groupBy +
+    applyInPandas (zero exchanges)."""
     if swap_cols is None:
         score_positions = scorer.score_positions
     else:
@@ -392,7 +445,11 @@ def _score_groups(
         def score_positions(cols, pa, pb):
             return swap_max(cols, pa, pb, sx, sy)
 
-    def score_group(pdf):
+    def _score_positions_df(pdf, ii, jj):
+        """Score position pairs (ii, jj) into the shared output shape.
+        The orientation + kernel body of the original per-group scorer,
+        verbatim — callers differ only in how they enumerate (ii, jj).
+        """
         import numpy as np
         import pandas as pd
 
@@ -401,14 +458,6 @@ def _score_groups(
         # Spark's UTF8String byte ordering (UTF-8 preserves code-point
         # order), so orientation matches the join path's `<` exactly
         idx = pdf["idx"].to_numpy()
-        if dedup and pdf["__l"].iat[0] == pdf["__t"].iat[0]:
-            n = len(pdf)
-            ii, jj = np.triu_indices(n, k=1)
-        else:
-            low = np.flatnonzero((pdf["__pos"] == 0).to_numpy())
-            high = np.flatnonzero((pdf["__pos"] == 1).to_numpy())
-            ii = np.repeat(low, len(high))
-            jj = np.tile(high, len(low))
         if ii.size == 0:
             return pd.DataFrame(
                 {
@@ -436,6 +485,87 @@ def _score_groups(
             {"idx_a": out_a, "idx_b": out_b, "sim_score": score}
         )
 
+    def score_group(pdf):
+        import numpy as np
+
+        if dedup and pdf["__l"].iat[0] == pdf["__t"].iat[0]:
+            n = len(pdf)
+            ii, jj = np.triu_indices(n, k=1)
+        else:
+            low = np.flatnonzero((pdf["__pos"] == 0).to_numpy())
+            high = np.flatnonzero((pdf["__pos"] == 1).to_numpy())
+            ii = np.repeat(low, len(high))
+            jj = np.tile(high, len(low))
+        return _score_positions_df(pdf, ii, jj)
+
+    def score_partition(pdfs):
+        """Merged scorer: one partition's key-sorted stream of Arrow
+        batches → kernel calls over MANY complete groups at once.
+        Groups spanning batch boundaries are carried forward whole;
+        a slice is flushed when its pair budget fills."""
+        import numpy as np
+        import pandas as pd
+
+        triu_cache: dict = {}
+
+        def pairs_of(start, end, l_arr, t_arr, pos_arr):
+            if dedup and l_arr[start] == t_arr[start]:
+                n = end - start
+                if n <= _TRIU_CACHE_MAX_N:
+                    cached = triu_cache.get(n)
+                    if cached is None:
+                        cached = np.triu_indices(n, k=1)
+                        triu_cache[n] = cached
+                    ti, tj = cached
+                else:
+                    ti, tj = np.triu_indices(n, k=1)
+                return ti + start, tj + start
+            grp = pos_arr[start:end]
+            low = np.flatnonzero(grp == 0) + start
+            high = np.flatnonzero(grp == 1) + start
+            return np.repeat(low, len(high)), np.tile(high, len(low))
+
+        def emit(pdf, starts):
+            if not len(pdf) or not len(starts):
+                return
+            ends = np.append(starts[1:], len(pdf))
+            l_arr = pdf["__l"].to_numpy()
+            t_arr = pdf["__t"].to_numpy()
+            pos_arr = pdf["__pos"].to_numpy() if "__pos" in pdf else None
+            acc_i: list = []
+            acc_j: list = []
+            acc = 0
+            for s, e in zip(starts, ends):
+                gi, gj = pairs_of(int(s), int(e), l_arr, t_arr, pos_arr)
+                if gi.size:
+                    acc_i.append(gi)
+                    acc_j.append(gj)
+                    acc += gi.size
+                if acc >= _MERGED_PAIR_BUDGET:
+                    yield _score_positions_df(
+                        pdf, np.concatenate(acc_i), np.concatenate(acc_j)
+                    )
+                    acc_i, acc_j, acc = [], [], 0
+            if acc:
+                yield _score_positions_df(
+                    pdf, np.concatenate(acc_i), np.concatenate(acc_j)
+                )
+
+        carry = None
+        for pdf in pdfs:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            starts = _group_starts(pdf, np, pd)
+            # the last run may continue into the next batch — hold it
+            last = int(starts[-1])
+            carry = pdf.iloc[last:].reset_index(drop=True)
+            yield from emit(pdf.iloc[:last], starts[:-1])
+        if carry is not None and len(carry):
+            yield from emit(carry, _group_starts(carry, np, pd))
+
     out_schema = T.StructType(
         [
             T.StructField("idx_a", idx_a_type),
@@ -443,6 +573,10 @@ def _score_groups(
             T.StructField("sim_score", T.DoubleType()),
         ]
     )
+    if merged:
+        return members.sortWithinPartitions(
+            BLOCK_KEY, "__l", "__t"
+        ).mapInPandas(score_partition, schema=out_schema)
     return members.groupBy(BLOCK_KEY, "__l", "__t").applyInPandas(
         score_group, schema=out_schema
     )
@@ -522,9 +656,14 @@ def grouped_scored_pairs_bucketed(
             2 * effective_parallelism(spark), F.col(BLOCK_KEY)
         )
 
+    # match mode just repartitioned by block (co-locating every (block,
+    # l, t) group), so it can use the merged scorer; dedup mode's
+    # zero-exchange contract relies on the bucket layout, which Spark
+    # only keeps for plans that REQUIRE the distribution — groupBy does,
+    # mapInPandas would not, so dedup stays on the per-group path.
     scored = _score_groups(
         members, {k: fmap[k] for k in needed}, scorer, swap_cols, dedup,
-        idx_a_type, idx_b_type,
+        idx_a_type, idx_b_type, merged=not dedup,
     )
     if dedupe_multi_bucket:
         # copies of a pair from different buckets carry identical bits

@@ -544,15 +544,62 @@ class DateSimilarity(BaseSimilarity):
     def sim(self, a, b) -> float:
         return kernels.date_similarity(a, b, self._d_max)
 
+    @staticmethod
+    def _factorized_parts(s: pd.Series):
+        """(codes, parsed-uniques, ns-int64, year, month, day) with the
+        expensive ``pd.to_datetime`` run over UNIQUE values only.
+
+        Pair batches repeat date values heavily (block-mates, and the
+        grouped path's position gathers), and object-dtype to_datetime
+        is the costliest term of the whole 3-stage kernel — factorize +
+        gather is a pure reindexing, so per-row values (and therefore
+        scores) are bit-identical. ``pd.factorize`` keeps uniques in
+        first-appearance order, so string-date format inference sees
+        the same first non-null element as the unfactorized parse."""
+        codes, uniques = pd.factorize(s, use_na_sentinel=True)
+        du = pd.to_datetime(pd.Series(uniques, dtype=object), errors="coerce")
+        # NaT (unparseable or missing) → the factorize sentinel path:
+        # fold unique-level NaT into the per-row code so every consumer
+        # sees one "missing" representation
+        ns_u = du.to_numpy("datetime64[ns]").view("int64")
+        nat_u = du.isna().to_numpy()
+        if nat_u.any():
+            bad = np.flatnonzero(nat_u)
+            remap = np.isin(codes, bad)
+            codes = np.where(remap, -1, codes)
+        return (
+            codes,
+            du,
+            ns_u,
+            du.dt.year.to_numpy(np.float64),
+            du.dt.month.to_numpy(np.float64),
+            du.dt.day.to_numpy(np.float64),
+        )
+
+    @staticmethod
+    def _take(vals: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        out = np.full(len(codes), np.nan, dtype=np.float64)
+        ok = codes >= 0
+        if vals.size and ok.any():
+            out[ok] = vals[codes[ok]]
+        return out
+
     def batch(self, a: pd.Series, b: pd.Series) -> np.ndarray:
-        ad = pd.to_datetime(a, errors="coerce")
-        bd = pd.to_datetime(b, errors="coerce")
-        days = np.abs((ad - bd) / np.timedelta64(1, "D")).to_numpy(dtype=np.float64)
-        days = np.floor(days)  # timestamp-safe: whole-day difference
-        ya, yb = ad.dt.year.to_numpy(float), bd.dt.year.to_numpy(float)
-        ma, mb = ad.dt.month.to_numpy(float), bd.dt.month.to_numpy(float)
-        da, db = ad.dt.day.to_numpy(float), bd.dt.day.to_numpy(float)
-        out = np.zeros(len(a), dtype=np.float64)
+        ca, adu, ns_a, yu_a, mu_a, du_a = self._factorized_parts(a)
+        cb, bdu, ns_b, yu_b, mu_b, du_b = self._factorized_parts(b)
+        n = len(a)
+        ok = (ca >= 0) & (cb >= 0)
+        days = np.full(n, np.nan, dtype=np.float64)
+        if ok.any():
+            # int64 ns subtraction then ONE float division — the exact
+            # arithmetic pandas' (ad - bd) / timedelta64(1, 'D') does
+            diff = ns_a[ca[ok]] - ns_b[cb[ok]]
+            days[ok] = diff.astype(np.float64) / 86400e9
+        days = np.floor(np.abs(days))  # timestamp-safe: whole-day diff
+        ya, yb = self._take(yu_a, ca), self._take(yu_b, cb)
+        ma, mb = self._take(mu_a, ca), self._take(mu_b, cb)
+        da, db = self._take(du_a, ca), self._take(du_b, cb)
+        out = np.zeros(n, dtype=np.float64)
         stage1 = days < self._d_max
         out = np.where(stage1, 1.0 - days / self._d_max, out)
         same_year = ya == yb
@@ -561,8 +608,11 @@ class DateSimilarity(BaseSimilarity):
         stage3 = ~stage1 & ~stage2 & same_year & (da == db)
         idx = np.nonzero(stage3)[0]
         if idx.size:
-            fa = ad.iloc[idx].dt.strftime("%Y%m%d").tolist()
-            fb = bd.iloc[idx].dt.strftime("%Y%m%d").tolist()
+            # strftime over the needed UNIQUES only, gathered per row
+            sa = adu.dt.strftime("%Y%m%d")
+            sb = bdu.dt.strftime("%Y%m%d")
+            fa = sa.iloc[ca[idx]].tolist()
+            fb = sb.iloc[cb[idx]].tolist()
             out[idx] = kernels.lev_ratio_batch(fa, fb)
         return np.nan_to_num(out, nan=0.0)
 

@@ -249,7 +249,9 @@ def test_bucketed_grouped_match_parity(spark, warehouse):
 
     scored = build(True)
     plan = scored._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    # r6: bucketed MATCH mode repartitions by block and so uses the
+    # merged MapInPandas scorer (dedup keeps FlatMapGroupsInPandas)
+    assert "score_partition" in plan
     got = {(r["idx_a"], r["idx_b"]): r["sim_score"] for r in scored.collect()}
     want = {
         (r["idx_a"], r["idx_b"]): r["sim_score"] for r in build(False).collect()

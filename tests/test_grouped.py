@@ -92,7 +92,10 @@ def test_grouped_plan_has_no_pair_join(spark):
     and salt-shard columns (`__tgt`)."""
     df = _fixture(spark)
     plan = _scored(spark, df)._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    # r6: the runtime grouped path scores in a merged MapInPandas over
+    # key-sorted partitions (many groups per kernel call); the bucketed
+    # dedup path still uses FlatMapGroupsInPandas
+    assert "MapInPandas" in plan
     assert "AS idx_a" not in plan, plan
     assert "__tgt" not in plan, plan
 
@@ -106,13 +109,13 @@ def test_ineligible_shapes_keep_join_path(spark):
         variator=Swap("amt", "first"), defer=True,
     )
     plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "score_partition" not in plan
 
     # flag off forces the join path
     plan_off = _scored(
         spark, df, grouped_scoring=False
     )._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan_off
+    assert "FlatMapGroupsInPandas" not in plan_off and "score_partition" not in plan_off
 
 
 def test_grouped_swap_parity_bit_identical(spark):
@@ -131,7 +134,8 @@ def test_grouped_swap_parity_bit_identical(spark):
             variator=Swap("first", "last"), pairing_config=cfg, defer=True,
         )
         plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
-        assert ("FlatMapGroupsInPandas" in plan) == grouped
+        # r6: the runtime grouped path is the merged MapInPandas scorer
+        assert ("score_partition" in plan) == grouped
         return {
             (r["idx_a"], r["idx_b"]): r["sim_score"]
             for r in m._build_scored().collect()
@@ -167,7 +171,7 @@ def test_grouped_e2e_reference_golden(spark):
     # scored_pairs is checkpoint-materialized, so assert the routing on
     # a fresh lazy build of the same pipeline
     plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan  # the grouped path actually ran
+    assert "score_partition" in plan  # the grouped path actually ran
     clusters = m.get_clusters_within_threshold(0.83)
     got = set()
     for row in clusters.select("cluster_idx", "row_key").collect():
@@ -241,7 +245,8 @@ def test_grouped_match_mode_parity(spark):
             validate=False, pairing_config=cfg, defer=True,
         )
         plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
-        assert ("FlatMapGroupsInPandas" in plan) == grouped
+        # r6: the runtime grouped path is the merged MapInPandas scorer
+        assert ("score_partition" in plan) == grouped
         return {
             (r["idx_a"], r["idx_b"]): r["sim_score"]
             for r in m._build_scored().collect()
@@ -324,7 +329,7 @@ def test_match_mode_mixed_dtype_falls_back_to_join_path(spark):
         dfa, dfb, row_key="row_key", validate=False, defer=True,
     )
     plan = m._build_scored()._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "score_partition" not in plan
     assert m._build_scored().count() == 2
 
 

@@ -45,7 +45,7 @@ def test_swap_plan_has_no_explode_or_agg_exchange(spark):
         variator=Swap("first", "last"), validate=False, defer=True,
     )
     plan_g = _formatted(mg._build_scored())
-    assert "FlatMapGroupsInPandas" in plan_g
+    assert "score_partition" in plan_g  # r6: merged MapInPandas scorer
     assert "ArrowEvalPython" not in plan_g  # no second scoring UDF pass
 
 
