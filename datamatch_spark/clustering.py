@@ -21,6 +21,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -107,12 +108,101 @@ def connected_components(
     edge; ``component`` is the minimum node id of the component.
 
     Hybrid execution (same spirit as broadcast joins): a graph whose
-    edge count is below ``driver_threshold`` is solved with driver-side
-    union-find — one collect instead of O(log n) shuffle rounds, a big
-    win because post-threshold match graphs are usually tiny relative
-    to the pair set. Larger graphs run the distributed alternating
-    large-star/small-star loop."""
-    e = _canon(edges, src, dst).localCheckpoint()
+    edge count is below ``driver_threshold`` is solved driver-side —
+    one Arrow transfer + vectorized min-label propagation instead of
+    O(log n) shuffle rounds, a big win because post-threshold match
+    graphs are usually tiny relative to the pair set. Larger graphs run
+    the distributed alternating large-star/small-star loop.
+
+    ``driver_threshold`` counts RAW edge rows (pre-dedup): the driver
+    path canonicalizes in numpy, so no Spark-side dedup shuffle or
+    signature job runs before the routing decision — the small-graph
+    path is exactly (checkpoint, count, toPandas)."""
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
+    n_raw = raw.count()
+    spark = edges.sparkSession
+    if n_raw <= driver_threshold:
+        node_type = raw.schema["u"].dataType
+        out_schema = T.StructType(
+            [T.StructField("node", node_type), T.StructField("component", node_type)]
+        )
+        # Arrow transfer + vectorized min-label propagation: the Row
+        # collect + pure-Python union-find this replaces was ~10x
+        # slower at bench edge counts (every collect()ed Row and every
+        # find() is Python-object work); labels here move through
+        # numpy only. Exotic node types that numpy cannot sort fall
+        # back to the original loop (same output either way: node ->
+        # minimum node id of its component).
+        try:
+            # numpy canonicalization, matching _canon: drop null
+            # endpoints and self-loops (duplicate edges are harmless
+            # to label propagation and skipped rather than deduped)
+            pdf = raw.toPandas().dropna()
+            ua, va = pdf["u"].to_numpy(), pdf["v"].to_numpy()
+            keep = ua != va
+            ua, va = ua[keep], va[keep]
+            uv = np.concatenate([ua, va])
+            # np.unique SORTS uniques, so label index order == node
+            # value order and the minimum label is the minimum node id
+            # (object/string arrays compare with Python's `<`, which
+            # matches Spark's UTF8 binary order — see grouped.py)
+            uniq, codes = np.unique(uv, return_inverse=True)
+            n_edges = len(ua)
+            cu, cv = codes[:n_edges], codes[n_edges:]
+            lab = np.arange(len(uniq), dtype=np.int64)
+            # per-node min-reduce via a PRECOMPUTED endpoint sort +
+            # minimum.reduceat (ufunc.at is unbuffered and ~20x slower)
+            order = np.argsort(codes, kind="stable")
+            ends_s = codes[order]
+            touch, starts = np.unique(ends_s, return_index=True)
+            for _ in range(max_iter):
+                m = np.minimum(lab[cu], lab[cv])
+                mins = np.minimum.reduceat(
+                    np.concatenate([m, m])[order], starts
+                )
+                lab[touch] = np.minimum(lab[touch], mins)
+                while True:  # pointer jumping to the round's fixpoint
+                    nl = lab[lab]
+                    if np.array_equal(nl, lab):
+                        break
+                    lab = nl
+                if np.array_equal(lab[cu], lab[cv]):
+                    break
+            else:  # pragma: no cover - defensive
+                raise RuntimeError(
+                    f"driver label propagation did not converge in "
+                    f"{max_iter} rounds"
+                )
+            out_pdf = pd.DataFrame(
+                {"node": uniq, "component": uniq[lab]}
+            )
+            return spark.createDataFrame(out_pdf, schema=out_schema)
+        except (TypeError, ValueError):  # pragma: no cover - exotic ids
+            canon = _canon(raw, "u", "v")
+            pairs = [(r["u"], r["v"]) for r in canon.collect()]
+            parent: dict = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for u, v in pairs:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            rows = [(n, find(n)) for n in parent]
+            return spark.createDataFrame(rows, schema=out_schema)
+
+    e = _canon(raw, "u", "v").localCheckpoint()
 
     def _signature(df: DataFrame):
         # one tiny job per round instead of two exceptAll shuffles:
@@ -124,33 +214,6 @@ def connected_components(
         return row["n"], row["h"]
 
     sig = _signature(e)
-    spark = edges.sparkSession
-    if sig[0] <= driver_threshold:
-        pairs = [(r["u"], r["v"]) for r in e.collect()]
-        parent: dict = {}
-
-        def find(x):
-            parent.setdefault(x, x)
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for u, v in pairs:
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                if rv < ru:
-                    ru, rv = rv, ru
-                parent[rv] = ru
-        rows = [(n, find(n)) for n in parent]
-        node_type = e.schema["u"].dataType
-        out_schema = T.StructType(
-            [T.StructField("node", node_type), T.StructField("component", node_type)]
-        )
-        return spark.createDataFrame(rows, schema=out_schema)
-
     # size the per-round shuffles to the edge count — after blocking
     # the graph is usually tiny relative to the pair set, and running
     # each star round at full session parallelism is pure scheduling
@@ -313,6 +376,58 @@ def split_cliques(
             )
 
     return packed.mapInPandas(split_batches, schema=out_schema)
+
+
+def split_clique_members(
+    pairs_with_component: DataFrame,
+    max_component_edges: int = 10_000_000,
+) -> DataFrame:
+    """(cluster_id, row_key) membership rows of :func:`split_cliques`'
+    partition, emitted DIRECTLY from the clique walk.
+
+    Identical result set to exploding split_cliques' pair rows into
+    endpoints and deduplicating (same greedy walk, same
+    ``component|k`` ids), but the packed shuffle drops the score
+    column and the caller skips a union + distinct shuffle — cliques
+    are disjoint and members unique within a clique by construction.
+    Used by assignment-shaped getters; report getters that need pair
+    rows keep split_cliques."""
+    idx_type = pairs_with_component.schema["idx_a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.StringType()),
+            T.StructField("row_key", idx_type),
+        ]
+    )
+    packed = pairs_with_component.groupBy("component").agg(
+        F.collect_list(F.struct("idx_a", "idx_b")).alias("edges")
+    )
+
+    def member_batches(batches):
+        for pdf in batches:
+            cids, members = [], []
+            for comp, edges in zip(pdf["component"], pdf["edges"]):
+                if len(edges) > max_component_edges:
+                    raise ValueError(
+                        f"component {comp!r} has {len(edges)} edges "
+                        f"(> max_component_edges={max_component_edges}); "
+                        "raise the score threshold or use finer blocking"
+                    )
+                adjacency: dict = {}
+                for e in edges:
+                    ia, ib = e["idx_a"], e["idx_b"]
+                    adjacency.setdefault(ia, set()).add(ib)
+                    adjacency.setdefault(ib, set()).add(ia)
+                for k, mem in enumerate(
+                    _greedy_cliques(adjacency.keys(), adjacency)
+                ):
+                    cid = f"{comp}|{k}"
+                    for m in sorted(mem):
+                        cids.append(cid)
+                        members.append(m)
+            yield pd.DataFrame({"cluster_id": cids, "row_key": members})
+
+    return packed.mapInPandas(member_batches, schema=out_schema)
 
 
 def split_cliques_iterative(

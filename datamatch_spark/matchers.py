@@ -24,7 +24,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .clustering import connected_components, greedy_one_to_one, split_cliques
+from .clustering import (
+    connected_components,
+    greedy_one_to_one,
+    split_clique_members,
+    split_cliques,
+)
 from .filters import BaseFilter
 from .indices import BaseIndex
 from .pairing import PairingConfig, candidate_pairs
@@ -549,24 +554,29 @@ class ThresholdMatcher:
     # clustering
     # ------------------------------------------------------------------
 
-    def _cluster_pairs(self, lower_bound: float, upper_bound: float) -> DataFrame:
-        """(cluster_id, sim_score, idx_a, idx_b) after CC + clique split."""
+    def _tagged_pairs(self, lower_bound: float, upper_bound: float) -> DataFrame:
+        """(component, sim_score, idx_a, idx_b) — the sliced pair graph
+        labeled with its connected component."""
         sliced = self._slice(lower_bound, upper_bound)
         comp = connected_components(sliced.select("idx_a", "idx_b"))
-        tagged = sliced.join(
+        return sliced.join(
             comp.withColumnRenamed("node", "idx_a"), on="idx_a"
         ).select("component", "sim_score", "idx_a", "idx_b")
-        return split_cliques(tagged)
+
+    def _cluster_pairs(self, lower_bound: float, upper_bound: float) -> DataFrame:
+        """(cluster_id, sim_score, idx_a, idx_b) after CC + clique split."""
+        return split_cliques(self._tagged_pairs(lower_bound, upper_bound))
 
     def get_cluster_assignments(
         self, lower_bound: float = 0.7, upper_bound: float = 1.0
     ) -> DataFrame:
-        """(cluster_id, row_key) membership table."""
-        cp = self._cluster_pairs(lower_bound, upper_bound)
-        return (
-            cp.select(F.col("cluster_id"), F.col("idx_a").alias("row_key"))
-            .unionByName(cp.select("cluster_id", F.col("idx_b").alias("row_key")))
-            .distinct()
+        """(cluster_id, row_key) membership table.
+
+        Built by the members-direct clique walk (split_clique_members):
+        the same deterministic partition as exploding the pair rows,
+        without the endpoint union + distinct shuffle."""
+        return split_clique_members(
+            self._tagged_pairs(lower_bound, upper_bound)
         )
 
     def get_index_clusters_within_thresholds(
