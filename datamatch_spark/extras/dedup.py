@@ -579,15 +579,7 @@ def minhash_lsh_pairs(
     info = _minhash_info(
         df, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn
     )
-    l = _banded(info, "idx_a")
-    r = _banded(info, "idx_b")
-    cand = (
-        l.join(r, on=["band", "bh"])
-        .where(F.col("idx_a") < F.col("idx_b"))
-        .select("idx_a", "idx_b")
-        .dropDuplicates(["idx_a", "idx_b"])
-    )
-    return _minhash_verify(cand, info, info, n_perm, threshold, est_margin)
+    return _bucket_grouped_verified(info, None, n_perm, bands, threshold, est_margin)
 
 
 def _resolve_bands(
@@ -613,6 +605,288 @@ def _banded(info: DataFrame, idx_alias: str) -> DataFrame:
     pre-shuffle)."""
     return info.select(
         F.col("__id").alias(idx_alias), F.posexplode("bands").alias("band", "bh")
+    )
+
+
+def _bucket_grouped_verified(
+    info_a: DataFrame,
+    info_b: DataFrame | None,
+    n_perm: int,
+    bands: int,
+    threshold: float,
+    est_margin: float,
+) -> DataFrame:
+    """(idx_a, idx_b, jaccard) — band-bucket-GROUPED candidate
+    generation + verification in one shuffle (guide §8: decide with a
+    grouped payload pass, never join payloads onto pair rows).
+
+    The former join formulation exploded band keys, self-joined them,
+    deduplicated the raw candidate stream (O(pairs x bands) rows) and
+    then attached sig+sh to every pair via two wide joins — the second
+    of which re-shuffles pairs CARRYING one side's payload (~850 B/row,
+    the dominant minhash cost at scale). Here each row's payload moves
+    exactly once per band membership: explode to (band, bh, id, sig,
+    sh), hash-partition by bucket, and verify all in-bucket pairs
+    vectorized in a mapInArrow kernel (signature-estimate prefilter as
+    int64 component equality; exact jaccard via a per-bucket
+    shingle-universe membership matmul — float64, so intersection
+    counts are exact). A pair co-bucketed in several bands is verified
+    once per band with identical bits and deduplicated on the NARROW
+    output — cheaper than deduplicating the raw candidate stream and
+    then paying the payload joins.
+
+    Emits RAW (unrounded) jaccard; the caller applies the same JVM-side
+    F.round + threshold filter as the join path, so the boundary
+    semantics are bit-for-bit the historical ones."""
+    from ..session import effective_parallelism
+
+    dedup = info_b is None
+    thr_est = threshold - est_margin
+
+    def side(info, pos):
+        return info.select(
+            F.lit(pos).alias("__pos"),
+            "__id",
+            "sig",
+            "sh",
+            F.posexplode("bands").alias("band", "bh"),
+        )
+
+    members = side(info_a, 0)
+    if not dedup:
+        members = members.unionByName(side(info_b, 1))
+    spark = info_a.sparkSession
+    n_parts = 2 * effective_parallelism(spark)
+    members = members.repartition(
+        n_parts, F.col("band"), F.col("bh")
+    ).sortWithinPartitions("band", "bh")
+
+    id_type_a = dict(info_a.dtypes)["__id"]
+    id_type_b = id_type_a if dedup else dict(info_b.dtypes)["__id"]
+    schema = f"idx_a {id_type_a}, idx_b {id_type_b}, jaccard double"
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        triu_cache: dict = {}
+
+        def triu(n):
+            if n <= 512:
+                c = triu_cache.get(n)
+                if c is None:
+                    c = np.triu_indices(n, k=1)
+                    triu_cache[n] = c
+                return c
+            return np.triu_indices(n, k=1)
+
+        def score_pairs(ids, pi, pj, pband, S, BH, out):
+            """first-band gate + est-prefilter + exact jaccard for
+            position pairs (pi, pj) — fully batched across buckets, no
+            per-bucket numpy."""
+            if BH is not None and len(pi):
+                # emit-from-first-matching-band: a pair co-bucketed in
+                # several bands is produced ONLY by its lowest matching
+                # band (band hashes recomputed from the signatures), so
+                # every pair is verified and emitted exactly once
+                # globally — no output dedup shuffle needed
+                dup = np.zeros(len(pi), dtype=bool)
+                for bp in range(bands - 1):
+                    m = pband > bp
+                    if m.any():
+                        dup |= m & (BH[pi, bp] == BH[pj, bp])
+                keep0 = ~dup
+                pi, pj, pband = pi[keep0], pj[keep0], pband[keep0]
+                if pi.size == 0:
+                    return
+            # estimate: equal-component count — gather whole signature
+            # ROWS per side (contiguous 512 B reads), one vectorized
+            # matrix compare
+            keep = np.empty(len(pi), dtype=bool)
+            for c0 in range(0, len(pi), 1 << 18):  # bound gather buffers
+                c1 = min(len(pi), c0 + (1 << 18))
+                eq = (S[pi[c0:c1]] == S[pj[c0:c1]]).sum(
+                    axis=1, dtype=np.int16
+                )
+                keep[c0:c1] = (
+                    eq.astype(np.float64) / float(n_perm)
+                ) >= thr_est
+            pi, pj = pi[keep], pj[keep]
+            if pi.size == 0:
+                return
+            ia, ib = ids[pi], ids[pj]
+            if dedup:
+                # candidate orientation is BY VALUE (idx_a < idx_b),
+                # matching the join path's filter
+                swap = ia > ib
+                ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+                pi, pj = np.where(swap, pj, pi), np.where(swap, pi, pj)
+            # padded row-sorted shingle matrix, built once per frame
+            SH, lens = out["sh_matrix"]
+            la, lb = lens[pi], lens[pj]
+            jac = np.empty(len(pi), dtype=np.float64)
+            # size-class segments bound the L² broadcast by the class
+            # width, not the frame-wide maximum document; pair-count
+            # chunks inside a class bound the boolean cube's memory
+            width = np.maximum(la, lb)
+            order = np.argsort(width, kind="stable")
+            bounds = np.searchsorted(
+                width[order], [2**k + 1 for k in range(3, 32)]
+            )
+            seg_starts = np.concatenate([[0], bounds])
+            seg_ends = np.concatenate([bounds, [len(order)]])
+            for s, e in zip(seg_starts, seg_ends):
+                if s == e:
+                    continue
+                L = int(width[order[e - 1]])
+                chunk = max(1, (32 << 20) // max(L * L, 1))
+                for cs in range(int(s), int(e), chunk):
+                    ce = min(int(e), cs + chunk)
+                    sel = order[cs:ce]
+                    A = SH[pi[sel]][:, :L]
+                    B = SH[pj[sel]][:, :L]
+                    cols = np.arange(L)[None, :]
+                    valid_a = cols < la[sel][:, None]
+                    valid_b = cols < lb[sel][:, None]
+                    inter = (
+                        (
+                            (A[:, :, None] == B[:, None, :])
+                            & valid_b[:, None, :]
+                        ).any(axis=2)
+                        & valid_a
+                    ).sum(axis=1)
+                    jac[sel] = inter / (
+                        la[sel] + lb[sel] - inter
+                    ).astype(np.float64)
+            out["a"].append(ia)
+            out["b"].append(ib)
+            out["j"].append(jac)
+
+        def emit(tbl, starts):
+            n_rows = tbl.num_rows
+            if not n_rows or not len(starts):
+                return
+            ends = np.append(starts[1:], n_rows)
+            pos = tbl.column("__pos").combine_chunks().to_numpy()
+            band_arr = tbl.column("band").combine_chunks().to_numpy()
+            # flat-buffer access: list<long> columns decode to ONE
+            # values array + lengths — no per-row Python objects (the
+            # pandas form built millions of tiny ndarrays per frame)
+            sig_col = tbl.column("sig").combine_chunks()
+            S = (
+                sig_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .reshape(n_rows, n_perm)
+            )
+            sh_col = tbl.column("sh").combine_chunks()
+            flat_sh = (
+                sh_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            lens = pa.compute.list_value_length(sh_col).to_numpy().astype(
+                np.int64
+            )
+            ids = tbl.column("__id").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            # pad + row-sort the shingle sets once per frame (elements
+            # are distinct per row; the pad sentinel never matches a
+            # real element because every A-position is masked by its
+            # own row length)
+            Lmax = max(1, int(lens.max()) if len(lens) else 1)
+            SH = np.full((n_rows, Lmax), np.iinfo(np.int64).max, np.int64)
+            row_of = np.repeat(np.arange(n_rows), lens)
+            col_of = (
+                np.arange(int(lens.sum())) - np.repeat(
+                    np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+                )
+            )
+            if len(row_of):
+                SH[row_of, col_of] = flat_sh
+            SH.sort(axis=1)
+            # recomputed band hashes power the first-band gate (they
+            # are a pure function of the signature, so transport stays
+            # payload-minimal)
+            BH = (
+                _band_hashes(S.view(np.uint64), bands) if bands > 1 else None
+            )
+            out = {"a": [], "b": [], "j": [], "sh_matrix": (SH, lens)}
+            acc_i, acc_j, acc_b, acc = [], [], [], 0
+            for s, e in zip(starts, ends):
+                n = int(e - s)
+                if n < 2:
+                    continue
+                if dedup:
+                    ti, tj = triu(n)
+                    gi, gj = ti + s, tj + s
+                else:
+                    low = s + np.flatnonzero(pos[s:e] == 0)
+                    high = s + np.flatnonzero(pos[s:e] == 1)
+                    if low.size == 0 or high.size == 0:
+                        continue
+                    gi = np.repeat(low, len(high))
+                    gj = np.tile(high, len(low))
+                acc_i.append(gi)
+                acc_j.append(gj)
+                acc_b.append(np.full(gi.size, band_arr[s], dtype=np.int32))
+                acc += gi.size
+                if acc >= 2_000_000:
+                    score_pairs(
+                        ids, np.concatenate(acc_i), np.concatenate(acc_j),
+                        np.concatenate(acc_b), S, BH, out,
+                    )
+                    acc_i, acc_j, acc_b, acc = [], [], [], 0
+            if acc:
+                score_pairs(
+                    ids, np.concatenate(acc_i), np.concatenate(acc_j),
+                    np.concatenate(acc_b), S, BH, out,
+                )
+            if out["a"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out["a"])),
+                        pa.array(np.concatenate(out["b"])),
+                        pa.array(np.concatenate(out["j"]), type=pa.float64()),
+                    ],
+                    names=["idx_a", "idx_b", "jaccard"],
+                )
+
+        def group_starts(tbl):
+            b = tbl.column("band").combine_chunks().to_numpy()
+            h = tbl.column("bh").combine_chunks().to_numpy()
+            same = np.ones(tbl.num_rows, dtype=bool)
+            same[1:] = (b[1:] == b[:-1]) & (h[1:] == h[:-1])
+            same[0] = False
+            return np.flatnonzero(~same)
+
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            if not tbl.num_rows:
+                continue
+            tbl = tbl.combine_chunks()
+            starts = group_starts(tbl)
+            last = int(starts[-1])
+            carry = tbl.slice(last)
+            yield from emit(tbl.slice(0, last), starts[:-1])
+        if carry is not None and carry.num_rows:
+            carry = carry.combine_chunks()
+            yield from emit(carry, group_starts(carry))
+
+    raw = members.mapInArrow(verify, schema=schema)
+    # no dropDuplicates: the first-band gate guarantees one emission
+    # per pair; rounding + the threshold compare stay JVM-side so the
+    # boundary semantics are bit-for-bit the join path's
+    return (
+        raw.withColumn("jaccard", F.round("jaccard", 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("idx_a", "idx_b", "jaccard")
     )
 
 
@@ -780,13 +1054,9 @@ def minhash_lsh_match(
         df_b, id_col, text_col, n, n_perm, bands, checkpoint_dir, hash_fn,
         f"_{tag_b}",
     )
-    cand = (
-        _banded(info_a, "idx_a")
-        .join(_banded(info_b, "idx_b"), on=["band", "bh"])
-        .select("idx_a", "idx_b")
-        .dropDuplicates(["idx_a", "idx_b"])
+    return _bucket_grouped_verified(
+        info_a, info_b, n_perm, bands, threshold, est_margin
     )
-    return _minhash_verify(cand, info_a, info_b, n_perm, threshold, est_margin)
 
 
 def simhash(
