@@ -91,44 +91,57 @@ def dedup_lines(
     documents' lines in the reassembly step.
     """
     lines = _split_literal(F.col(col), sep)
+    # r6: the split+explode expression is evaluated once per branch
+    # (keeper table, reassembly) instead of three times — the per-doc
+    # line count rides the reassembly aggregation as count(*) and the
+    # keep-filter moves INSIDE the aggregation (collect_list/count skip
+    # the NULLs a failed keep-guard produces), so no third size()-only
+    # pass over the corpus exists
     ex = df.select(
         F.col(id_col), F.posexplode(lines).alias("__pos", "__line")
+    ).select(
+        id_col,
+        "__pos",
+        "__line",
+        F.md5("__line").alias("__fp"),
+        F.length("__line").alias("__len"),
     )
-    eligible = ex.where(F.length("__line") >= dedup_min_chars)
+    eligible = ex.where(F.col("__len") >= dedup_min_chars)
     # map-side partial agg collapses hot fingerprints pre-shuffle
-    keepers = eligible.groupBy(F.md5("__line").alias("__fp")).agg(
+    keepers = eligible.groupBy("__fp").agg(
         F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__keep")
     )
-    kept = (
-        ex.join(keepers, F.md5(ex["__line"]) == keepers["__fp"], "left")
-        .where(
-            (F.length("__line") < dedup_min_chars)
-            | (
-                (F.col(f"__keep.{id_col}") == ex[id_col])
-                & (F.col("__keep.__pos") == F.col("__pos"))
-            )
+    # a sub-min-chars line's fingerprint can never match a keeper row
+    # (same fingerprint == same content == same length), so the plain
+    # left join is exact for the structural-line exemption too
+    keep_cond = (F.col("__len") < dedup_min_chars) | (
+        (F.col(f"__keep.{id_col}") == F.col(id_col))
+        & (F.col("__keep.__pos") == F.col("__pos"))
+    )
+    rebuilt = (
+        ex.join(keepers, on="__fp", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep_cond, F.struct("__pos", "__line"))
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("__text"),
+            F.count(F.when(keep_cond, F.lit(1))).alias("__n_kept"),
+            F.count(F.lit(1)).cast("int").alias("__n_lines"),
         )
-        .select(ex[id_col], "__pos", "__line")
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                lambda s: s["__line"],
-            ),
-            sep,
-        ).alias("__text"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    base = df.select(
-        F.col(id_col),
-        F.col(col).alias("__orig"),
-        F.coalesce(F.size(lines), F.lit(0)).alias("n_lines"),
-    )
+    base = df.select(F.col(id_col), F.col(col).alias("__orig"))
     return base.join(rebuilt, on=id_col, how="left").select(
         id_col,
         F.when(F.col("__orig").isNull(), F.lit(0))
-        .otherwise(F.col("n_lines"))
+        .otherwise(F.coalesce(F.col("__n_lines"), F.lit(0)))
         .alias("n_lines"),
         F.coalesce(F.col("__n_kept"), F.lit(0))
         .cast("int")

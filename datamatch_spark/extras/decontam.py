@@ -125,37 +125,43 @@ def dup_ngram_stats(
     Returns (id, n_grams, n_dup_grams, dup_fraction); documents with
     fewer than ``n`` tokens get (0, 0, 0.0).
     """
-    grams = df.select(
-        F.col(id_col), F.explode(_gram_col(text_col, n, hash_grams)).alias("gram")
-    )
+    # the (expensive, interpreted-HOF) gram expression is evaluated
+    # once per branch below (r6: was 3 evaluations — df branch, join
+    # branch, totals branch): explode_outer keeps zero-gram documents
+    # as a NULL-gram row, so every doc survives to the final per-id
+    # aggregation and the per-doc total is just the COUNT of its
+    # non-null exploded rows — no separate size()-only pass, and no
+    # second inlined copy of the expression inside one projection
+    g = _gram_col(text_col, n, hash_grams)
+    ex = df.select(F.col(id_col), F.explode_outer(g).alias("gram"))
     # shingles_expr output is already distinct per doc, so count(*)
-    # per gram == distinct-document frequency
+    # per gram == distinct-document frequency; NULL placeholder rows
+    # are excluded from the frequency table
     dup = (
-        grams.groupBy("gram")
+        ex.where(F.col("gram").isNotNull())
+        .groupBy("gram")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > 1)
-        .select("gram")
+        .select("gram", F.lit(1).alias("__dup"))
     )
-    per_doc_dup = grams.join(dup, "gram").groupBy(id_col).agg(
-        F.count("*").alias("n_dup_grams")
-    )
-    # total = size of the (already distinct) gram array — a scan-side
-    # projection, NOT a third explode + corpus-wide aggregation
-    per_doc_tot = df.select(
-        F.col(id_col),
-        F.size(_gram_col(text_col, n, hash_grams)).alias("n_grams"),
-    )
+    # left join: NULL-gram placeholders and unique grams miss and
+    # contribute 0 to the dup count, exactly the old left-join fill
     return (
-        per_doc_tot
-        .join(per_doc_dup, id_col, "left")
+        ex.join(dup, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            # count of non-null exploded rows == gram-array size; cast
+            # keeps the historical int schema of the size() formulation
+            F.count("gram").cast("int").alias("n_grams"),
+            F.count("__dup").alias("n_dup_grams"),
+        )
         .select(
             id_col,
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            "n_grams",
+            "n_dup_grams",
             F.when(
-                F.coalesce("n_grams", F.lit(0)) > 0,
-                F.coalesce("n_dup_grams", F.lit(0))
-                / F.col("n_grams").cast("double"),
+                F.col("n_grams") > 0,
+                F.col("n_dup_grams") / F.col("n_grams").cast("double"),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_fraction"),
