@@ -351,22 +351,83 @@ def lsh_topk(
         )
     dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, seed, plane_kind)
-    c = _attach_codes(corpus, planes, id_col, vec_col, "neighbor_id", "__cv")
-    q = _attach_codes(queries, planes, id_col, vec_col, "query_id", "__qv")
-    if multiprobe:
-        q = q.select(
-            "query_id", "__qv",
-            F.explode(_probe_codes("__code", n_planes)).alias("__code"),
+    if n_planes > 62:
+        raise ValueError(
+            f"n_planes must be <= 62 for int64 LSH codes, got {n_planes}"
         )
-    # Score BEFORE dropDuplicates: multiprobe duplicates are bounded
-    # (<= n_planes+1 per pair) and the Arrow cosine is cheap, while
-    # deduping first would shuffle both full vectors per candidate —
-    # scoring first shrinks the dedup shuffle payload to (id, id, cos).
-    joined = c.join(q, on="__code").where(
-        F.col("neighbor_id") != F.col("query_id")
+    # r6: the query side is small by contract (same bounded-collect
+    # pattern as cosine_topk), so probe codes + query vectors broadcast
+    # and ONE corpus pass does code, bucket filter and exact cosine —
+    # corpus vectors cross the Arrow boundary once and never come back
+    # (the former plan shipped every vector out of the code kernel and
+    # through a join), and the only shuffled rows are scored hits.
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        id_type = dict(corpus.dtypes)[id_col]
+        return spark.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int",
+        )
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    qcodes = ((Q @ planes.T) > 0).astype(np.int64) @ weights
+    if multiprobe:
+        flips = qcodes[:, None] ^ weights[None, :]
+        probe_codes = np.concatenate([qcodes[:, None], flips], axis=1).ravel()
+        probe_qidx = np.repeat(np.arange(len(qids)), n_planes + 1)
+    else:
+        probe_codes, probe_qidx = qcodes, np.arange(len(qids))
+    po = np.argsort(probe_codes, kind="stable")
+    bc = spark.sparkContext.broadcast(
+        (probe_codes[po], probe_qidx[po], qids, Q)
     )
+    P = planes.T.copy()
+    id_type = dict(corpus.dtypes)[id_col]
+    sel = corpus.select(id_col, vec_col)
+
+    def hits(batches):
+        pcodes, pqidx, bqids, bQ = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = _flat2d(rb.column(1))
+            codes = ((V @ P) > 0).astype(np.int64) @ weights
+            lo = np.searchsorted(pcodes, codes, side="left")
+            hi = np.searchsorted(pcodes, codes, side="right")
+            counts = hi - lo
+            rows = np.flatnonzero(counts)
+            if rows.size == 0:
+                continue
+            row_rep = np.repeat(rows, counts[rows])
+            # expand [lo, hi) probe ranges per matching corpus row
+            qsel = pqidx[
+                np.concatenate([np.arange(lo[r], hi[r]) for r in rows])
+            ]
+            A = V[row_rep]
+            B = bQ[qsel]
+            dot = np.einsum("ij,ij->i", A, B)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (
+                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                )
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(bqids[qsel]),
+                    pa.array(ids[row_rep]),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos"],
+            )
+
     scored = (
-        _score_pairs_arrow(joined, "query_id", "neighbor_id", "__qv", "__cv")
+        sel.mapInArrow(
+            hits,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, cos double",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round("cos", 6))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
