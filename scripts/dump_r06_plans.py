@@ -13,6 +13,11 @@ import os
 import sys
 
 TAG = sys.argv[1] if len(sys.argv) > 1 else "after"
+# tree to import the engine from (round-start worktree for tag=before)
+TREE = sys.argv[2] if len(sys.argv) > 2 else os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))
+)
+sys.path.insert(0, TREE)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "plans", "r06")
 os.makedirs(OUT, exist_ok=True)
