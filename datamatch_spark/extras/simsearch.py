@@ -550,18 +550,85 @@ def ivf_topk(
     full N×Q scan. Recall rises with nprobe (nprobe = n_cells ⇒
     exact). Returns (query_id, neighbor_id, cos, rank)."""
     C = _train_centroids(corpus, vec_col, n_cells, sample_size, train_iters, seed)
-    c = _attach_cells(corpus, C, 1, id_col, vec_col, "neighbor_id", "__cv").select(
-        "neighbor_id", "__cv", F.col("__cells")[0].alias("__cell")
+    # r6: same broadcast-probe shape as lsh_topk — the query side is
+    # small by contract, so its probed cells broadcast and ONE corpus
+    # mapInArrow pass assigns cells, filters to probed ones and scores
+    # hits; corpus vectors cross the Arrow boundary once and never
+    # return, and only (query_id, neighbor_id, cos) rows shuffle.
+    # Cell assignment reuses _attach_cells' exact expressions
+    # (normalize, matmul, argpartition) so cells are bit-identical.
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    id_type = dict(corpus.dtypes)[id_col]
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, cos double, rank int",
+        )
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    Ct = C.T.copy()
+    Sq = Qn @ Ct
+    kq = min(nprobe, Sq.shape[1])
+    qcells = np.argpartition(-Sq, kq - 1, axis=1)[:, :kq].astype(np.int32)
+    probe_cells = qcells.ravel()
+    probe_qidx = np.repeat(np.arange(len(qids)), kq)
+    po = np.argsort(probe_cells, kind="stable")
+    bc = spark.sparkContext.broadcast(
+        (probe_cells[po], probe_qidx[po], qids, Q)
     )
-    q = _attach_cells(queries, C, nprobe, id_col, vec_col, "query_id", "__qv").select(
-        "query_id", "__qv", F.explode("__cells").alias("__cell")
+    sel = corpus.select(id_col, vec_col)
+
+    def hits(batches):
+        pcells, pqidx, bqids, bQ = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = _flat2d(rb.column(1))
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+            )
+            S = Vn @ Ct
+            kc = min(1, S.shape[1])
+            cells = np.argpartition(-S, kc - 1, axis=1)[:, :kc].astype(
+                np.int32
+            ).ravel()
+            lo = np.searchsorted(pcells, cells, side="left")
+            hi = np.searchsorted(pcells, cells, side="right")
+            counts = hi - lo
+            rows = np.flatnonzero(counts)
+            if rows.size == 0:
+                continue
+            row_rep = np.repeat(rows, counts[rows])
+            qsel = pqidx[
+                np.concatenate([np.arange(lo[r], hi[r]) for r in rows])
+            ]
+            A = V[row_rep]
+            B = bQ[qsel]
+            dot = np.einsum("ij,ij->i", A, B)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (
+                    np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                )
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(bqids[qsel]),
+                    pa.array(ids[row_rep]),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos"],
+            )
+
+    scored = (
+        sel.mapInArrow(
+            hits,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, cos double",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round("cos", 6))
     )
-    joined = c.join(q, on="__cell").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = _score_pairs_arrow(
-        joined, "query_id", "neighbor_id", "__qv", "__cv"
-    ).withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
