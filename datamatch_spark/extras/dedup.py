@@ -396,6 +396,49 @@ def _minhash_matrix(sh: pd.Series, seeds: np.ndarray) -> np.ndarray:
     return sigs
 
 
+def _minhash_matrix_flat(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """`_minhash_matrix` over a FLAT Arrow values buffer + offsets —
+    identical masked-min arithmetic and identical length-sorted
+    ``_MINHASH_CELL_BUDGET`` sub-batching, but the padded matrix is
+    built by one vectorized scatter instead of a per-row Python loop
+    (and no per-row ndarray objects ever exist)."""
+    nrows = len(lens)
+    order = np.argsort(lens, kind="stable")
+    sigs = np.empty((nrows, len(seeds)), dtype=np.uint64)
+    pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+    start = 0
+    while start < nrows:
+        end = start + 1
+        while (
+            end < nrows
+            and (end - start + 1) * max(int(lens[order[end]]), 1)
+            <= _MINHASH_CELL_BUDGET
+        ):
+            end += 1
+        idx = order[start:end]
+        maxl = max(int(lens[idx[-1]]), 1)
+        M = np.zeros((len(idx), maxl), dtype=np.uint64)
+        mask = np.zeros((len(idx), maxl), dtype=bool)
+        sub_lens = lens[idx]
+        total = int(sub_lens.sum())
+        if total:
+            row_of = np.repeat(np.arange(len(idx)), sub_lens)
+            col_of = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(sub_lens)[:-1]]), sub_lens
+            )
+            src = np.repeat(starts[idx], sub_lens) + col_of
+            M[row_of, col_of] = flat[src].astype(np.uint64)
+            mask[row_of, col_of] = True
+        for p, seed in enumerate(seeds):
+            h = _splitmix64(M ^ seed)
+            h = np.where(mask, h, pad)
+            sigs[idx, p] = h.min(axis=1)
+        start = end
+    return sigs
+
+
 def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
     """(nrows × bands) int64 band hashes: splitmix64 fold over each
     band's signature slice, seeded by the band index — replaces the
@@ -903,20 +946,65 @@ def _minhash_info(
 ) -> DataFrame:
     """One materialized per-doc frame carrying everything downstream
     needs: shingle-hash set (exact verify), signature (estimate
-    prefilter) and band hashes (candidate generation)."""
-    sig_bands_udf = _sig_bands_udf(n_perm, bands)
+    prefilter) and band hashes (candidate generation).
+
+    r6: the signature+bands stage is a ``mapInArrow`` kernel working
+    off the flat list buffer — the pandas-UDF form materialized one
+    Python ndarray per row (2M objects at sf1) and padded the MinHash
+    matrix with a per-row Python loop; here padding is one vectorized
+    scatter per length-sorted sub-batch (same ``_MINHASH_CELL_BUDGET``
+    bound, identical masked-min arithmetic, bit-identical output)."""
     base = _ensure_width(df.select(F.col(id_col).alias("__id"), text_col)).where(
         _has_shingles(text_col, n)
     )
-    info = (
-        with_shingle_hashes(base, text_col, n, "sh", hash_fn)
-        .select("__id", "sh", sig_bands_udf(F.col("sh")).alias("sb"))
-        .select(
-            "__id",
-            "sh",
-            F.col("sb.sig").alias("sig"),
-            F.col("sb.bands").alias("bands"),
+    hashed = with_shingle_hashes(base, text_col, n, "sh", hash_fn).select(
+        "__id", "sh"
+    )
+    id_type = dict(hashed.dtypes)["__id"]
+    seeds = _splitmix64(np.arange(1, n_perm + 1, dtype=np.uint64))
+    if n_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_perm ({n_perm}); "
+            f"{n_perm % bands} signature components would be unused"
         )
+
+    def sig_bands(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            sh_col = rb.column(1)
+            flat = (
+                sh_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            lens = pa.compute.list_value_length(sh_col).to_numpy().astype(
+                np.int64
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            sigs = _minhash_matrix_flat(flat, starts, lens, seeds)
+            bh = _band_hashes(sigs, bands)
+            sig_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.astype(np.int64).ravel(), type=pa.int64()),
+                n_perm,
+            ).cast(pa.list_(pa.int64()))
+            bh_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(bh.ravel(), type=pa.int64()), bands
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), sh_col, sig_arr, bh_arr],
+                names=["__id", "sh", "sig", "bands"],
+            )
+
+    info = hashed.mapInArrow(
+        sig_bands,
+        schema=(
+            f"__id {id_type}, sh array<bigint>, "
+            "sig array<bigint>, bands array<bigint>"
+        ),
     )
     if checkpoint_dir:
         from ..checkpointing import StageManifest
