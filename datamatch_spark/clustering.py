@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .session import checkpoint_storage_level as _ckpt_level
+
 __all__ = [
     "connected_components",
     "split_cliques",
@@ -120,7 +122,7 @@ def connected_components(
     path is exactly (checkpoint, count, toPandas)."""
     raw = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_ckpt_level())
     n_raw = raw.count()
     spark = edges.sparkSession
     if n_raw <= driver_threshold:
@@ -202,7 +204,7 @@ def connected_components(
             rows = [(n, find(n)) for n in parent]
             return spark.createDataFrame(rows, schema=out_schema)
 
-    e = _canon(raw, "u", "v").localCheckpoint()
+    e = _canon(raw, "u", "v").localCheckpoint(storageLevel=_ckpt_level())
 
     def _signature(df: DataFrame):
         # one tiny job per round instead of two exceptAll shuffles:
@@ -228,9 +230,9 @@ def connected_components(
     n_parts = max(2, min(default_par, (sig[0] or 1) // 50_000 + 1))
     star_parts = n_parts if n_parts < default_par else None
     if sig[0] and star_parts:
-        e = e.repartition(n_parts).localCheckpoint()
+        e = e.repartition(n_parts).localCheckpoint(storageLevel=_ckpt_level())
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e, star_parts), star_parts).localCheckpoint()
+        e2 = _small_star(_large_star(e, star_parts), star_parts).localCheckpoint(storageLevel=_ckpt_level())
         sig2 = _signature(e2)
         e = e2
         if sig2 == sig:
@@ -473,7 +475,7 @@ def split_cliques_iterative(
     spark = pairs_with_component.sparkSession
     all_edges = pairs_with_component.select(
         "component", "sim_score", "idx_a", "idx_b"
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_ckpt_level())
     # complete-clique fast path: per component, n_edges == C(n, 2)
     # means the greedy walk trivially absorbs the whole component
     node_counts = (
@@ -506,7 +508,7 @@ def split_cliques_iterative(
     )
     edges = all_edges.join(
         F.broadcast(complete), on="component", how="left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_ckpt_level())
     sym = (
         edges.select("component", F.col("idx_a").alias("u"), F.col("idx_b").alias("v"))
         .unionByName(
@@ -515,7 +517,7 @@ def split_cliques_iterative(
             )
         )
         .dropDuplicates(["component", "u", "v"])
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_ckpt_level())
     )
     all_members = spark.createDataFrame(
         [],
@@ -564,7 +566,7 @@ def split_cliques_iterative(
         members = (
             m2.where(F.col("m2") == F.col("u"))
             .select("component", F.col("u").alias("seed"), F.col("u").alias("node"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_ckpt_level())
         )
         # grow every seed's clique by its minimum valid candidate until
         # no seed can grow (disjoint neighborhoods -> no contention)
@@ -614,9 +616,9 @@ def split_cliques_iterative(
             # superseded checkpoint RDDs (released by rebinding +
             # ContextCleaner) stop accumulating one per member
             if growth % 8 == 0:
-                members = members.localCheckpoint()
-        all_members = all_members.unionByName(members).localCheckpoint()
-        clustered = members.select("component", "node").localCheckpoint()
+                members = members.localCheckpoint(storageLevel=_ckpt_level())
+        all_members = all_members.unionByName(members).localCheckpoint(storageLevel=_ckpt_level())
+        clustered = members.select("component", "node").localCheckpoint(storageLevel=_ckpt_level())
         sym = (
             sym.join(
                 clustered.select("component", F.col("node").alias("u")),
@@ -628,7 +630,7 @@ def split_cliques_iterative(
                 on=["component", "v"],
                 how="left_anti",
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_ckpt_level())
         )
     # cluster index k = ascending seed rank per component (the packed
     # path appends cliques in ascending-seed discovery order); every
@@ -705,7 +707,7 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
             F.col("idx_a").alias("ia"),
             F.col("idx_b").alias("ib"),
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_ckpt_level())
     kept: DataFrame | None = None
     for rnd in range(max_iter):
         if remaining.isEmpty():
@@ -717,7 +719,7 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
             .join(mb, on="idx_b")
             .where((F.col("__r") == F.col("__ma")) & (F.col("__r") == F.col("__mb")))
             .drop("__ma", "__mb")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_ckpt_level())
         )
         if sel.isEmpty():
             break
@@ -726,11 +728,11 @@ def greedy_one_to_one(pairs: DataFrame, max_iter: int = 100) -> DataFrame:
         # periodically so adversarial graphs (long chains → many
         # rounds) keep a bounded plan depth
         if rnd % 8 == 7:
-            kept = kept.localCheckpoint()
+            kept = kept.localCheckpoint(storageLevel=_ckpt_level())
         remaining = (
             remaining.join(sel.select("idx_a").distinct(), on="idx_a", how="left_anti")
             .join(sel.select("idx_b").distinct(), on="idx_b", how="left_anti")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_ckpt_level())
         )
     else:
         raise RuntimeError(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from ..session import checkpoint_storage_level as _ckpt_level_d
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -206,7 +207,7 @@ def ngram_jaccard_pairs(
     # agg, stop-shingle counts, both self-join sides); materialize once
     # instead of re-running the most expensive stage 4x — mirrors the
     # minhash path's localCheckpoint of its per-doc frame
-    sh = sh.localCheckpoint()
+    sh = sh.localCheckpoint(storageLevel=_ckpt_level_d())
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
@@ -266,7 +267,7 @@ def ngram_jaccard_match(
             df.select(F.col(id_col).alias("__id"), text_col)
         ).select("__id", F.explode(_shingles_expr(text_col, n)).alias("shingle"))
         # feeds sizes agg + df counts + its join side: materialize once
-        return sh.localCheckpoint()
+        return sh.localCheckpoint(storageLevel=_ckpt_level_d())
 
     sha, shb = side(df_a), side(df_b)
     sizes_a = sha.groupBy("__id").agg(F.count(F.lit(1)).alias("sz_a"))
@@ -1028,7 +1029,7 @@ def _minhash_info(
             df.sparkSession,
         )
     else:
-        info = info.localCheckpoint()
+        info = info.localCheckpoint(storageLevel=_ckpt_level_d())
     return info
 
 

@@ -435,7 +435,9 @@ class ThresholdMatcher:
                 stage, df, df.sparkSession,
                 fingerprint=self._config_fingerprint(),
             )
-        return df.localCheckpoint()
+        from .session import checkpoint_storage_level
+
+        return df.localCheckpoint(storageLevel=checkpoint_storage_level())
 
     @property
     def scored_pairs(self) -> DataFrame:

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .session import checkpoint_storage_level as _ckpt_level
+
 __all__ = ["token_blocks", "meta_block"]
 
 
@@ -136,12 +138,12 @@ def meta_block(
     asg = (
         blocks.select(F.col(id_col).alias("eid"), F.col(block_col).alias("bkey"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_ckpt_level())
     )
     sizes = asg.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsize"))
     kept = asg.join(
         sizes.where(F.col("bsize") <= max_block_size).select("bkey"), "bkey"
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_ckpt_level())
     a = kept.select(F.col("bkey"), F.col("eid").alias("idx_a"))
     b = kept.select(F.col("bkey"), F.col("eid").alias("idx_b"))
     edges = (
@@ -168,7 +170,7 @@ def meta_block(
         )
     else:
         edges = edges.select("idx_a", "idx_b", F.col("cbs").cast("double").alias("w"))
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(storageLevel=_ckpt_level())
     if scheme == "wep":
         thr = edges.agg((F.sum("w") / F.count(F.lit(1))).alias("thr"))
         return (

@@ -18,6 +18,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .session import checkpoint_storage_level as _ckpt_level
+
 __all__ = [
     "MetricsSink",
     "partition_stats",
@@ -120,7 +122,7 @@ def blocking_quality(
     cand = (
         candidate_pairs(df, index, row_key, [], cfg=cfg)
         .select("idx_a", "idx_b")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_ckpt_level())
     )
     n_cand = cand.count()
     n_truth = truth_pairs.count()

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .indices import BLOCK_KEY, BaseIndex
+from .session import checkpoint_storage_level as _ckpt_level
 
 __all__ = ["PairingConfig", "keyed_side", "candidate_pairs", "block_statistics"]
 
@@ -604,7 +605,7 @@ def candidate_pairs(
     stats_a = side_a
     side_a = _parted(side_a, cfg)
     if cfg.cache_keyed_side:
-        side_a = side_a.localCheckpoint()
+        side_a = side_a.localCheckpoint(storageLevel=_ckpt_level())
         # the checkpoint already paid the exchange; counting it needs no
         # shuffle at all AND skips re-evaluating an expensive index
         stats_a = side_a
@@ -632,7 +633,7 @@ def candidate_pairs(
         stats_b = side_b
         side_b = _parted(side_b, cfg)
         if cfg.cache_keyed_side:
-            side_b = side_b.localCheckpoint()
+            side_b = side_b.localCheckpoint(storageLevel=_ckpt_level())
             stats_b = side_b
         pcfg = replace(cfg, pre_partitioned=True)
         if cfg.salt_enabled:

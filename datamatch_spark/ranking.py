@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .session import checkpoint_storage_level as _ckpt_level
+
 __all__ = ["global_rank"]
 
 
@@ -42,7 +44,7 @@ def global_rank(
     from .session import effective_parallelism
 
     n_parts = partitions or 2 * effective_parallelism(spark)
-    parted = df.repartitionByRange(n_parts, *order_cols).localCheckpoint()
+    parted = df.repartitionByRange(n_parts, *order_cols).localCheckpoint(storageLevel=_ckpt_level())
     parted = parted.withColumn("__pid", F.spark_partition_id())
     counts = sorted(
         (r["__pid"], r["n"])

@@ -45,6 +45,31 @@ def effective_parallelism(spark: SparkSession) -> int:
     return max(spark.sparkContext.defaultParallelism, conf_p, 1)
 
 
+def checkpoint_storage_level():
+    """Storage level for lineage-truncating ``localCheckpoint`` calls.
+
+    ``DataFrame.localCheckpoint()``'s default stores blocks
+    DESERIALIZED on-heap (``MEMORY_AND_DISK_DESER``): for a
+    many-million-row frame that is a live object graph the size of the
+    data, and G1 re-scans it on every young collection — the sf1
+    scoring stage (168M checkpointed pair rows) measured 682–1224
+    task-seconds of JVM GC, 21–38 s of wall on 32 cores, with pass-to-
+    pass swings of 3–10x depending on whether old-gen collections
+    cascaded. Serialized blocks are opaque byte arrays the collector
+    scans in O(1), so the default here is ``MEMORY_AND_DISK`` (which
+    in PySpark is the serialized variant; it still spills to disk
+    under pressure, never silently evicts a truncated lineage).
+
+    ``SPARK_GRAFT_CHECKPOINT_LEVEL`` overrides by name — ``DISK_ONLY``
+    for minimum heap at cluster scale, ``MEMORY_AND_DISK_DESER`` for
+    the pre-r6 behavior.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    name = os.environ.get("SPARK_GRAFT_CHECKPOINT_LEVEL", "MEMORY_AND_DISK")
+    return getattr(StorageLevel, name)
+
+
 def iceberg_confs(catalog: str, warehouse: str) -> dict:
     """Session configs that register a Hadoop-backed Iceberg catalog
     (the standard public Iceberg-Spark runtime wiring). The runtime
