@@ -200,3 +200,43 @@ def test_driver_cc_matches_union_find(spark):
         r["node"]: r["component"] for r in connected_components(sdf).collect()
     }
     assert got_s == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_checkpoint_storage_level_default_and_override(monkeypatch):
+    """Lineage-truncating checkpoints must store SERIALIZED by default
+    (deserialized row caching of checkpointed pair frames measured
+    682-1224 task-s of JVM GC at sf1), with the env override honored."""
+    from pyspark.storagelevel import StorageLevel
+
+    from datamatch_spark.session import checkpoint_storage_level
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_LEVEL", raising=False)
+    lvl = checkpoint_storage_level()
+    assert lvl == StorageLevel.MEMORY_AND_DISK
+    assert not lvl.deserialized  # PySpark's MEMORY_AND_DISK is serialized
+    assert lvl.useDisk  # must spill, never evict a truncated lineage
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_LEVEL", "DISK_ONLY")
+    assert checkpoint_storage_level() == StorageLevel.DISK_ONLY
+
+
+def test_materialized_scored_pairs_stored_serialized(spark):
+    """The matcher's scored-pairs checkpoint lands in the block manager
+    at the serialized level (the actual GC fix, not just the helper)."""
+    rows = [(i, "smith", "ann") for i in range(6)]
+    df = spark.createDataFrame(rows, "row_key long, last string, first string")
+    m = ThresholdMatcher(
+        ColumnsIndex("last"),
+        {"first": JaroWinklerSimilarity()},
+        df,
+        validate=False,
+    )
+    m.scored_pairs.count()
+    jlevels = [
+        rdd.getStorageLevel()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values()
+    ]
+    assert jlevels, "scored_pairs localCheckpoint should persist an RDD"
+    assert all(not lv.deserialized() for lv in jlevels), (
+        "checkpointed blocks must be stored serialized: " + str(jlevels)
+    )
