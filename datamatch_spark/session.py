@@ -48,25 +48,27 @@ def effective_parallelism(spark: SparkSession) -> int:
 def checkpoint_storage_level():
     """Storage level for lineage-truncating ``localCheckpoint`` calls.
 
-    ``DataFrame.localCheckpoint()``'s default stores blocks
-    DESERIALIZED on-heap (``MEMORY_AND_DISK_DESER``): for a
-    many-million-row frame that is a live object graph the size of the
-    data, and G1 re-scans it on every young collection — the sf1
-    scoring stage (168M checkpointed pair rows) measured 682–1224
-    task-seconds of JVM GC, 21–38 s of wall on 32 cores, with pass-to-
-    pass swings of 3–10x depending on whether old-gen collections
-    cascaded. Serialized blocks are opaque byte arrays the collector
-    scans in O(1), so the default here is ``MEMORY_AND_DISK`` (which
-    in PySpark is the serialized variant; it still spills to disk
-    under pressure, never silently evicts a truncated lineage).
+    Default: ``MEMORY_AND_DISK_DESER`` — Spark's own localCheckpoint
+    default, kept after measurement. The serialized variant looked
+    attractive on GC metrics (the sf1 scoring stage holds 168M
+    checkpointed pair rows as a live object graph and measured 682–1224
+    task-seconds of JVM GC, vs 10–112 serialized), but an INTERLEAVED
+    same-JVM A/B (scripts/probe_sf1_er.py harness, alternating the
+    level per pass so warm-up and host window cancel) showed serialized
+    is 30–60% SLOWER on wall: ser 46/99/50 s vs deser 35/30/35 s — the
+    row-block serialization CPU (JVM executor CPU roughly doubles)
+    costs more wall than the young-GC scans it removes.
 
-    ``SPARK_GRAFT_CHECKPOINT_LEVEL`` overrides by name — ``DISK_ONLY``
-    for minimum heap at cluster scale, ``MEMORY_AND_DISK_DESER`` for
-    the pre-r6 behavior.
+    ``SPARK_GRAFT_CHECKPOINT_LEVEL`` overrides by name: ``DISK_ONLY``
+    caps executor heap at cluster scale (the standard choice when
+    storage memory competes with execution), ``MEMORY_AND_DISK`` for
+    the serialized trade.
     """
     from pyspark.storagelevel import StorageLevel
 
-    name = os.environ.get("SPARK_GRAFT_CHECKPOINT_LEVEL", "MEMORY_AND_DISK")
+    name = os.environ.get(
+        "SPARK_GRAFT_CHECKPOINT_LEVEL", "MEMORY_AND_DISK_DESER"
+    )
     return getattr(StorageLevel, name)
 
 
